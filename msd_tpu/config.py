@@ -1,0 +1,65 @@
+"""specs.json handling.
+
+The reference drives every run from a single per-experiment ``specs.json``
+with required keys plus a long tail of optional keys read through
+``get_spec_with_default`` (ref: train_deep_sdf.py:191-195,217-296 and
+train_MLP_VAE_deep_sdf.py:49-61,653-895). We accept the same raw JSON
+unchanged, with the same defaulting semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Mapping
+
+
+# Required Stage-1 keys (ref: train_deep_sdf.py:217-296).
+STAGE1_REQUIRED_KEYS = (
+    "DataSource",
+    "TrainSplit",
+    "NetworkArch",
+    "NetworkSpecs",
+    "CodeLength",
+    "NumEpochs",
+    "SnapshotFrequency",
+    "LearningRateSchedule",
+    "SamplesPerScene",
+    "ScenesPerBatch",
+    "ClampingDistance",
+)
+
+
+def get_spec_with_default(specs: Mapping[str, Any], key: str, default):
+    """ref: train_deep_sdf.py:191-195."""
+    try:
+        return specs[key]
+    except KeyError:
+        return default
+
+
+def resolve_spec_path(path: str, experiment_directory: str) -> str:
+    """Resolve a spec-relative path (ref: train_MLP_VAE_deep_sdf.py:56-61).
+
+    Absolute paths pass through; relative paths are resolved against the
+    experiment directory first, then the current working directory.
+    """
+    if path is None:
+        return None
+    path = os.path.expanduser(str(path))
+    if os.path.isabs(path):
+        return path
+    candidate = os.path.join(experiment_directory, path)
+    if os.path.exists(candidate):
+        return candidate
+    return path
+
+
+def validate_stage1_specs(specs: Mapping[str, Any]):
+    missing = [k for k in STAGE1_REQUIRED_KEYS if k not in specs]
+    if missing:
+        raise KeyError(f"specs.json missing required Stage-1 keys: {missing}")
+    lrs = specs["LearningRateSchedule"]
+    if not isinstance(lrs, (list, tuple)) or len(lrs) < 2:
+        raise ValueError(
+            "LearningRateSchedule must contain two dicts: [network, latent-codes]"
+        )

@@ -1,0 +1,209 @@
+"""SDF sample data layer.
+
+The on-disk contract is the reference's ``.npz`` with float32 ``pos``/``neg``
+arrays of shape [N, 4] = (x, y, z, sdf) (ref: src/PreprocessMesh.cpp:196-226,
+deep_sdf/data.py:83-136).
+
+TPU-first redesign of the reference's DataLoader-worker pipeline
+(ref: deep_sdf/data.py:145-304): medical datasets fit in memory
+(696 shapes x 500k x 4 x f32 ~ 5.6 GB), so all samples are loaded once into
+padded device arrays and the per-step balanced pos/neg subsample becomes a
+random gather *inside* the jitted train step (`sample_sdf_batch`). This
+removes the host->device copy per batch and the contiguous-window sampling
+bias of `unpack_sdf_samples_from_ram` (ref: deep_sdf/data.py:112-136) — we
+sample uniformly with replacement, matching `unpack_sdf_samples`
+(ref: deep_sdf/data.py:91-109).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msd_tpu.data.splits import get_instance_filenames, split_triples
+
+
+def remove_nans(arr: np.ndarray) -> np.ndarray:
+    """Drop rows whose SDF value is NaN (ref: deep_sdf/data.py:78-80)."""
+    return arr[~np.isnan(arr[:, 3]), :]
+
+
+def read_sdf_samples(filename):
+    """Return (pos, neg) float32 arrays from a SdfSamples .npz
+    (ref: deep_sdf/data.py:83-88)."""
+    npz = np.load(filename)
+    return np.asarray(npz["pos"], np.float32), np.asarray(npz["neg"], np.float32)
+
+
+def unpack_sdf_samples(filename, subsample=None, rng: Optional[np.random.Generator] = None):
+    """Balanced half-pos/half-neg random subsample of one shape's samples
+    (host-side variant; ref: deep_sdf/data.py:91-109)."""
+    pos, neg = read_sdf_samples(filename)
+    if subsample is None:
+        return np.concatenate([pos, neg], axis=0)
+    pos = remove_nans(pos)
+    neg = remove_nans(neg)
+    rng = rng or np.random.default_rng()
+    half = subsample // 2
+    ip = rng.integers(0, pos.shape[0], size=half)
+    ineg = rng.integers(0, neg.shape[0], size=subsample - half)
+    return np.concatenate([pos[ip], neg[ineg]], axis=0)
+
+
+def _pad_stack(arrays: List[np.ndarray]):
+    """Stack variable-length [Ni, 4] arrays into [S, Nmax, 4] + counts [S].
+
+    Padding repeats row 0 so padded rows are valid coordinates; they are
+    never selected because sampling draws indices in [0, count).
+    """
+    counts = np.array([a.shape[0] for a in arrays], dtype=np.int32)
+    if np.any(counts == 0):
+        bad = int(np.argmax(counts == 0))
+        raise ValueError(f"shape index {bad} has zero SDF samples")
+    nmax = int(counts.max())
+    out = np.empty((len(arrays), nmax, 4), dtype=np.float32)
+    for i, a in enumerate(arrays):
+        out[i, : a.shape[0]] = a
+        if a.shape[0] < nmax:
+            out[i, a.shape[0] :] = a[0]
+    return out, counts
+
+
+def sample_sdf_batch(pos, pos_counts, neg, neg_counts, scene_indices, subsample, key):
+    """Device-side balanced subsample for a batch of scenes.
+
+    Args:
+        pos: [S, Pmax, 4] padded positive samples.
+        pos_counts: [S] valid counts.
+        neg, neg_counts: same for negatives.
+        scene_indices: [B] int32 scene ids.
+        subsample: static int, points per scene (half pos / half neg,
+          ref: deep_sdf/data.py:98-107).
+        key: PRNG key.
+
+    Returns:
+        [B, subsample, 4] float32 samples.
+    """
+    half = subsample // 2
+    kp, kn = jax.random.split(key)
+    b = scene_indices.shape[0]
+    pc = pos_counts[scene_indices]  # [B]
+    nc = neg_counts[scene_indices]
+    ip = jax.random.randint(kp, (b, half), 0, pc[:, None])  # [B, half]
+    ineg = jax.random.randint(kn, (b, subsample - half), 0, nc[:, None])
+    pos_rows = jax.vmap(lambda s, idx: pos[s][idx])(scene_indices, ip)
+    neg_rows = jax.vmap(lambda s, idx: neg[s][idx])(scene_indices, ineg)
+    return jnp.concatenate([pos_rows, neg_rows], axis=1)
+
+
+@dataclass
+class SdfDataset:
+    """All SDF samples for a split, held as padded arrays.
+
+    Equivalent of the reference's `SDFSamples(load_ram=True)` dataset
+    (ref: deep_sdf/data.py:145-304) minus the DataLoader: batches are drawn
+    on-device via `sample_sdf_batch`.
+    """
+
+    npyfiles: List[str]
+    instance_ids: List[str]
+    pos: np.ndarray  # [S, Pmax, 4]
+    pos_counts: np.ndarray  # [S]
+    neg: np.ndarray  # [S, Nmax, 4]
+    neg_counts: np.ndarray  # [S]
+    subsample: int
+    labels: Optional[np.ndarray] = None  # [S, L] with NaN fill for missing
+    _device_arrays: Optional[tuple] = field(default=None, repr=False)
+
+    @classmethod
+    def from_split(
+        cls,
+        data_source: str,
+        split,
+        subsample: int,
+        labels: Optional[dict] = None,
+        warn_missing_labels: bool = True,
+    ) -> "SdfDataset":
+        npyfiles = get_instance_filenames(data_source, split)
+        instance_ids = [t[2] for t in split_triples(split)]
+        pos_list, neg_list, keep_files, keep_ids = [], [], [], []
+        for f, iid in zip(npyfiles, instance_ids):
+            try:
+                p, n = read_sdf_samples(f)
+            except (FileNotFoundError, OSError):
+                logging.warning("skipping missing sample file '%s'", f)
+                continue
+            pos_list.append(remove_nans(p))
+            neg_list.append(remove_nans(n))
+            keep_files.append(f)
+            keep_ids.append(iid)
+        if not pos_list:
+            raise RuntimeError(f"no sample files found under {data_source}")
+        pos, pos_counts = _pad_stack(pos_list)
+        neg, neg_counts = _pad_stack(neg_list)
+
+        label_arr = None
+        if labels is not None:
+            label_arr = _labels_for_instances(
+                labels, keep_ids, warn_missing=warn_missing_labels
+            )
+        return cls(
+            npyfiles=keep_files,
+            instance_ids=keep_ids,
+            pos=pos,
+            pos_counts=pos_counts,
+            neg=neg,
+            neg_counts=neg_counts,
+            subsample=subsample,
+            labels=label_arr,
+        )
+
+    def __len__(self):
+        return len(self.npyfiles)
+
+    @property
+    def num_scenes(self):
+        return len(self.npyfiles)
+
+    def device_arrays(self):
+        """(pos, pos_counts, neg, neg_counts) as device arrays, cached."""
+        if self._device_arrays is None:
+            self._device_arrays = (
+                jnp.asarray(self.pos),
+                jnp.asarray(self.pos_counts),
+                jnp.asarray(self.neg),
+                jnp.asarray(self.neg_counts),
+            )
+        return self._device_arrays
+
+    def sample_batch(self, scene_indices, key):
+        pos, pc, neg, nc = self.device_arrays()
+        return sample_sdf_batch(pos, pc, neg, nc, scene_indices, self.subsample, key)
+
+    def all_samples(self, idx: int) -> np.ndarray:
+        """Un-padded [Npos+Nneg, 4] samples for one shape (host)."""
+        p = self.pos[idx, : self.pos_counts[idx]]
+        n = self.neg[idx, : self.neg_counts[idx]]
+        return np.concatenate([p, n], axis=0)
+
+
+def _labels_for_instances(label_map: dict, instance_ids, warn_missing=True):
+    """Build [S, L] label matrix with the reference's ``_femur`` suffix
+    fallback and NaN fill for missing ids (ref: deep_sdf/data.py:239-283)."""
+    first = np.asarray(next(iter(label_map.values()))).reshape(-1)
+    label_len = first.shape[0]
+    out = np.full((len(instance_ids), label_len), np.nan, dtype=np.float32)
+    for i, iid in enumerate(instance_ids):
+        key = iid
+        if key not in label_map and key.endswith("_femur"):
+            key = key[:-6]
+        if key in label_map:
+            out[i] = np.asarray(label_map[key], np.float32).reshape(-1)
+        elif warn_missing:
+            logging.warning("Missing label for %s", iid)
+    return out
