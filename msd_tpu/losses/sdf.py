@@ -11,6 +11,14 @@ import jax
 import jax.numpy as jnp
 
 
+def _safe_l2norm(x, axis=-1, tiny=1e-24):
+    """L2 norm with a zero (not NaN) subgradient at the origin — matches
+    torch.linalg.vector_norm's backward convention. Needed because clamped
+    predictions give exactly-zero xyz-gradients outside the truncation band."""
+    s = jnp.sum(x * x, axis=axis)
+    return jnp.sqrt(jnp.maximum(s, tiny))
+
+
 def clamped_l1_sum(pred_sdf, sdf_gt, clamp_dist, num_sdf_samples=None):
     """sum |clamp(pred) - clamp(gt)| / num_samples
     (ref: train_deep_sdf.py:566-567,604-606)."""
@@ -25,7 +33,7 @@ def code_regularization(batch_vecs, num_sdf_samples, code_reg_lambda, epoch):
     """lambda * min(1, epoch/100) * sum(||z_i||_2) / num_samples
     (ref: train_deep_sdf.py:609-616). ``batch_vecs`` is the per-point
     expanded latent batch, exactly as the reference regularizes it."""
-    l2_size_loss = jnp.sum(jnp.linalg.norm(batch_vecs, axis=1))
+    l2_size_loss = jnp.sum(_safe_l2norm(batch_vecs, axis=1))
     ramp = jnp.minimum(1.0, epoch / 100.0)
     return code_reg_lambda * ramp * l2_size_loss / num_sdf_samples
 
@@ -37,7 +45,7 @@ def eikonal_loss(grad_xyz, weight=0.002):
     clamped prediction (as the reference does) zeroes the penalty outside
     the truncation band.
     """
-    norms = jnp.linalg.norm(grad_xyz, axis=1)
+    norms = _safe_l2norm(grad_xyz, axis=1)
     return weight * jnp.mean((1.0 - norms) ** 2)
 
 
@@ -47,5 +55,5 @@ def deep_sdf_loss(pred_sdf, sdf_gt, latent_vecs, code_reg_lambda=1e-4, code_reg_
     reference applies clamping before calling it."""
     num = pred_sdf.shape[0]
     sdf_loss = jnp.sum(jnp.abs(pred_sdf - sdf_gt)) / num
-    reg = code_reg_lambda * code_reg_weight * jnp.sum(jnp.linalg.norm(latent_vecs, axis=1)) / num
+    reg = code_reg_lambda * code_reg_weight * jnp.sum(_safe_l2norm(latent_vecs, axis=1)) / num
     return sdf_loss + reg, sdf_loss, reg

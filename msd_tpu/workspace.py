@@ -33,6 +33,9 @@ model_params_subdir = "ModelParameters"
 optimizer_params_subdir = "OptimizerParameters"
 latent_codes_subdir = "LatentCodes"
 logs_filename = "Logs.pth"
+tb_logs_dir = "TensorBoard"
+tb_logs_train_reconstructions = "ReconstructionsTrain"
+tb_logs_test_reconstructions = "ReconstructionsTest"
 reconstructions_subdir = "Reconstructions"
 reconstruction_meshes_subdir = "Meshes"
 reconstruction_codes_subdir = "Codes"

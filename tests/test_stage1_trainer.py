@@ -1,0 +1,172 @@
+"""End-to-end Stage-1 training on a synthetic analytic-SDF dataset
+(spheres of varying radius) — the SURVEY §7 'minimum slice' validation."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+import msd_tpu.workspace as ws
+from msd_tpu.train.stage1 import Stage1Trainer
+
+
+def make_sphere_dataset(data_dir, radii, n_pos=2000, n_neg=2000, seed=0):
+    """Analytic sphere SDF samples in the reference .npz layout."""
+    rng = np.random.default_rng(seed)
+    names = []
+    os.makedirs(data_dir, exist_ok=True)
+    for i, r in enumerate(radii):
+        pts = rng.uniform(-1, 1, size=(n_pos * 8, 3)).astype(np.float32)
+        sdf = np.linalg.norm(pts, axis=1) - r
+        pos_mask = sdf >= 0
+        pos = np.concatenate([pts[pos_mask][:n_pos], sdf[pos_mask][:n_pos, None]], axis=1)
+        neg = np.concatenate([pts[~pos_mask][:n_neg], sdf[~pos_mask][:n_neg, None]], axis=1)
+        name = f"sphere_{i}"
+        np.savez(os.path.join(data_dir, name + ".npz"), pos=pos.astype(np.float32), neg=neg.astype(np.float32))
+        names.append(name + ".obj")
+    return names
+
+
+BASE_SPECS = {
+    "Description": "test",
+    "DataSource": None,  # filled per test
+    "TrainSplit": None,
+    "TestSplit": None,
+    "NetworkArch": "deep_sdf_decoder",
+    "NetworkSpecs": {
+        "dims": [64, 64, 64],
+        "dropout": [],
+        "dropout_prob": 0.0,
+        "norm_layers": [0, 1, 2],
+        "latent_in": [2],
+        "xyz_in_all": False,
+        "use_tanh": False,
+        "latent_dropout": False,
+        "weight_norm": True,
+    },
+    "CodeLength": 8,
+    "NumEpochs": 8,
+    "SnapshotFrequency": 4,
+    "AdditionalSnapshots": [2],
+    "LearningRateSchedule": [
+        {"Type": "Step", "Initial": 0.001, "Interval": 500, "Factor": 0.5},
+        {"Type": "Step", "Initial": 0.005, "Interval": 500, "Factor": 0.5},
+    ],
+    "SamplesPerScene": 512,
+    "ScenesPerBatch": 4,
+    "DataLoaderThreads": 1,
+    "ClampingDistance": 0.1,
+    "CodeRegularization": True,
+    "CodeRegularizationLambda": 1e-4,
+    "CodeBound": 1.0,
+    "GradientClipNorm": 1.0,
+    "LogFrequency": 4,
+}
+
+
+def _specs(tmp_path, **overrides):
+    data_dir = str(tmp_path / "data")
+    names = make_sphere_dataset(data_dir, [0.3, 0.4, 0.5, 0.6, 0.7, 0.8])
+    split_path = str(tmp_path / "train_split.json")
+    with open(split_path, "w") as f:
+        json.dump(names, f)
+    specs = dict(BASE_SPECS)
+    specs["DataSource"] = data_dir
+    specs["TrainSplit"] = split_path
+    specs["TestSplit"] = split_path
+    specs.update(overrides)
+    exp_dir = str(tmp_path / "exp")
+    ws.save_experiment_specifications(exp_dir, specs)
+    return exp_dir, specs
+
+
+def test_training_reduces_loss(tmp_path):
+    exp_dir, specs = _specs(tmp_path)
+    trainer = Stage1Trainer(exp_dir)
+    first = trainer.train_epoch(1)
+    for e in range(2, 41):
+        last = trainer.train_epoch(e)
+    assert last["total"] < first["total"] * 0.6, (first, last)
+    # latents actually moved
+    assert float(np.abs(np.asarray(trainer.state["lat"])).max()) > 0
+
+
+def test_full_train_checkpoints_and_resume(tmp_path):
+    exp_dir, specs = _specs(tmp_path)
+    trainer = Stage1Trainer(exp_dir)
+    trainer.train(eval_hooks=False)
+    # checkpoint families exist (reference layout)
+    for sub in (ws.model_params_subdir, ws.optimizer_params_subdir, ws.latent_codes_subdir):
+        for name in ("2.pth", "4.pth", "8.pth", "latest.pth"):
+            assert os.path.isfile(os.path.join(exp_dir, sub, name)), (sub, name)
+    assert os.path.isfile(os.path.join(exp_dir, ws.logs_filename))
+    assert os.path.isdir(os.path.join(exp_dir, ws.tb_logs_dir))
+
+    # resume from epoch 4 and continue
+    trainer2 = Stage1Trainer(exp_dir)
+    start = trainer2.resume("4")
+    assert start == 5
+    np.testing.assert_allclose(
+        np.asarray(trainer2.state["lat"]).shape, (6, 8)
+    )
+    m = trainer2.train_epoch(start)
+    assert np.isfinite(m["total"])
+
+
+def test_checkpoint_torch_roundtrip(tmp_path):
+    """Our .pth checkpoints load back through torch with reference naming."""
+    import torch
+
+    exp_dir, specs = _specs(tmp_path)
+    trainer = Stage1Trainer(exp_dir)
+    trainer.train_epoch(1)
+    trainer.epoch = 1
+    trainer.save_checkpoint("1")
+    data = torch.load(
+        os.path.join(exp_dir, ws.model_params_subdir, "1.pth"), weights_only=False
+    )
+    assert data["epoch"] == 1
+    sd = data["model_state_dict"]
+    assert "lin0.weight_g" in sd and "lin0.bias" in sd
+    lat = torch.load(
+        os.path.join(exp_dir, ws.latent_codes_subdir, "1.pth"), weights_only=False
+    )
+    assert lat["latent_codes"]["weight"].shape == (6, 8)
+
+
+def test_regularizer_variants_run(tmp_path):
+    exp_dir, specs = _specs(
+        tmp_path,
+        UseEikonal=True,
+        UseCovarianceLoss=True,
+        UseGMMPriorLoss=True,
+        GMMK=2,
+        UseIsometryLoss=True,
+        IsometryNumPoints=32,
+        UseGradMetricIsotropyLoss=True,
+        NumEpochs=2,
+    )
+    trainer = Stage1Trainer(exp_dir)
+    m = trainer.train_epoch(1)
+    for k in ("eikonal", "covariance", "gmm", "iso", "grad_metric_iso"):
+        assert k in m and np.isfinite(m[k]), (k, m)
+    m2 = trainer.train_epoch(2)
+    assert np.isfinite(m2["total"])
+
+
+def test_batch_split_gradient_accumulation(tmp_path):
+    exp_dir, specs = _specs(tmp_path)
+    t1 = Stage1Trainer(exp_dir)
+    m1 = t1.train_epoch(1, batch_split=2)
+    assert np.isfinite(m1["total"])
+
+
+def test_code_bound_projection(tmp_path):
+    exp_dir, specs = _specs(tmp_path, CodeBound=0.05, CodeInitStdDev=10.0)
+    trainer = Stage1Trainer(exp_dir)
+    trainer.train_epoch(1)
+    norms = np.linalg.norm(np.asarray(trainer.state["lat"]), axis=1)
+    # all touched rows were projected to <= bound (+ small optimizer drift)
+    assert np.median(norms) < 0.2
