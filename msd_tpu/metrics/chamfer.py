@@ -1,0 +1,129 @@
+"""Symmetric squared Chamfer distance.
+
+Behavioral port of deep_sdf/metrics/chamfer.py:12-70: mean squared
+nearest-neighbor distance in both directions, plus the concatenated
+per-point distances for percentile reporting. scipy cKDTree on host for the
+30k-point eval case; curvature-weighted sampling uses a cotangent-Laplacian
+mean-curvature estimate (replacing robust_laplacian).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import numpy as np
+from scipy.spatial import cKDTree as KDTree
+
+from msd_tpu.ops.sampling import sample_mesh_surface, triangle_areas
+
+MeshLike = Union[str, Tuple[np.ndarray, np.ndarray]]
+
+
+def _as_mesh(m: MeshLike):
+    if isinstance(m, str):
+        from msd_tpu.data.mesh_io import load_mesh
+
+        return load_mesh(m)
+    return m
+
+
+def compute_chamfer(gen_points_sampled, gt_points_sampled):
+    """(chamfer, all_dists) — sum of mean squared NN distances both ways
+    (ref: deep_sdf/metrics/chamfer.py:54-70)."""
+    gen_points_kd_tree = KDTree(gen_points_sampled)
+    one_distances, _ = gen_points_kd_tree.query(gt_points_sampled)
+    gt_to_gen_chamfer = np.mean(np.square(one_distances))
+
+    gt_points_kd_tree = KDTree(gt_points_sampled)
+    two_distances, _ = gt_points_kd_tree.query(gen_points_sampled)
+    gen_to_gt_chamfer = np.mean(np.square(two_distances))
+
+    return float(gt_to_gen_chamfer + gen_to_gt_chamfer), np.concatenate(
+        (one_distances, two_distances), axis=0
+    )
+
+
+def mean_curvature_vertices(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Per-vertex mean-curvature magnitude via the cotangent Laplacian with
+    barycentric (1/3-area) mass lumping — replaces robust_laplacian
+    (ref: deep_sdf/metrics/chamfer.py:21-28)."""
+    import scipy.sparse as sp
+
+    v = verts.astype(np.float64)
+    f = faces.astype(np.int64)
+    n = v.shape[0]
+    L = sp.lil_matrix((n, n))
+    rows, cols, vals = [], [], []
+    for k in range(3):
+        i = f[:, k]
+        j = f[:, (k + 1) % 3]
+        o = f[:, (k + 2) % 3]
+        e1 = v[i] - v[o]
+        e2 = v[j] - v[o]
+        cross = np.cross(e1, e2)
+        denom = np.maximum(np.linalg.norm(cross, axis=1), 1e-12)
+        cot = np.einsum("ij,ij->i", e1, e2) / denom
+        w = 0.5 * cot
+        rows += [i, j]
+        cols += [j, i]
+        vals += [w, w]
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    vals = np.concatenate(vals)
+    W = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    diag = np.asarray(W.sum(axis=1)).ravel()
+    L = sp.diags(diag) - W
+    areas = triangle_areas(verts, faces)
+    mass = np.zeros(n)
+    for k in range(3):
+        np.add.at(mass, f[:, k], areas / 3.0)
+    mass = np.maximum(mass, 1e-12)
+    Hn = (L @ v) / mass[:, None]
+    return np.linalg.norm(Hn, axis=1)
+
+
+def compute_mesh_chamfer(
+    gt_points: MeshLike,
+    gen_mesh: MeshLike,
+    offset=None,
+    scale=None,
+    num_mesh_samples: int = 30000,
+    curvature_sampling: float = 0.0,
+    seed: int = 0,
+):
+    """Chamfer between GT surface points (point cloud or mesh) and a
+    generated mesh (ref: deep_sdf/metrics/chamfer.py:12-51).
+
+    gen samples are un-normalized by (/ scale - offset) before comparison,
+    matching the reference.
+    """
+    gv, gf = _as_mesh(gen_mesh)
+    face_areas = triangle_areas(gv, gf)
+    if curvature_sampling > 0.0:
+        curv = mean_curvature_vertices(gv, gf)
+        curv = np.clip(curv, np.percentile(curv, 0.0), np.percentile(curv, 50))
+        face_curv = curv[gf].mean(axis=1)
+        face_curv = np.interp(face_curv, (face_curv.min(), face_curv.max()), (0, 1))
+        fa = np.interp(face_areas, (face_areas.min(), face_areas.max()), (0, 1))
+        weights = curvature_sampling * face_curv + (1 - curvature_sampling) * fa
+    else:
+        weights = np.interp(face_areas, (face_areas.min(), face_areas.max()), (0, 1))
+    gen_points = sample_mesh_surface(
+        gv, gf, num_mesh_samples, np.random.default_rng(seed), face_weight=weights + 1e-12
+    )[0]
+
+    if scale is not None:
+        gen_points = gen_points / scale
+    if offset is not None:
+        gen_points = gen_points - offset
+
+    gt = _as_mesh(gt_points) if isinstance(gt_points, str) else gt_points
+    if isinstance(gt, tuple):
+        gt_v, gt_f = gt
+        if gt_f is None or len(gt_f) == 0:
+            gt_np = gt_v
+        else:
+            gt_np = sample_mesh_surface(gt_v, gt_f, num_mesh_samples, np.random.default_rng(seed + 1))[0]
+    else:
+        gt_np = np.asarray(gt)
+    return compute_chamfer(gen_points, gt_np)

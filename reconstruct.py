@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Reconstruct shapes from SDF samples with a trained decoder — CLI
+compatible with the reference (ref: reconstruct.py:154-357)."""
+
+import argparse
+import json
+import logging
+import os
+import random
+import time
+
+import numpy as np
+
+import msd_tpu.workspace as ws
+from msd_tpu import mesh
+from msd_tpu.data.sdf_samples import read_sdf_samples, remove_nans
+from msd_tpu.data.splits import get_instance_filenames
+from msd_tpu.models import build_decoder
+from msd_tpu.train.reconstruct import reconstruct
+from msd_tpu.utils import add_common_args, configure_logging
+from msd_tpu.utils import checkpoint as ckpt
+
+if __name__ == "__main__":
+    arg_parser = argparse.ArgumentParser(
+        description="Use a trained DeepSDF decoder to reconstruct a shape given SDF samples."
+    )
+    arg_parser.add_argument("--experiment", "-e", dest="experiment_directory", required=True)
+    arg_parser.add_argument("--checkpoint", "-c", dest="checkpoint", default="latest")
+    arg_parser.add_argument("--data", "-d", dest="data_source", required=True)
+    arg_parser.add_argument("--split", "-s", dest="split_filename", required=True)
+    arg_parser.add_argument("--iters", dest="iterations", default=800)
+    arg_parser.add_argument("--mesh_resolution", dest="mesh_resolution", type=int, default=256)
+    arg_parser.add_argument(
+        "--skip", dest="skip", action="store_true", help="Skip shapes already reconstructed."
+    )
+    add_common_args(arg_parser)
+    args = arg_parser.parse_args()
+    configure_logging(args)
+
+    specs = ws.load_experiment_specifications(args.experiment_directory)
+    latent_size = specs["CodeLength"]
+    decoder = build_decoder(specs["NetworkArch"], latent_size, specs["NetworkSpecs"])
+    params, saved_model_epoch = ckpt.load_model(
+        args.experiment_directory, args.checkpoint, decoder
+    )
+
+    with open(args.split_filename) as f:
+        split = json.load(f)
+    npz_filenames = get_instance_filenames(args.data_source, split)
+    random.shuffle(npz_filenames)
+
+    dirname = str(saved_model_epoch)
+    if "train" in args.split_filename:
+        dirname += "_on_train_set"
+    reconstruction_dir = os.path.join(
+        args.experiment_directory, ws.reconstructions_subdir, dirname
+    )
+    reconstruction_meshes_dir = os.path.join(reconstruction_dir, ws.reconstruction_meshes_subdir)
+    reconstruction_codes_dir = os.path.join(reconstruction_dir, ws.reconstruction_codes_subdir)
+    os.makedirs(reconstruction_meshes_dir, exist_ok=True)
+    os.makedirs(reconstruction_codes_dir, exist_ok=True)
+
+    err_sum = 0.0
+    # pad all shapes to a common sample count so one jitted reconstruction
+    # program is reused across every shape (no per-shape recompiles)
+    for ii, npz in enumerate(npz_filenames):
+        if "npz" not in npz:
+            continue
+        mesh_filename = os.path.join(reconstruction_meshes_dir, os.path.basename(npz)[:-4])
+        latent_filename = os.path.join(
+            reconstruction_codes_dir, os.path.basename(npz)[:-4] + ".pth"
+        )
+        if args.skip and os.path.isfile(mesh_filename + ".ply") and os.path.isfile(latent_filename):
+            continue
+        if not os.path.isfile(npz):
+            continue
+
+        logging.info("reconstructing %s", npz)
+        pos, neg = read_sdf_samples(npz)
+        pos, neg = remove_nans(pos), remove_nans(neg)
+
+        start = time.time()
+        err, latent = reconstruct(
+            decoder,
+            params,
+            int(args.iterations),
+            latent_size,
+            [pos, neg],
+            0.01,
+            0.1,
+            num_samples=8000,
+            lr=5e-3,
+            l2reg=True,
+        )
+        logging.debug("reconstruct time: %s", time.time() - start)
+        err_sum += err
+        logging.debug("current_error avg: %s", err_sum / (ii + 1))
+
+        start = time.time()
+        mesh.create_mesh(
+            decoder, params, latent, mesh_filename, N=args.mesh_resolution, max_batch=int(2**18)
+        )
+        logging.info("total time: %s", time.time() - start)
+
+        import torch
+
+        torch.save(torch.from_numpy(np.asarray(latent))[None, ...], latent_filename)

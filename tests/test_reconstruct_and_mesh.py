@@ -1,0 +1,124 @@
+"""Closes the train -> create_mesh -> chamfer -> reconstruct loop on the
+synthetic sphere dataset (SURVEY §7 minimum slice)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from msd_tpu import mesh as mesh_mod
+from msd_tpu.data.mesh_io import load_ply
+from msd_tpu.metrics.chamfer import compute_mesh_chamfer
+from msd_tpu.train.reconstruct import reconstruct
+from msd_tpu.train.stage1 import Stage1Trainer
+from test_stage1_trainer import _specs
+from conftest import make_sphere_mesh
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("trained")
+    exp_dir, specs = _specs(tmp, NumEpochs=60, SamplesPerScene=1024)
+    trainer = Stage1Trainer(exp_dir)
+    for e in range(1, 61):
+        m = trainer.train_epoch(e)
+    return trainer, m
+
+
+def test_create_mesh_dense_and_sparse(trained, tmp_path):
+    trainer, m = trained
+    assert m["sdf"] < 0.03, m  # trained to a reasonable fit
+    latent = trainer.state["lat"][2]  # sphere r=0.5
+
+    out = str(tmp_path / "mesh_dense")
+    res = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, filename=out, N=193,
+        return_mesh=True, sparse=False,
+    )
+    assert res is not None and res is not False
+    dv, df = res
+    assert os.path.isfile(out + ".ply")
+
+    out2 = str(tmp_path / "mesh_sparse")
+    res2 = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, filename=out2, N=193,
+        return_mesh=True, sparse=True,
+    )
+    sv, sf = res2
+
+    # sparse and dense must produce identical surfaces (same MT vertices)
+    from scipy.spatial import cKDTree
+
+    assert sv.shape == dv.shape, (sv.shape, dv.shape)
+    d, _ = cKDTree(dv).query(sv)
+    assert d.max() < 1e-4, d.max()  # <1% of a voxel: f32 fusion-order noise
+
+    # and the surface should be close to the analytic sphere r=0.5
+    gt_v, gt_f = make_sphere_mesh(radius=0.5)
+    cd_gt, _ = compute_mesh_chamfer((gt_v, gt_f), (dv, df), num_mesh_samples=10000)
+    assert cd_gt < 5e-3, cd_gt
+
+    # the saved ply round-trips
+    pv, pf = load_ply(out + ".ply")
+    assert pv.shape == dv.shape and pf.shape == df.shape
+
+
+def test_sparse_eval_skips_most_queries(trained):
+    trainer, _ = trained
+    latent = trainer.state["lat"][2]
+    grid, stats = mesh_mod.eval_grid_sparse(
+        trainer.decoder, trainer.state["net"], latent, N=193, clamp_dist=0.1
+    )
+    assert grid.shape == (193, 193, 193)
+    assert stats["block"] > 1, stats
+    assert stats["evaluated"] < 0.5 * stats["total"], stats
+    dense = mesh_mod.eval_grid_dense(trainer.decoder, trainer.state["net"], latent, N=193)
+    # identical zero-crossing structure: grids agree wherever |sdf| is small
+    mask = np.abs(dense) < 0.02
+    np.testing.assert_allclose(grid[mask], dense[mask], atol=1e-5)
+    assert ((grid < 0) == (dense < 0)).mean() > 0.9999
+
+
+def test_reconstruct_latent_optimization(trained):
+    trainer, _ = trained
+    ds = trainer.dataset
+    idx = 3
+    pos = ds.pos[idx, : ds.pos_counts[idx]]
+    neg = ds.neg[idx, : ds.neg_counts[idx]]
+    loss_hist, latent = reconstruct(
+        trainer.decoder,
+        trainer.state["net"],
+        num_iterations=120,
+        latent_size=trainer.latent_size,
+        test_sdf=[pos, neg],
+        stat=0.01,
+        clamp_dist=0.1,
+        num_samples=512,
+        lr=5e-3,
+        l2reg=True,
+        return_loss_hist=True,
+    )
+    assert len(loss_hist) == 120
+    assert loss_hist[-1] < loss_hist[0] * 0.7
+    assert latent.shape == (1, trainer.latent_size)
+    # reconstructed latent should be close in decode: mesh it and compare
+    res = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=64, return_mesh=True
+    )
+    assert res is not None and res is not False
+
+
+def test_reconstruct_code_bound_and_dist_penalty(trained):
+    trainer, _ = trained
+    ds = trainer.dataset
+    pos = ds.pos[0, : ds.pos_counts[0]]
+    neg = ds.neg[0, : ds.neg_counts[0]]
+    _, latent = reconstruct(
+        trainer.decoder, trainer.state["net"], 30, trainer.latent_size,
+        [pos, neg], 0.01, 0.1, num_samples=256, lr=5e-3,
+        code_bound=0.05,
+        dist_mean=np.zeros(trainer.latent_size), dist_std=np.ones(trainer.latent_size),
+        dist_weight=0.1,
+    )
+    assert float(np.linalg.norm(np.asarray(latent))) <= 0.05 + 1e-5
