@@ -1,0 +1,208 @@
+#!/usr/bin/env python3
+"""Benchmark harness: SDF point-query throughput per chip (train + grid eval).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Baseline anchor (BASELINE.md): the reference's only quantitative perf figure
+is `create_mesh` N=512 dense-grid eval in ~10 s on GPU = 1.34e7 queries/s
+(deep_sdf/mesh.py:27). The headline value is our effective grid-eval
+throughput on the same workload (512^3 queries for one mesh at equal output
+resolution), via the Pallas fused-MLP kernel + sparse block refinement.
+Training throughput and raw kernel numbers are reported in "detail".
+
+Workload: the flagship ADNI config — 8x512 decoder, latent 256, clamped-L1,
+eikonal on, 32 scenes x 16384 samples per training step
+(ref: examples/ADNI/minimal_eikonal/specs.json).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def make_sphere_data(num_scenes=32, n_half=30000, seed=0):
+    rng = np.random.default_rng(seed)
+    pos_all, neg_all = [], []
+    radii = rng.uniform(0.3, 0.8, size=num_scenes)
+    for r in radii:
+        pts = rng.uniform(-1, 1, size=(int(n_half * 3.2), 3)).astype(np.float32)
+        sdf = (np.linalg.norm(pts, axis=1) - r).astype(np.float32)
+        pos = np.concatenate([pts[sdf >= 0][:n_half], sdf[sdf >= 0][:n_half, None]], axis=1)
+        neg = np.concatenate([pts[sdf < 0][:n_half], sdf[sdf < 0][:n_half, None]], axis=1)
+        pos_all.append(pos)
+        neg_all.append(neg)
+    return pos_all, neg_all, radii
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from msd_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from msd_tpu import mesh as mesh_mod
+    from msd_tpu.data.sdf_samples import SdfDataset, _pad_stack
+    from msd_tpu.metrics.chamfer import compute_mesh_chamfer
+    from msd_tpu.train.stage1 import Stage1Trainer
+
+    t_setup = time.time()
+    backend = jax.default_backend()
+
+    # ---- flagship spec (ref: examples/ADNI/minimal_eikonal/specs.json) ----
+    num_scenes = 32
+    specs = {
+        "Description": "bench",
+        "DataSource": "<in-memory>",
+        "TrainSplit": "<in-memory>",
+        "TestSplit": "<in-memory>",
+        "NetworkArch": "deep_sdf_decoder",
+        "NetworkSpecs": {
+            "dims": [512] * 8,
+            "dropout": [],
+            "dropout_prob": 0.2,
+            "norm_layers": [],
+            "latent_in": [4],
+            "xyz_in_all": False,
+            "use_tanh": False,
+            "latent_dropout": False,
+            "weight_norm": True,
+        },
+        "CodeLength": 256,
+        "NumEpochs": 2001,
+        "SnapshotFrequency": 1000,
+        "AdditionalSnapshots": [],
+        "LearningRateSchedule": [
+            {"Type": "Step", "Initial": 0.0005, "Interval": 500, "Factor": 0.5},
+            {"Type": "Step", "Initial": 0.001, "Interval": 500, "Factor": 0.5},
+        ],
+        "SamplesPerScene": 16384,
+        "ScenesPerBatch": 32,
+        "UseEikonal": True,
+        "ClampingDistance": 0.1,
+        "CodeRegularization": True,
+        "CodeRegularizationLambda": 1e-4,
+        "CodeBound": 1.0,
+        "GradientClipNorm": 1.0,
+    }
+
+    pos_all, neg_all, radii = make_sphere_data(num_scenes)
+    pos, pos_counts = _pad_stack(pos_all)
+    neg, neg_counts = _pad_stack(neg_all)
+    dataset = SdfDataset(
+        npyfiles=[f"sphere_{i}.npz" for i in range(num_scenes)],
+        instance_ids=[f"sphere_{i}" for i in range(num_scenes)],
+        pos=pos, pos_counts=pos_counts, neg=neg, neg_counts=neg_counts,
+        subsample=specs["SamplesPerScene"],
+    )
+    trainer = Stage1Trainer("/tmp/msd_bench_exp", specs=specs, dataset=dataset)
+    points_per_step = specs["SamplesPerScene"] * specs["ScenesPerBatch"]
+
+    # ---- training throughput ----
+    trainer.train_epoch(1)  # warmup/compile (1 batch: 32 scenes)
+    t0 = time.time()
+    train_steps = 0
+    for e in range(2, 12):
+        trainer.train_epoch(e)
+        train_steps += 1
+    t_train = time.time() - t0
+    train_qps = train_steps * points_per_step / t_train
+
+    # shape the field a little more so the mesh is meaningful
+    for e in range(12, 40):
+        m = trainer.train_epoch(e)
+
+    latent = trainer.state["lat"][0]
+    evaluator = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+
+    # ---- raw fused kernel throughput ----
+    raw_qps = None
+    if evaluator.fused:
+        n_raw = 2**21
+        xyz_t = jnp.asarray(
+            np.random.default_rng(0).uniform(-1, 1, size=(3, n_raw)).astype(np.float32)
+        )
+        evaluator._fused(jnp.asarray(latent), xyz_t).block_until_ready()
+        t0 = time.time()
+        reps = 5
+        for _ in range(reps):
+            out = evaluator._fused(jnp.asarray(latent), xyz_t)
+        out.block_until_ready()
+        raw_qps = n_raw * reps / (time.time() - t0)
+
+    # ---- grid eval throughput (the baseline-comparable workload) ----
+    # Full create_mesh wall time at the reference's N=512 headline workload
+    # (snapped to 513 by the sparse path), including marching tetrahedra +
+    # .ply write — directly comparable to deep_sdf/mesh.py:27's "~10 s GPU".
+    N = 512
+    res = mesh_mod.create_mesh(  # warmup: compiles block/corner programs
+        trainer.decoder, trainer.state["net"], latent,
+        filename="/tmp/msd_bench_mesh_warm", N=N, return_mesh=True, evaluator=evaluator,
+    )
+    t0 = time.time()
+    res = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent,
+        filename="/tmp/msd_bench_mesh", N=N, return_mesh=True, evaluator=evaluator,
+    )
+    t_grid = time.time() - t0
+    n_eff = mesh_mod._snap_n(N)
+    grid_qps_effective = n_eff**3 / t_grid
+    # sparse-eval stats for reporting (re-runs the two eval stages)
+    _, _, _, stats = mesh_mod._sparse_blocks(
+        trainer.decoder, trainer.state["net"], jnp.asarray(latent), n_eff,
+        mesh_mod.SPARSE_BLOCK, 2**18, 1.3, 0.1, evaluator,
+    )
+
+    # N=256-class mesh (the resolution reconstruct.py actually uses)
+    t0 = time.time()
+    mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent,
+        filename="/tmp/msd_bench_mesh256", N=256, return_mesh=True, evaluator=evaluator,
+    )
+    t_mesh256 = time.time() - t0
+
+    # quality guard: chamfer vs the analytic sphere it was trained on
+    chamfer = None
+    if res is not None and res is not False:
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+        from conftest import make_sphere_mesh
+
+        gt_v, gt_f = make_sphere_mesh(radius=float(radii[0]))
+        chamfer, _ = compute_mesh_chamfer((gt_v, gt_f), res, num_mesh_samples=10000)
+
+    baseline_grid_qps = 1.34e7  # ref GPU: 512^3 in ~10 s (deep_sdf/mesh.py:27)
+    value = grid_qps_effective
+
+    result = {
+        "metric": "SDF grid-eval queries/sec/chip (512^3 mesh extraction, effective)",
+        "value": round(value),
+        "unit": "queries/s",
+        "vs_baseline": round(value / baseline_grid_qps, 2),
+        "detail": {
+            "backend": backend,
+            "train_queries_per_sec": round(train_qps),
+            "train_step_ms": round(1e3 * points_per_step / train_qps, 1),
+            "raw_fused_kernel_queries_per_sec": None if raw_qps is None else round(raw_qps),
+            "grid512_seconds": round(t_grid, 3),
+            "grid512_evaluated_fraction": round(stats["evaluated"] / stats["total"], 4),
+            "create_mesh256_seconds": round(t_mesh256, 3),
+            "train_loss_sdf": round(float(m["sdf"]), 5),
+            "chamfer_sphere": None if chamfer is None else float(chamfer),
+            "fused_kernel": evaluator.fused,
+            "baseline_anchor": "ref GPU 512^3 dense eval ~10s = 1.34e7 q/s (deep_sdf/mesh.py:27)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

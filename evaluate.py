@@ -8,7 +8,10 @@ import logging
 from msd_tpu.eval_chamfer import evaluate
 from msd_tpu.utils import add_common_args, configure_logging
 
+from msd_tpu.utils.compile_cache import enable_compile_cache
+
 if __name__ == "__main__":
+    enable_compile_cache()
     arg_parser = argparse.ArgumentParser(description="Evaluate a DeepSDF autodecoder")
     arg_parser.add_argument("--experiment", "-e", dest="experiment_directory", required=True)
     arg_parser.add_argument("--checkpoint", "-c", dest="checkpoint", default="2000")

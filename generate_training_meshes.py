@@ -58,7 +58,10 @@ def code_to_mesh(experiment_directory, checkpoint, keep_normalized=False, resolu
         )
 
 
+from msd_tpu.utils.compile_cache import enable_compile_cache
+
 if __name__ == "__main__":
+    enable_compile_cache()
     arg_parser = argparse.ArgumentParser(
         description="Use a trained DeepSDF decoder to generate a mesh given a latent code."
     )

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from msd_tpu.data.mesh_io import save_ply
-from msd_tpu.ops.marching_cubes import marching_tetrahedra
+from msd_tpu.ops.marching_cubes import marching_tetrahedra, marching_tetrahedra_blocks
 
 
 def _linear_to_coords(linear_idx, N):
@@ -70,60 +70,202 @@ def _eval_points(decoder, params, latent, pts):
     return decoder.apply(params, inputs)[:, 0]
 
 
-def eval_grid_dense(decoder, params, latent, N: int, max_batch: int = 2**18) -> np.ndarray:
+class PointEvaluator:
+    """Latent-conditioned SDF point evaluator.
+
+    On TPU, uses the Pallas fused-MLP kernel (msd_tpu/ops/fused_mlp.py) —
+    all weights VMEM-resident, ~6x the unfused XLA path. Falls back to the
+    plain XLA path on CPU or for unsupported decoder configs.
+    """
+
+    def __init__(self, decoder, params, dtype=None, tile: int = 2048):
+        self.decoder = decoder
+        self.params = params
+        self.tile = tile
+        self._fused = None
+        self._block_fns = {}
+        self._corner_fns = {}
+        if jax.default_backend() == "tpu":
+            try:
+                from msd_tpu.ops.fused_mlp import build_fused_eval
+
+                if dtype is None:
+                    dtype = jnp.bfloat16
+                self._fused = build_fused_eval(decoder, params, dtype=dtype, tile=tile)
+            except Exception as e:  # pragma: no cover - defensive fallback
+                logging.warning("fused kernel unavailable, using XLA path: %s", e)
+
+    @property
+    def fused(self) -> bool:
+        return self._fused is not None
+
+    def _eval_t(self, latent, xyz_t):
+        """[3, n] transposed coords (n multiple of tile) -> [n] sdf, device."""
+        if self._fused is not None:
+            return self._fused(latent, xyz_t)
+        return _eval_points(self.decoder, self.params, latent, xyz_t.T)
+
+    def eval_points(self, latent, pts):
+        """pts [N, 3] (device or host) -> sdf [N] device array.
+
+        Pads to a pow2 multiple of the tile so only O(log N) kernel shapes
+        ever compile (remote compiles are expensive through the relay).
+        """
+        latent = jnp.asarray(latent).reshape(-1)
+        pts = jnp.asarray(pts)
+        n = pts.shape[0]
+        n_pad = self.tile
+        while n_pad < n:
+            n_pad *= 2
+        xyz_t = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(pts.T)
+        return self._eval_t(latent, xyz_t)[:n]
+
+    # ------------------------------------------------------------------
+    # Device-side block evaluation. ONE compiled program for every grid
+    # resolution and shape: the block size is fixed (SPARSE_BLOCK=4), block
+    # indices arrive in fixed-size chunks, and the grid spacing h is a
+    # runtime scalar. Remote compiles through the axon relay cost tens of
+    # seconds, so shape-stable programs matter more than per-call waste.
+    A_CHUNK = 8192  # blocks per dispatch: 8192 * 125 pts = 1,024,000 (= 500 tiles)
+
+    def _get_block_fn(self):
+        if "fn" not in self._block_fns:
+            bsz = SPARSE_BLOCK
+            pts_per = (bsz + 1) ** 3
+            total = self.A_CHUNK * pts_per
+            assert total % self.tile == 0
+            local = np.arange(bsz + 1)
+            lx, ly, lz = np.meshgrid(local, local, local, indexing="ij")
+            offs = jnp.asarray(np.stack([lx, ly, lz], axis=-1).reshape(-1, 3).astype(np.int32))
+
+            @jax.jit
+            def f(latent, abi_chunk, h):
+                fine = (abi_chunk * bsz)[:, None, :] + offs[None, :, :]  # [A, P, 3]
+                xyz_t = fine.reshape(-1, 3).T.astype(jnp.float32) * h - 1.0
+                return self._eval_t(latent, xyz_t).reshape(self.A_CHUNK, pts_per)
+
+            self._block_fns["fn"] = f
+        return self._block_fns["fn"]
+
+    def eval_blocks(self, latent, abi: np.ndarray, b: int, N: int) -> np.ndarray:
+        """SDF at every fine point of the given stride-b blocks
+        (b must equal SPARSE_BLOCK). Returns [A, b+1, b+1, b+1]."""
+        assert b == SPARSE_BLOCK, "fixed-size sparse blocks"
+        A = abi.shape[0]
+        fn = self._get_block_fn()
+        latent = jnp.asarray(latent).reshape(-1)
+        h = jnp.float32(2.0 / (N - 1))
+        outs = []
+        for start in range(0, A, self.A_CHUNK):
+            chunk = np.zeros((self.A_CHUNK, 3), np.int32)
+            end = min(A, start + self.A_CHUNK)
+            chunk[: end - start] = abi[start:end]
+            outs.append(np.asarray(fn(latent, jnp.asarray(chunk), h))[: end - start])
+        vals = np.concatenate(outs, axis=0)
+        return vals.reshape(A, b + 1, b + 1, b + 1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _coords_chunk_t(start, size, N):
+    """Transposed [3, size] fine-grid coords for linear indices start..start+size."""
+    linear = start + jnp.arange(size)
+    return _linear_to_coords(linear, N).T
+
+
+def eval_grid_dense(
+    decoder, params, latent, N: int, max_batch: int = 2**18, evaluator: Optional[PointEvaluator] = None
+) -> np.ndarray:
     """[N, N, N] SDF grid over [-1, 1]^3 (dense, every point evaluated)."""
     latent = jnp.asarray(latent).reshape(-1)
+    if evaluator is not None and evaluator.fused:
+        total = N**3
+        chunk = max(max_batch, 2**22)
+        out = np.empty(total, np.float32)
+        for start in range(0, total, chunk):
+            size = min(chunk, total - start)
+            size_pad = ((size + evaluator.tile - 1) // evaluator.tile) * evaluator.tile
+            xyz_t = _coords_chunk_t(start, size_pad, N)
+            out[start : start + size] = np.asarray(evaluator._fused(latent, xyz_t)[:size])
+        return out.reshape(N, N, N)
     sdf = _eval_grid_chunks(decoder, params, latent, N, max_batch)
     return np.asarray(sdf[: N**3]).reshape(N, N, N)
 
 
+_EVAL_CACHE: dict = {}
+
+
+def _cached_evaluator(decoder, params) -> "PointEvaluator":
+    """Reuse PointEvaluators (and their compiled fused kernels) across
+    create_mesh calls with the same decoder+params objects."""
+    key = (id(decoder), id(params))
+    if key not in _EVAL_CACHE:
+        if len(_EVAL_CACHE) > 8:
+            _EVAL_CACHE.clear()
+        _EVAL_CACHE[key] = PointEvaluator(decoder, params)
+    return _EVAL_CACHE[key]
+
+
+# Fixed sparse-refinement block size: one compiled block-eval program serves
+# every resolution (see PointEvaluator._get_block_fn).
+SPARSE_BLOCK = 4
+
+
+def _snap_n(N: int) -> int:
+    """Smallest N' >= N with (N'-1) divisible by SPARSE_BLOCK."""
+    r = (N - 1) % SPARSE_BLOCK
+    return N if r == 0 else N + (SPARSE_BLOCK - r)
+
+
 def _pick_block(N: int, clamp_dist: float, safety: float) -> int:
-    """Largest divisor b of N-1 with block diagonal b*h*sqrt(3)*safety below
-    the clamp distance (so the Lipschitz bound can exclude blocks)."""
-    h = 2.0 / (N - 1)
-    best = 1
-    for b in range(2, N):
-        if (N - 1) % b == 0 and b * h * math.sqrt(3.0) * safety < clamp_dist:
-            best = b
-    return best
+    """SPARSE_BLOCK when the Lipschitz bound can exclude blocks at this
+    resolution (half block diagonal below the clamp band), else 1 (dense).
 
-
-def eval_grid_sparse(
-    decoder,
-    params,
-    latent,
-    N: int,
-    max_batch: int = 2**18,
-    clamp_dist: float = 0.1,
-    safety: float = 1.3,
-) -> Tuple[np.ndarray, dict]:
-    """Sparse block-refined SDF grid. Returns (grid [N,N,N], stats).
-
-    Inactive blocks are filled with their corner value (sign-correct by the
-    Lipschitz argument), which cannot introduce spurious zero crossings.
+    Soundness: any point inside a block is within half the block diagonal
+    of its nearest corner, so a crossing inside implies some corner has
+    |sdf| <= b*h*sqrt(3)/2 (for a 1-Lipschitz clamped field).
     """
-    latent = jnp.asarray(latent).reshape(-1)
-    b = _pick_block(N, clamp_dist, safety)
-    if b <= 2:
-        grid = eval_grid_dense(decoder, params, latent, N, max_batch)
-        return grid, {"block": 1, "evaluated": N**3, "total": N**3}
-    nb = (N - 1) // b  # blocks per axis
     h = 2.0 / (N - 1)
-    diag = b * h * math.sqrt(3.0) * safety
+    b = SPARSE_BLOCK
+    if (N - 1) % b == 0 and b * h * math.sqrt(3.0) / 2.0 * safety < clamp_dist:
+        return b
+    return 1
+
+
+def _make_eval_pts(decoder, params, latent, max_batch, evaluator):
+    if evaluator is not None:
+        def eval_pts(pts_np):
+            return np.asarray(evaluator.eval_points(latent, pts_np))
+    else:
+        def eval_pts(pts_np):
+            n = pts_np.shape[0]
+            pad = (-n) % max_batch
+            padded = np.concatenate([pts_np, np.zeros((pad, 3), np.float32)], axis=0)
+            vals = []
+            for i in range(0, padded.shape[0], max_batch):
+                vals.append(
+                    np.asarray(_eval_points(decoder, params, latent, jnp.asarray(padded[i : i + max_batch])))
+                )
+            return np.concatenate(vals)[:n]
+    return eval_pts
+
+
+def _sparse_blocks(decoder, params, latent, N, b, max_batch, safety, clamp_dist, evaluator):
+    """Two-stage sparse evaluation. Returns
+    (corner_sdf [(nb+1)^3 lattice], abi [A,3] active block indices,
+    block_vals [A, b+1, b+1, b+1], stats)."""
+    nb = (N - 1) // b
+    h = 2.0 / (N - 1)
+    diag = b * h * math.sqrt(3.0) / 2.0 * safety
+    n_corner = (nb + 1) ** 3
 
     # ---- stage 1: corner lattice [(nb+1)^3] ----
-    ci = np.arange(nb + 1) * b  # fine indices of corners
+    eval_pts = _make_eval_pts(decoder, params, latent, max_batch, evaluator)
+    ci = np.arange(nb + 1) * b
     cx, cy, cz = np.meshgrid(ci, ci, ci, indexing="ij")
     corner_pts = np.stack([cx, cy, cz], axis=-1).reshape(-1, 3).astype(np.float32) * h - 1.0
-    n_corner = corner_pts.shape[0]
-    pad = (-n_corner) % max_batch
-    pts_padded = np.concatenate([corner_pts, np.zeros((pad, 3), np.float32)], axis=0)
-    corner_sdf = []
-    for i in range(0, pts_padded.shape[0], max_batch):
-        corner_sdf.append(np.asarray(_eval_points(decoder, params, latent, jnp.asarray(pts_padded[i : i + max_batch]))))
-    corner_sdf = np.concatenate(corner_sdf)[:n_corner].reshape(nb + 1, nb + 1, nb + 1)
+    corner_sdf = eval_pts(corner_pts).reshape(nb + 1, nb + 1, nb + 1)
 
-    # ---- stage 2: active blocks ----
+    # ---- stage 2: active blocks (Lipschitz bound or corner sign change) ----
     cmin = np.full((nb, nb, nb), np.inf)
     sign_any = np.zeros((nb, nb, nb), dtype=bool)
     sign_all = np.ones((nb, nb, nb), dtype=bool)
@@ -136,32 +278,22 @@ def eval_grid_sparse(
                 sign_any |= neg
                 sign_all &= neg
     active = (cmin < diag) | (sign_any & ~sign_all)
-    abi = np.stack(np.nonzero(active), axis=1)  # [A, 3] block indices
+    abi = np.stack(np.nonzero(active), axis=1)  # [A, 3]
 
-    # ---- fill grid with per-block corner value (sign-safe placeholder) ----
-    grid = np.repeat(np.repeat(np.repeat(corner_sdf[:nb, :nb, :nb], b, 0), b, 1), b, 2)
-    grid = np.pad(grid, ((0, 1), (0, 1), (0, 1)), mode="edge")
-    # overwrite outer faces with the true corner-lattice values at the edges
-    # (their sign is already correct; exactness only matters in active blocks)
-
+    # ---- stage 3: evaluate active block interiors ----
     if abi.shape[0] > 0:
-        # ---- stage 3: evaluate active block interiors ----
-        local = np.arange(b + 1)
-        lx, ly, lz = np.meshgrid(local, local, local, indexing="ij")
-        local_offsets = np.stack([lx, ly, lz], axis=-1).reshape(-1, 3)  # [(b+1)^3, 3]
-        base = abi * b  # [A, 3]
-        fine_idx = (base[:, None, :] + local_offsets[None, :, :]).reshape(-1, 3)
-        pts = fine_idx.astype(np.float32) * h - 1.0
-        n_pts = pts.shape[0]
-        pad = (-n_pts) % max_batch
-        pts_padded = np.concatenate([pts, np.zeros((pad, 3), np.float32)], axis=0)
-        vals = []
-        for i in range(0, pts_padded.shape[0], max_batch):
-            vals.append(np.asarray(_eval_points(decoder, params, latent, jnp.asarray(pts_padded[i : i + max_batch]))))
-        vals = np.concatenate(vals)[:n_pts]
-        grid[fine_idx[:, 0], fine_idx[:, 1], fine_idx[:, 2]] = vals
-        evaluated = n_corner + n_pts
+        if evaluator is not None:
+            block_vals = evaluator.eval_blocks(latent, abi, b, N)
+        else:
+            local = np.arange(b + 1)
+            lx, ly, lz = np.meshgrid(local, local, local, indexing="ij")
+            local_offsets = np.stack([lx, ly, lz], axis=-1).reshape(-1, 3)
+            fine_idx = ((abi * b)[:, None, :] + local_offsets[None, :, :]).reshape(-1, 3)
+            pts = fine_idx.astype(np.float32) * h - 1.0
+            block_vals = eval_pts(pts).reshape(abi.shape[0], b + 1, b + 1, b + 1)
+        evaluated = n_corner + abi.shape[0] * (b + 1) ** 3
     else:
+        block_vals = np.zeros((0, b + 1, b + 1, b + 1), np.float32)
         evaluated = n_corner
 
     stats = {
@@ -171,6 +303,44 @@ def eval_grid_sparse(
         "evaluated": int(evaluated),
         "total": int(N**3),
     }
+    return corner_sdf, abi, block_vals, stats
+
+
+def eval_grid_sparse(
+    decoder,
+    params,
+    latent,
+    N: int,
+    max_batch: int = 2**18,
+    clamp_dist: float = 0.1,
+    safety: float = 1.3,
+    evaluator: Optional[PointEvaluator] = None,
+) -> Tuple[np.ndarray, dict]:
+    """Sparse block-refined SDF grid. Returns (grid [N,N,N], stats).
+
+    Inactive blocks are filled with their corner value (sign-correct by the
+    Lipschitz argument), which cannot introduce spurious zero crossings.
+    Prefer `create_mesh(sparse=True)` for meshing — it consumes the active
+    blocks directly without materializing the N^3 grid.
+    """
+    latent = jnp.asarray(latent).reshape(-1)
+    b = _pick_block(N, clamp_dist, safety)
+    if b <= 2:
+        grid = eval_grid_dense(decoder, params, latent, N, max_batch, evaluator)
+        return grid, {"block": 1, "evaluated": N**3, "total": N**3}
+
+    corner_sdf, abi, block_vals, stats = _sparse_blocks(
+        decoder, params, latent, N, b, max_batch, safety, clamp_dist, evaluator
+    )
+    nb = (N - 1) // b
+    grid = np.repeat(np.repeat(np.repeat(corner_sdf[:nb, :nb, :nb], b, 0), b, 1), b, 2)
+    grid = np.pad(grid, ((0, 1), (0, 1), (0, 1)), mode="edge")
+    if abi.shape[0] > 0:
+        local = np.arange(b + 1)
+        lx, ly, lz = np.meshgrid(local, local, local, indexing="ij")
+        local_offsets = np.stack([lx, ly, lz], axis=-1).reshape(-1, 3)
+        fine_idx = ((abi * b)[:, None, :] + local_offsets[None, :, :]).reshape(-1, 3)
+        grid[fine_idx[:, 0], fine_idx[:, 1], fine_idx[:, 2]] = block_vals.reshape(-1)
     return grid, stats
 
 
@@ -187,26 +357,42 @@ def create_mesh(
     sparse: bool = True,
     clamp_dist: float = 0.1,
     sparse_safety: float = 1.3,
+    evaluator: Optional[PointEvaluator] = None,
 ):
     """Latent -> SDF grid -> marching tetrahedra -> .ply
     (ref: deep_sdf/mesh.py:21-93). Returns (verts, faces) when
     ``return_mesh`` and extraction succeeded, else None; returns False-y on
     empty-surface failure like the reference (:118-124)."""
     start = time.time()
+    if evaluator is None and jax.default_backend() == "tpu":
+        evaluator = _cached_evaluator(decoder, params)
+    latent_vec = jnp.asarray(latent_vec).reshape(-1)
     if sparse:
-        sdf_grid, stats = eval_grid_sparse(
-            decoder, params, latent_vec, N, max_batch, clamp_dist, sparse_safety
-        )
-        logging.debug("[create_mesh] sparse eval stats: %s", stats)
-    else:
-        sdf_grid = eval_grid_dense(decoder, params, latent_vec, N, max_batch)
-    logging.debug("[create_mesh] sampling takes: %f", time.time() - start)
-
+        # the sparse path needs (N-1) % SPARSE_BLOCK == 0; snap up (equal or
+        # finer sampling than requested — a documented deviation from the
+        # reference's exact N)
+        N = _snap_n(N)
     voxel_size = 2.0 / (N - 1)
+    b = _pick_block(N, clamp_dist, sparse_safety) if sparse else 1
     try:
-        verts, faces = marching_tetrahedra(
-            sdf_grid, level=0.0, spacing=(voxel_size,) * 3, origin=(-1.0, -1.0, -1.0)
-        )
+        if b > 2:
+            # sparse fast path: mesh directly from active blocks, never
+            # materializing the N^3 grid
+            corner_sdf, abi, block_vals, stats = _sparse_blocks(
+                decoder, params, latent_vec, N, b, max_batch, sparse_safety, clamp_dist, evaluator
+            )
+            logging.debug("[create_mesh] sparse eval stats: %s", stats)
+            logging.debug("[create_mesh] sampling takes: %f", time.time() - start)
+            verts, faces = marching_tetrahedra_blocks(
+                block_vals, abi * b, N,
+                level=0.0, spacing=(voxel_size,) * 3, origin=(-1.0, -1.0, -1.0),
+            )
+        else:
+            sdf_grid = eval_grid_dense(decoder, params, latent_vec, N, max_batch, evaluator)
+            logging.debug("[create_mesh] sampling takes: %f", time.time() - start)
+            verts, faces = marching_tetrahedra(
+                sdf_grid, level=0.0, spacing=(voxel_size,) * 3, origin=(-1.0, -1.0, -1.0)
+            )
     except ValueError as e:
         logging.error("[create_mesh] Caught marching cubes error: %s.", e)
         return False

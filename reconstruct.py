@@ -20,7 +20,10 @@ from msd_tpu.train.reconstruct import reconstruct
 from msd_tpu.utils import add_common_args, configure_logging
 from msd_tpu.utils import checkpoint as ckpt
 
+from msd_tpu.utils.compile_cache import enable_compile_cache
+
 if __name__ == "__main__":
+    enable_compile_cache()
     arg_parser = argparse.ArgumentParser(
         description="Use a trained DeepSDF decoder to reconstruct a shape given SDF samples."
     )

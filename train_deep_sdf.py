@@ -7,7 +7,10 @@ import argparse
 from msd_tpu.train.stage1 import main_function
 from msd_tpu.utils import add_common_args, configure_logging
 
+from msd_tpu.utils.compile_cache import enable_compile_cache
+
 if __name__ == "__main__":
+    enable_compile_cache()
     arg_parser = argparse.ArgumentParser(description="Train a DeepSDF autodecoder")
     arg_parser.add_argument(
         "--experiment",
