@@ -179,6 +179,64 @@ class ResidualMLPVAE:
     def num_params(self, params):
         return sum(x.size for x in jax.tree.leaves(params))
 
+    # ------------------------------------------------------------------
+    # torch state-dict interop (reference module naming:
+    # encoder.backbone.stages.{i}.proj / .blocks.{j}.fc1/.fc2/.norm,
+    # encoder.mu_head / .logvar_head, decoder.backbone..., decoder.out)
+    def _named_linears(self, params):
+        out = []
+
+        def walk_stack(prefix, stack_params):
+            for i, stage in enumerate(stack_params["stages"]):
+                if "proj" in stage:
+                    out.append((f"{prefix}.stages.{i}.proj", stage["proj"], "linear"))
+                for j, block in enumerate(stage["blocks"]):
+                    out.append((f"{prefix}.stages.{i}.blocks.{j}.fc1", block["fc1"], "linear"))
+                    out.append((f"{prefix}.stages.{i}.blocks.{j}.fc2", block["fc2"], "linear"))
+                    if "norm" in block:
+                        out.append((f"{prefix}.stages.{i}.blocks.{j}.norm", block["norm"], "ln"))
+
+        walk_stack("encoder.backbone", params["encoder"]["backbone"])
+        out.append(("encoder.mu_head", params["encoder"]["mu_head"], "linear"))
+        out.append(("encoder.logvar_head", params["encoder"]["logvar_head"], "linear"))
+        walk_stack("decoder.backbone", params["decoder"]["backbone"])
+        out.append(("decoder.out", params["decoder"]["out"], "linear"))
+        return out
+
+    def params_to_torch_state_dict(self, params):
+        import numpy as np
+        import torch
+
+        sd = {}
+        for name, p, kind in self._named_linears(params):
+            if kind == "linear":
+                sd[name + ".weight"] = torch.from_numpy(np.asarray(p["w"]).T.copy())
+                sd[name + ".bias"] = torch.from_numpy(np.asarray(p["b"]).copy())
+            else:
+                sd[name + ".weight"] = torch.from_numpy(np.asarray(p["scale"]).copy())
+                sd[name + ".bias"] = torch.from_numpy(np.asarray(p["bias"]).copy())
+        return sd
+
+    def params_from_torch_state_dict(self, state_dict, dtype=jnp.float32):
+        import numpy as np
+
+        def get(name):
+            for k in (name, "module." + name):
+                if k in state_dict:
+                    v = state_dict[k]
+                    return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+            raise KeyError(name)
+
+        params = self.init(jax.random.PRNGKey(0))
+        for name, p, kind in self._named_linears(params):
+            if kind == "linear":
+                p["w"] = jnp.asarray(get(name + ".weight").T, dtype)
+                p["b"] = jnp.asarray(get(name + ".bias"), dtype)
+            else:
+                p["scale"] = jnp.asarray(get(name + ".weight"), dtype)
+                p["bias"] = jnp.asarray(get(name + ".bias"), dtype)
+        return params
+
 
 def expand_latent_to_points(latent, xyz):
     """Broadcast per-scene latents over their point sets

@@ -1,0 +1,189 @@
+"""End-to-end Stage-2 VAE training over synthetic Stage-1 latents."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+import msd_tpu.workspace as ws
+from msd_tpu.train.stage2 import Stage2Trainer, load_teacher_latents
+from test_stage1_trainer import make_sphere_dataset
+
+
+def _setup(tmp_path, num_scenes=16, latent_size=8, **overrides):
+    data_dir = str(tmp_path / "data")
+    rng = np.random.default_rng(0)
+    radii = rng.uniform(0.3, 0.8, num_scenes)
+    names = make_sphere_dataset(data_dir, radii, n_pos=800, n_neg=800)
+    split_path = str(tmp_path / "split.json")
+    with open(split_path, "w") as f:
+        json.dump(names, f)
+
+    # synthetic teacher latents correlated with radius + noise
+    teacher = rng.normal(size=(num_scenes, latent_size)).astype(np.float32) * 0.05
+    teacher[:, 0] = radii - 0.5
+    teacher_path = str(tmp_path / "teacher.pth")
+    import torch
+
+    torch.save({"epoch": 1, "latent_codes": {"weight": torch.from_numpy(teacher)}}, teacher_path)
+
+    # labels: diagnosis (binary by radius), age (radius itself), one NaN
+    labels = {}
+    for i, name in enumerate(names):
+        iid = os.path.splitext(name)[0]
+        labels[iid] = np.array([float(radii[i] > 0.55), radii[i]], np.float32)
+    labels_path = os.path.join(data_dir, "labels.pt")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in labels.items()}, labels_path)
+
+    specs = {
+        "Description": "stage2 test",
+        "DataSource": data_dir,
+        "TrainSplit": split_path,
+        "NetworkArch": "deep_sdf_decoder",
+        "NetworkSpecs": {
+            "dims": [32, 32, 32],
+            "dropout": [],
+            "dropout_prob": 0.0,
+            "norm_layers": [],
+            "latent_in": [2],
+            "xyz_in_all": False,
+            "use_tanh": False,
+            "latent_dropout": False,
+            "weight_norm": True,
+        },
+        "CodeLength": latent_size,
+        "NumEpochs": 6,
+        "SnapshotFrequency": 3,
+        "AdditionalSnapshots": [],
+        "LearningRateSchedule": [
+            {"Type": "Step", "Initial": 0.001, "Interval": 500, "Factor": 0.5},
+            {"Type": "Step", "Initial": 0.0005, "Interval": 500, "Factor": 0.5},
+        ],
+        "SamplesPerScene": 256,
+        "ScenesPerBatch": 8,
+        "ClampingDistance": 0.1,
+        "PretrainedLatentPath": teacher_path,
+        "VAELatentDim": 4,
+        "VAEEncoderHiddenDims": [32, 16],
+        "VAEDecoderHiddenDims": [16, 32],
+        "GradientClipNorm": 1.0,
+        "LogFrequency": 3,
+    }
+    specs.update(overrides)
+    exp_dir = str(tmp_path / "exp2")
+    ws.save_experiment_specifications(exp_dir, specs)
+    return exp_dir, specs, teacher
+
+
+def test_basic_vae_training_reduces_recon(tmp_path):
+    exp_dir, specs, teacher = _setup(tmp_path)
+    tr = Stage2Trainer(exp_dir)
+    first = tr.train_epoch(1)
+    for e in range(2, 30):
+        last = tr.train_epoch(e)
+    assert last["vae_recon"] < first["vae_recon"] * 0.7
+    assert np.isfinite(last["total"]) and np.isfinite(last["sdf"])
+
+
+def test_all_disentanglement_losses_active(tmp_path):
+    exp_dir, specs, teacher = _setup(
+        tmp_path,
+        GuidedContrastiveLoss=True,
+        LabelTaskType="classification",
+        AttributeLoss=True,
+        CorrLeakageLoss=True,
+        CrossCovLoss=True,
+        RankLoss=True,
+        MatchStdLoss=True,
+        SensitivityLoss=True,
+        CovarianceLoss=True,
+        AgeSNNLRegLoss=True,
+        AgeCorrLeakageLoss=True,
+        AgeSNNLRegLabelIndex=1,
+        VAEObjective="beta_tcvae",
+    )
+    tr = Stage2Trainer(exp_dir)
+    m = tr.train_epoch(1)
+    for k in ("snnl", "attr", "corr_leak", "cross_cov", "rank", "matchstd",
+              "sens", "cov", "snnl_age", "age_corr_leak"):
+        assert k in m and np.isfinite(m[k]), (k, m)
+    m2 = tr.train_epoch(2)
+    assert np.isfinite(m2["total"])
+
+
+def test_dip_objective_and_trainable_sdf(tmp_path):
+    exp_dir, specs, teacher = _setup(tmp_path, VAEObjective="dip_vae_ii", TrainSDFDecoder=True)
+    tr = Stage2Trainer(exp_dir)
+    assert tr.train_sdf_decoder
+    before = np.asarray(jax.tree.leaves(tr.state["sdf"])[0]).copy()
+    m = tr.train_epoch(1)
+    assert np.isfinite(m["dip"]) and m["dip"] != 0.0
+    after = np.asarray(jax.tree.leaves(tr.state["sdf"])[0])
+    assert not np.allclose(before, after)  # SDF decoder actually trains
+
+
+def test_checkpoint_format_and_resume(tmp_path):
+    exp_dir, specs, teacher = _setup(tmp_path)
+    tr = Stage2Trainer(exp_dir)
+    tr.train(num_epochs=3)
+    import torch
+
+    data = torch.load(os.path.join(exp_dir, ws.model_params_subdir, "3.pth"), weights_only=False)
+    assert "vae_state_dict" in data and "sdf_decoder_state_dict" in data
+    assert "encoder.mu_head.weight" in data["vae_state_dict"]
+    lat = torch.load(os.path.join(exp_dir, ws.latent_codes_subdir, "3.pth"), weights_only=False)
+    assert lat["latent_codes"]["weight"].shape == (16, 4)  # VAE mu export
+
+    tr2 = Stage2Trainer(exp_dir)
+    start = tr2.resume("3")
+    assert start == 4
+    m = tr2.train_epoch(4)
+    assert np.isfinite(m["total"])
+
+
+def test_holdout_split(tmp_path):
+    exp_dir, specs, teacher = _setup(tmp_path, TrainLatentHoldoutFraction=0.25)
+    tr = Stage2Trainer(exp_dir)
+    assert len(tr.holdout_indices) == 4
+    assert len(tr.train_indices) == 12
+    assert set(tr.holdout_indices).isdisjoint(set(tr.train_indices))
+    m = tr.train_epoch(1)
+    assert np.isfinite(m["total"])
+
+
+def test_label_mixing(tmp_path):
+    # pseudo labels file = inverse of real labels
+    exp_dir, specs, teacher = _setup(
+        tmp_path,
+        GuidedContrastiveLoss=True,
+        LabelTaskType="classification",
+        LabelMixing=True,
+        LabelMixPseudoRatioStart=0.5,
+        LabelMixUnlabeledRatioStart=0.25,
+    )
+    import torch
+
+    data_dir = specs["DataSource"]
+    real = torch.load(os.path.join(data_dir, "labels.pt"), weights_only=False)
+    pseudo = {k: 1.0 - v for k, v in real.items()}
+    torch.save(pseudo, os.path.join(data_dir, "pseudo_label.pt"))
+    tr = Stage2Trainer(exp_dir)
+    m = tr.train_epoch(1)
+    assert "snnl" in m and np.isfinite(m["snnl"])
+
+
+def test_teacher_latent_loader_formats(tmp_path):
+    import torch
+
+    arr = np.random.default_rng(0).normal(size=(5, 4)).astype(np.float32)
+    p1 = str(tmp_path / "emb.pth")
+    torch.save({"epoch": 0, "latent_codes": {"weight": torch.from_numpy(arr)}}, p1)
+    np.testing.assert_allclose(load_teacher_latents(p1), arr)
+    p2 = str(tmp_path / "legacy.pth")
+    torch.save({"epoch": 0, "latent_codes": torch.from_numpy(arr[:, None, :])}, p2)
+    np.testing.assert_allclose(load_teacher_latents(p2), arr)
+    p3 = str(tmp_path / "raw.pth")
+    torch.save(torch.from_numpy(arr), p3)
+    np.testing.assert_allclose(load_teacher_latents(p3), arr)
