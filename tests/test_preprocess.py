@@ -1,0 +1,112 @@
+"""Preprocessing (mesh -> SDF samples) validated against analytic SDFs."""
+
+import numpy as np
+import pytest
+
+from msd_tpu.preprocess import knn_sign_vote, preprocess_mesh
+from msd_tpu.preprocess.mesh_to_sdf import sample_visible_surface
+from conftest import make_sphere_mesh
+
+
+def test_knn_sign_vote_sphere(rng):
+    r = 0.6
+    v, f = make_sphere_mesh(radius=r)
+    from msd_tpu.preprocess import sample_surface_points
+
+    surf, norms = sample_surface_points(v, f, 20000, rng)
+    # queries at known signed distances
+    dirs = rng.normal(size=(500, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    radii = rng.uniform(0.2, 0.95, 500).astype(np.float32)
+    queries = (dirs * radii[:, None]).astype(np.float32)
+    true_sdf = radii - r
+
+    sdf, keep = knn_sign_vote(queries, surf, norms, q_chunk=512, s_tile=4096)
+    assert keep.mean() > 0.95  # clean sphere: almost no rejections
+    got = sdf[keep]
+    want = true_sdf[keep]
+    assert ((got > 0) == (want > 0)).mean() > 0.99
+    # magnitudes approximate |true sdf| (surface sampling resolution limits)
+    np.testing.assert_allclose(got, want, atol=0.02)
+
+
+def test_preprocess_mesh_end_to_end(rng):
+    r = 0.5
+    v, f = make_sphere_mesh(radius=r)
+    pos, neg, info = preprocess_mesh(v, f, num_samples=20000, surface_vote_points=20000, seed=1)
+    assert info["rejected_fraction"] < 0.1
+    total = len(pos) + len(neg)
+    assert total > 15000
+    # pos rows have sdf >= 0, neg < 0
+    assert (pos[:, 3] >= 0).all() and (neg[:, 3] < 0).all()
+    # verify signs against the analytic sphere
+    for arr, sgn in ((pos, 1), (neg, -1)):
+        d = np.linalg.norm(arr[:, :3], axis=1) - r
+        agree = ((d > 0) == (sgn > 0)).mean()
+        assert agree > 0.97, (sgn, agree)
+    # near-surface concentration: most samples within 3*sqrt(variance)
+    all_sdf = np.concatenate([pos[:, 3], neg[:, 3]])
+    assert (np.abs(all_sdf) < 3 * np.sqrt(0.005)).mean() > 0.7
+
+
+def test_preprocess_test_mode(rng):
+    v, f = make_sphere_mesh(radius=0.5)
+    pos, neg, info = preprocess_mesh(
+        v, f, num_samples=300000, test=True, surface_vote_points=10000, seed=2
+    )
+    # test mode caps at 250k queries
+    assert info["num_queries"] == 250000
+
+
+def test_sample_visible_surface_normalization():
+    v, f = make_sphere_mesh(radius=0.5, center=(1.0, 2.0, 3.0))
+    pts, offset, scale = sample_visible_surface(v, f, num_points=2000)
+    # points stay in the original frame
+    np.testing.assert_allclose(pts.mean(axis=0), [1, 2, 3], atol=0.05)
+    # applying (p + offset) * scale maps into the unit sphere
+    normalized = (pts + offset) * scale
+    assert np.linalg.norm(normalized, axis=1).max() <= 1.0
+    assert scale == pytest.approx(1.0 / (0.5 * 1.03), rel=1e-3)
+
+
+def test_trainable_from_preprocessed(tmp_path):
+    """Closing the loop: preprocess -> train a few steps -> loss drops."""
+    import json
+
+    import msd_tpu.workspace as ws
+    from msd_tpu.train.stage1 import Stage1Trainer
+
+    names = []
+    for i, r in enumerate([0.4, 0.6]):
+        v, f = make_sphere_mesh(radius=r)
+        pos, neg, _ = preprocess_mesh(v, f, num_samples=8000, surface_vote_points=8000, seed=i)
+        np.savez(str(tmp_path / f"s{i}.npz"), pos=pos, neg=neg)
+        names.append(f"s{i}.obj")
+    split = str(tmp_path / "split.json")
+    json.dump(names, open(split, "w"))
+    specs = {
+        "Description": "pp",
+        "DataSource": str(tmp_path),
+        "TrainSplit": split,
+        "TestSplit": split,
+        "NetworkArch": "deep_sdf_decoder",
+        "NetworkSpecs": {"dims": [32, 32], "latent_in": [1], "weight_norm": True, "norm_layers": []},
+        "CodeLength": 4,
+        "NumEpochs": 20,
+        "SnapshotFrequency": 20,
+        "AdditionalSnapshots": [],
+        "LearningRateSchedule": [
+            {"Type": "Step", "Initial": 0.002, "Interval": 500, "Factor": 0.5},
+            {"Type": "Step", "Initial": 0.01, "Interval": 500, "Factor": 0.5},
+        ],
+        "SamplesPerScene": 512,
+        "ScenesPerBatch": 2,
+        "ClampingDistance": 0.1,
+    }
+    exp = str(tmp_path / "exp")
+    ws.save_experiment_specifications(exp, specs)
+    tr = Stage1Trainer(exp)
+    first = tr.train_epoch(1)
+    for e in range(2, 25):
+        last = tr.train_epoch(e)
+    assert last["sdf"] < first["sdf"] * 0.7
