@@ -1,0 +1,143 @@
+"""Tooling: plotting, plot_log, check_experiment_inputs, NIfTI grooming."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_plotting_functions(tmp_path):
+    from msd_tpu import plotting
+    from conftest import make_sphere_mesh
+
+    fig = plotting.plot_train_stats([[1.0, 0.5, 0.3], [0.9, 0.6]], labels=["a", "b"])
+    assert fig is not None
+    fig, percentiles = plotting.plot_dist_violin(np.abs(np.random.default_rng(0).normal(size=500)))
+    assert set(percentiles) == {50, 75, 90, 99}
+    v, f = make_sphere_mesh(16, 32)
+    assert plotting.render_mesh(v, f) is not None
+    pts = np.random.default_rng(0).uniform(-1, 1, (1000, 3))
+    sdf = np.linalg.norm(pts, axis=1) - 0.5
+    assert plotting.render_sdf(pts, sdf) is not None
+    assert plotting.plot_sdf_cross_section(pts, sdf) is not None
+    lat = np.random.default_rng(0).normal(size=(50, 8))
+    assert plotting.plot_manifold_tsne(lat, labels=lat[:, 0] > 0) is not None
+
+
+def test_plot_log_cli(tmp_path):
+    from msd_tpu.utils.checkpoint import save_logs
+
+    exp = str(tmp_path)
+    save_logs(exp, [1.0, 0.9, 0.8, 0.7], [[1e-3, 1e-4]] * 2, [5.0, 5.1], [0.1, 0.2], {"lin0.w": [1.0, 1.1]}, 2)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "plot_log.py"), "-e", exp, "-t", "loss"],
+        capture_output=True, text=True, env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr
+    assert os.path.isfile(os.path.join(exp, "plot_loss.png"))
+    for t in ("learning_rate", "time", "lat_mag", "param_mag"):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "plot_log.py"), "-e", exp, "-t", t],
+            capture_output=True, text=True, env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, (t, r.stderr)
+
+
+def test_check_experiment_inputs_cli(tmp_path):
+    import torch
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    names = ["a.obj", "b.obj"]
+    for n in names:
+        np.savez(str(data_dir / (n[:-4] + ".npz")), pos=np.ones((4, 4), np.float32), neg=np.ones((4, 4), np.float32))
+    split = tmp_path / "split.json"
+    json.dump(names, open(split, "w"))
+    torch.save({"a": torch.tensor([1.0, 60.0]), "b": torch.tensor([0.0, 70.0])}, str(data_dir / "labels.pt"))
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    specs = {
+        "DataSource": str(data_dir),
+        "TrainSplit": str(split),
+        "TestSplit": str(split),
+        "LabelsFile": "labels.pt",
+        "CodeLength": 8,
+    }
+    json.dump(specs, open(exp / "specs.json", "w"))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "check_experiment_inputs.py"), "-e", str(exp)],
+        capture_output=True, text=True, env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr
+    assert "[split] train count=2" in out.stdout
+    assert "[labels] LabelsFile split=train missing=0" in out.stdout
+    assert "train∩test overlap=2" in out.stdout
+
+
+def test_nifti_roundtrip_and_grooming(tmp_path):
+    from msd_tpu.data.nifti import load_nifti, save_nifti
+
+    # a solid ellipsoid mask
+    x, y, z = np.meshgrid(*[np.linspace(-1, 1, 40)] * 3, indexing="ij")
+    mask = ((x / 0.8) ** 2 + (y / 0.6) ** 2 + (z / 0.5) ** 2 < 1).astype(np.uint8)
+    path = str(tmp_path / "mask.nii.gz")
+    save_nifti(path, mask, zooms=(0.7, 0.8, 0.9))
+    data, zooms = load_nifti(path)
+    np.testing.assert_array_equal(data > 0, mask > 0)
+    assert zooms == pytest.approx((0.7, 0.8, 0.9))
+
+    sys.path.insert(0, os.path.join(REPO, "utils"))
+    try:
+        import batch_process_to_ply as bp
+    finally:
+        sys.path.pop(0)
+
+    verts, faces, true_vol = bp.mask_to_mesh(path)
+    voxel_vol = 0.7 * 0.8 * 0.9
+    assert true_vol == pytest.approx(mask.sum() * voxel_vol)
+    mesh_vol = bp.mesh_volume(verts - verts.mean(0), faces)
+    # marching surface volume close to the voxel volume
+    assert mesh_vol == pytest.approx(true_vol, rel=0.1)
+
+    ok, vc = bp.process_one(path, str(tmp_path / "out.ply"), global_scale=0.01)
+    assert ok and 0.8 < vc < 1.2
+    ok2, vc2 = bp.process_one(path, str(tmp_path / "out_s.ply"), global_scale=0.01, smooth=True)
+    assert ok2
+    from msd_tpu.data.mesh_io import load_ply
+
+    v, f = load_ply(str(tmp_path / "out.ply"))
+    # volume after correction * global scale matches true volume * scale^3
+    got = bp.mesh_volume(v, f)
+    assert got == pytest.approx(true_vol * 0.01**3, rel=0.02)
+
+
+def test_create_splits_and_ply_to_obj_cli(tmp_path):
+    from conftest import make_sphere_mesh
+    from msd_tpu.data.mesh_io import save_ply
+
+    mesh_dir = tmp_path / "meshes"
+    mesh_dir.mkdir()
+    v, f = make_sphere_mesh(12, 24)
+    for i in range(10):
+        save_ply(str(mesh_dir / f"m{i}.ply"), v, f)
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "utils", "ply_to_obj.py"),
+         "-i", str(mesh_dir), "-o", str(tmp_path / "objs")],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    assert len(os.listdir(tmp_path / "objs")) == 10
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "utils", "create_split_json_files.py"),
+         "-m", str(tmp_path / "objs"), "-o", str(tmp_path / "splits"), "-p", "toy"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    train = json.load(open(tmp_path / "splits" / "toy_train_split.json"))
+    assert len(train) == 8
