@@ -1,0 +1,66 @@
+"""Native hyperparameter search driver."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import hparams_optuna_vae_sdf as hpo
+from test_stage2_trainer import _setup
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_sample_params_space():
+    rng = np.random.default_rng(0)
+    p = hpo.sample_params(rng, [])
+    assert 1e-3 <= p["VAEReconWeight"] <= 5e-1
+    assert 0 <= p["KLWarmupEpochs"] <= 150
+    assert p["AgeSNNLRegThreshold"] in (0.15, 0.2)
+    # guided sampling kicks in with history
+    history = [
+        {"params": hpo.sample_params(rng, []), "value": float(v)}
+        for v in np.linspace(0, 1, 10)
+    ]
+    p2 = hpo.sample_params(rng, history)
+    assert set(p2) == set(p)
+
+
+def test_build_trial_specs():
+    base = {
+        "NumEpochs": 999,
+        "LearningRateSchedule": [
+            {"Type": "Step", "Initial": 1.0, "Interval": 1, "Factor": 0.5},
+            {"Type": "Step", "Initial": 1.0, "Interval": 1, "Factor": 0.5},
+        ],
+    }
+    rng = np.random.default_rng(1)
+    params = hpo.sample_params(rng, [])
+    specs = hpo.build_trial_specs(base, params, 500)
+    assert specs["NumEpochs"] == 500
+    assert specs["VAELatentDim"] == 8
+    assert specs["AgeCorrLeakageLoss"] is False
+    assert specs["LearningRateSchedule"][0]["Initial"] == params["LrInitial"]
+    assert specs["LearningRateSchedule"][1]["Initial"] == pytest.approx(
+        params["LrInitial"] * params["Lr2Ratio"]
+    )
+    assert base["NumEpochs"] == 999  # base not mutated
+
+
+def test_run_trial_end_to_end(tmp_path):
+    exp_dir, specs, teacher = _setup(
+        tmp_path,
+        num_scenes=16,
+        ComputeSAP=True,
+        LabelTaskType="classification",
+        GuidedContrastiveLoss=True,
+        TrainLatentHoldoutFraction=0.25,
+        NumEpochs=2,
+        SnapshotFrequency=2,
+    )
+    value, detail = hpo.run_trial(str(tmp_path / "trial_0"), specs, train_epochs=2)
+    assert np.isfinite(value)
+    assert set(detail) == {"sap", "corr", "recon"}
