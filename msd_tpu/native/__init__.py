@@ -1,0 +1,78 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+The library is compiled on first use with the system toolchain and cached
+next to the sources (or in ~/.cache/msd_tpu when the package directory is
+read-only). No pybind11 needed — plain C ABI + ctypes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+import sys
+import threading
+
+_LOCK = threading.Lock()
+_LIB = None
+_FAILED = False
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "marching_tets.cpp")
+
+
+def _lib_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    name = f"libmsd_native_{digest}.so"
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if os.access(pkg_dir, os.W_OK):
+        return os.path.join(pkg_dir, name)
+    cache = os.path.join(os.path.expanduser("~/.cache/msd_tpu"))
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, name)
+
+
+def _build(out_path: str):
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", out_path,
+    ]
+    logging.info("building native library: %s", " ".join(cmd))
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def load_native():
+    """Returns the ctypes library, or None when the toolchain is missing."""
+    global _LIB, _FAILED
+    if _LIB is not None or _FAILED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _FAILED:
+            return _LIB
+        try:
+            path = _lib_path()
+            if not os.path.isfile(path):
+                _build(path)
+            lib = ctypes.CDLL(path)
+            lib.mt_blocks.restype = ctypes.c_int
+            lib.mt_blocks.argtypes = [
+                ctypes.POINTER(ctypes.c_float),   # block_vals
+                ctypes.POINTER(ctypes.c_int32),   # bases
+                ctypes.c_int64,                   # num_blocks
+                ctypes.c_int32,                   # b
+                ctypes.c_int64,                   # N
+                ctypes.POINTER(ctypes.c_uint8),   # flips
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.mt_free.restype = None
+            lib.mt_free.argtypes = [ctypes.c_void_p]
+            _LIB = lib
+        except Exception as e:  # toolchain missing / compile error
+            logging.warning("native library unavailable, using numpy path: %s", e)
+            _FAILED = True
+    return _LIB

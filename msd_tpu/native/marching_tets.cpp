@@ -1,0 +1,277 @@
+// Native marching-tetrahedra backend.
+//
+// C-ABI library called from msd_tpu/ops/marching_cubes.py via ctypes —
+// replaces the vectorized-numpy hot path (edge hashing + top-level sort
+// dominate there). Single pass over active blocks with an open-addressing
+// edge->vertex hash map; ~10x the numpy path.
+//
+// Semantics identical to the Python implementation (same 6-tet cube
+// decomposition, same case emission order, same orientation flip table —
+// see msd_tpu/ops/marching_cubes.py) and validated against it in
+// tests/test_native_mt.py.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+namespace {
+
+// Cube corner offsets, index = 4x + 2y + z (matches _CORNERS)
+const int CORNERS[8][3] = {
+    {0, 0, 0}, {0, 0, 1}, {0, 1, 0}, {0, 1, 1},
+    {1, 0, 0}, {1, 0, 1}, {1, 1, 0}, {1, 1, 1},
+};
+
+// 6-tet decomposition around the 0-7 diagonal (matches _TETS)
+const int TETS[6][4] = {
+    {0, 4, 5, 7}, {0, 5, 1, 7}, {0, 1, 3, 7},
+    {0, 3, 2, 7}, {0, 2, 6, 7}, {0, 6, 4, 7},
+};
+
+struct EdgeMap {
+  // open addressing, power-of-two capacity
+  std::vector<uint64_t> keys;
+  std::vector<int32_t> vals;
+  size_t mask;
+  size_t count = 0;
+
+  explicit EdgeMap(size_t expected) {
+    size_t cap = 64;
+    while (cap < expected * 2) cap <<= 1;
+    keys.assign(cap, UINT64_MAX);
+    vals.assign(cap, -1);
+    mask = cap - 1;
+  }
+
+  void grow() {
+    EdgeMap bigger(keys.size());
+    for (size_t i = 0; i < keys.size(); i++) {
+      if (keys[i] != UINT64_MAX) bigger.insert_raw(keys[i], vals[i]);
+    }
+    keys.swap(bigger.keys);
+    vals.swap(bigger.vals);
+    mask = bigger.mask;
+  }
+
+  void insert_raw(uint64_t k, int32_t v) {
+    size_t h = (k * 0x9E3779B97F4A7C15ULL) & mask;
+    while (keys[h] != UINT64_MAX) h = (h + 1) & mask;
+    keys[h] = k;
+    vals[h] = v;
+    count++;
+  }
+
+  // returns existing id or -1-new_id if inserted
+  int32_t get_or_insert(uint64_t k, int32_t next_id) {
+    if (count * 2 >= keys.size()) grow();
+    size_t h = (k * 0x9E3779B97F4A7C15ULL) & mask;
+    while (true) {
+      if (keys[h] == UINT64_MAX) {
+        keys[h] = k;
+        vals[h] = next_id;
+        count++;
+        return -1 - next_id;
+      }
+      if (keys[h] == k) return vals[h];
+      h = (h + 1) & mask;
+    }
+  }
+};
+
+struct Builder {
+  std::vector<float> verts;     // xyz triples (grid-index space)
+  std::vector<int32_t> faces;   // triangles
+  EdgeMap edges;
+  int64_t N;
+  const uint8_t* flips;
+  int64_t deltas[13];           // possible hi-lo values for cell-corner edges
+  int n_deltas = 0;
+
+  Builder(size_t expected_edges, int64_t n, const uint8_t* flip)
+      : edges(expected_edges), N(n), flips(flip) {
+    // enumerate positive deltas dx*N^2 + dy*N + dz, d* in {-1,0,1}
+    for (int dx = -1; dx <= 1; dx++)
+      for (int dy = -1; dy <= 1; dy++)
+        for (int dz = -1; dz <= 1; dz++) {
+          int64_t d = (int64_t)dx * N * N + (int64_t)dy * N + dz;
+          if (d > 0 && n_deltas < 13) deltas[n_deltas++] = d;  // exactly 13
+        }
+  }
+
+  inline int delta_code(int64_t d) {
+    for (int i = 0; i < n_deltas; i++)
+      if (deltas[i] == d) return i;
+    return 13;  // unreachable for valid cell edges
+  }
+
+  inline void id_to_xyz(int64_t vid, double* out) {
+    out[2] = (double)(vid % N);
+    out[1] = (double)((vid / N) % N);
+    out[0] = (double)(vid / (N * N));
+  }
+
+  // vertex on edge (a inside, b outside); sa/sb their sdf values
+  inline int32_t edge_vertex(int64_t a, int64_t b, double sa, double sb) {
+    int64_t lo = a < b ? a : b;
+    int64_t hi = a < b ? b : a;
+    // exact compact key: lo (< N^3 <= 2^34 for N<=1625) * 14 + edge code
+    uint64_t key = (uint64_t)lo * 14 + (uint64_t)delta_code(hi - lo);
+    int32_t next_id = (int32_t)(verts.size() / 3);
+    int32_t got = edges.get_or_insert(key, next_id);
+    if (got >= 0) return got;
+    // new vertex: interpolate between endpoint positions
+    double denom = sb - sa;
+    if (std::fabs(denom) < 1e-12) denom = 1e-12;
+    double t = (0.0 - sa) / denom;
+    if (t < 0) t = 0;
+    if (t > 1) t = 1;
+    double pa[3], pb[3];
+    id_to_xyz(a, pa);
+    id_to_xyz(b, pb);
+    verts.push_back((float)(pa[0] + t * (pb[0] - pa[0])));
+    verts.push_back((float)(pa[1] + t * (pb[1] - pa[1])));
+    verts.push_back((float)(pa[2] + t * (pb[2] - pa[2])));
+    return next_id;
+  }
+
+  inline void emit_tri(int32_t v0, int32_t v1, int32_t v2, bool flip) {
+    if (v0 == v1 || v1 == v2 || v0 == v2) return;
+    if (flip) {
+      faces.push_back(v0);
+      faces.push_back(v2);
+      faces.push_back(v1);
+    } else {
+      faces.push_back(v0);
+      faces.push_back(v1);
+      faces.push_back(v2);
+    }
+  }
+
+  void process_tet(int t, const int64_t* ids, const double* sdf) {
+    bool in[4];
+    int subset = 0, n_in = 0;
+    for (int v = 0; v < 4; v++) {
+      in[v] = sdf[v] < 0.0;
+      if (in[v]) {
+        subset |= 1 << v;
+        n_in++;
+      }
+    }
+    if (n_in == 0 || n_in == 4) return;
+    const uint8_t* F = flips + ((size_t)t * 16 + subset) * 2;
+
+    if (n_in == 1) {
+      int v = 0;
+      while (!in[v]) v++;
+      int o[3], k = 0;
+      for (int i = 0; i < 4; i++)
+        if (i != v) o[k++] = i;
+      int32_t e0 = edge_vertex(ids[v], ids[o[0]], sdf[v], sdf[o[0]]);
+      int32_t e1 = edge_vertex(ids[v], ids[o[1]], sdf[v], sdf[o[1]]);
+      int32_t e2 = edge_vertex(ids[v], ids[o[2]], sdf[v], sdf[o[2]]);
+      emit_tri(e0, e1, e2, F[0]);
+    } else if (n_in == 3) {
+      int v = 0;
+      while (in[v]) v++;
+      int o[3], k = 0;
+      for (int i = 0; i < 4; i++)
+        if (i != v) o[k++] = i;
+      int32_t e0 = edge_vertex(ids[o[0]], ids[v], sdf[o[0]], sdf[v]);
+      int32_t e1 = edge_vertex(ids[o[1]], ids[v], sdf[o[1]], sdf[v]);
+      int32_t e2 = edge_vertex(ids[o[2]], ids[v], sdf[o[2]], sdf[v]);
+      emit_tri(e0, e1, e2, F[0]);
+    } else {
+      // 2-2: quad in cyclic order (v0,o0), (v0,o1), (v1,o1), (v1,o0)
+      int vi[2], oi[2], a = 0, b = 0;
+      for (int i = 0; i < 4; i++) {
+        if (in[i]) vi[a++] = i;
+        else oi[b++] = i;
+      }
+      int32_t q0 = edge_vertex(ids[vi[0]], ids[oi[0]], sdf[vi[0]], sdf[oi[0]]);
+      int32_t q1 = edge_vertex(ids[vi[0]], ids[oi[1]], sdf[vi[0]], sdf[oi[1]]);
+      int32_t q2 = edge_vertex(ids[vi[1]], ids[oi[1]], sdf[vi[1]], sdf[oi[1]]);
+      int32_t q3 = edge_vertex(ids[vi[1]], ids[oi[0]], sdf[vi[1]], sdf[oi[0]]);
+      emit_tri(q0, q1, q2, F[0]);
+      emit_tri(q0, q2, q3, F[1]);
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Process A blocks of (b+1)^3 values at stride-b positions on an N^3 grid.
+// block_vals: [A, b+1, b+1, b+1] float32; bases: [A, 3] int32 (fine index of
+// each block origin); flips: [6, 16, 2] uint8 orientation table.
+// Outputs malloc'd arrays (caller frees via mt_free): verts (x,y,z per
+// vertex, grid-index space) and faces (int32 triples).
+int mt_blocks(
+    const float* block_vals,
+    const int32_t* bases,
+    int64_t num_blocks,
+    int32_t b,
+    int64_t N,
+    const uint8_t* flips,
+    float** out_verts,
+    int64_t* out_num_verts,
+    int32_t** out_faces,
+    int64_t* out_num_faces) {
+  const int bp = b + 1;
+  const int64_t pts_per = (int64_t)bp * bp * bp;
+  Builder builder((size_t)num_blocks * 16 + 1024, N, flips);
+
+  for (int64_t blk = 0; blk < num_blocks; blk++) {
+    const float* vals = block_vals + blk * pts_per;
+    const int64_t bx = bases[blk * 3 + 0];
+    const int64_t by = bases[blk * 3 + 1];
+    const int64_t bz = bases[blk * 3 + 2];
+    for (int ci = 0; ci < b; ci++) {
+      for (int cj = 0; cj < b; cj++) {
+        for (int ck = 0; ck < b; ck++) {
+          // gather 8 corners
+          double s[8];
+          int64_t ids[8];
+          bool any_in = false, all_in = true;
+          for (int c = 0; c < 8; c++) {
+            const int x = ci + CORNERS[c][0];
+            const int y = cj + CORNERS[c][1];
+            const int z = ck + CORNERS[c][2];
+            const float v = vals[((int64_t)x * bp + y) * bp + z];
+            s[c] = (double)v;
+            const bool inside = v < 0.0f;
+            any_in |= inside;
+            all_in &= inside;
+            ids[c] = ((bx + x) * N + (by + y)) * N + (bz + z);
+          }
+          if (!any_in || all_in) continue;
+          for (int t = 0; t < 6; t++) {
+            int64_t tids[4];
+            double tsdf[4];
+            for (int v = 0; v < 4; v++) {
+              tids[v] = ids[TETS[t][v]];
+              tsdf[v] = s[TETS[t][v]];
+            }
+            builder.process_tet(t, tids, tsdf);
+          }
+        }
+      }
+    }
+  }
+
+  *out_num_verts = (int64_t)(builder.verts.size() / 3);
+  *out_num_faces = (int64_t)(builder.faces.size() / 3);
+  *out_verts = (float*)malloc(builder.verts.size() * sizeof(float));
+  *out_faces = (int32_t*)malloc(builder.faces.size() * sizeof(int32_t));
+  if ((!*out_verts && !builder.verts.empty()) || (!*out_faces && !builder.faces.empty()))
+    return -1;
+  memcpy(*out_verts, builder.verts.data(), builder.verts.size() * sizeof(float));
+  memcpy(*out_faces, builder.faces.data(), builder.faces.size() * sizeof(int32_t));
+  return 0;
+}
+
+void mt_free(void* p) { free(p); }
+
+}  // extern "C"

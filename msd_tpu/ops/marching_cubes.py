@@ -274,12 +274,18 @@ def marching_tetrahedra_blocks(
     level: float = 0.0,
     spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
     origin: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    use_native: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Iso-surface directly from sparse-eval active blocks.
 
     Each block covers cells [base, base+b) so cells are processed exactly
     once; vertex ids are global fine-grid ids, making the mesh seamless.
+    Uses the C++ backend (msd_tpu/native/marching_tets.cpp) when available.
     """
+    if use_native:
+        out = _native_blocks(block_vals, block_bases, N, level, spacing, origin)
+        if out is not None:
+            return out
     dims = (N, N, N)
     out = _collect_triangles(
         np.asarray(block_vals, np.float32), np.asarray(block_bases, np.int64), level, dims
@@ -288,3 +294,47 @@ def marching_tetrahedra_blocks(
         raise ValueError("Surface level must be within volume data range.")
     ea, eb, ids, vals = out
     return _finalize(ea, eb, ids, vals, level, spacing, origin, dims)
+
+
+def _native_blocks(block_vals, block_bases, N, level, spacing, origin):
+    """C++ fast path; returns None when the native library is unavailable."""
+    import ctypes
+
+    from msd_tpu.native import load_native
+
+    lib = load_native()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(np.asarray(block_vals, np.float32) - np.float32(level))
+    bases = np.ascontiguousarray(np.asarray(block_bases, np.int32))
+    a = vals.shape[0]
+    b = vals.shape[1] - 1
+    flips = np.ascontiguousarray(_FLIP_TABLE.astype(np.uint8))
+    out_verts = ctypes.POINTER(ctypes.c_float)()
+    out_faces = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    rc = lib.mt_blocks(
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        bases.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(a),
+        ctypes.c_int32(b),
+        ctypes.c_int64(N),
+        flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(out_verts),
+        ctypes.byref(nv),
+        ctypes.byref(out_faces),
+        ctypes.byref(nf),
+    )
+    if rc != 0:
+        return None
+    try:
+        if nv.value == 0:
+            raise ValueError("Surface level must be within volume data range.")
+        verts = np.ctypeslib.as_array(out_verts, shape=(nv.value, 3)).copy()
+        faces = np.ctypeslib.as_array(out_faces, shape=(nf.value, 3)).copy()
+    finally:
+        lib.mt_free(out_verts)
+        lib.mt_free(out_faces)
+    verts = verts * np.asarray(spacing, np.float32)[None, :] + np.asarray(origin, np.float32)[None, :]
+    return verts.astype(np.float32), faces
