@@ -142,10 +142,11 @@ def main():
     # (snapped to 513 by the sparse path), including marching tetrahedra +
     # .ply write — directly comparable to deep_sdf/mesh.py:27's "~10 s GPU".
     N = 512
-    res = mesh_mod.create_mesh(  # warmup: compiles block/corner programs
-        trainer.decoder, trainer.state["net"], latent,
-        filename="/tmp/msd_bench_mesh_warm", N=N, return_mesh=True, evaluator=evaluator,
-    )
+    for n_warm in (256, N):  # warmup: compiles block/corner programs per bucket
+        mesh_mod.create_mesh(
+            trainer.decoder, trainer.state["net"], latent,
+            filename="/tmp/msd_bench_mesh_warm", N=n_warm, return_mesh=True, evaluator=evaluator,
+        )
     t0 = time.time()
     res = mesh_mod.create_mesh(
         trainer.decoder, trainer.state["net"], latent,

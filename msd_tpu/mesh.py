@@ -129,6 +129,11 @@ class PointEvaluator:
     A_CHUNK = 8192  # blocks per dispatch: 8192 * 125 pts = 1,024,000 (= 500 tiles)
 
     def _get_block_fn(self):
+        """One compiled program evaluates the (b+1)^3 lattice of stride-scale
+        points for chunks of blocks, for ANY resolution/scale: grid spacing
+        ``h`` and lattice ``scale`` are runtime scalars. Values return as
+        float16 to halve the (slow) device->host transfer; interpolation
+        error from f16 is ~1e-3 of a voxel."""
         if "fn" not in self._block_fns:
             bsz = SPARSE_BLOCK
             pts_per = (bsz + 1) ** 3
@@ -139,30 +144,48 @@ class PointEvaluator:
             offs = jnp.asarray(np.stack([lx, ly, lz], axis=-1).reshape(-1, 3).astype(np.int32))
 
             @jax.jit
-            def f(latent, abi_chunk, h):
-                fine = (abi_chunk * bsz)[:, None, :] + offs[None, :, :]  # [A, P, 3]
+            def f(latent, abi_chunk, h, scale):
+                fine = (abi_chunk * (bsz * scale))[:, None, :] + offs[None, :, :] * scale
                 xyz_t = fine.reshape(-1, 3).T.astype(jnp.float32) * h - 1.0
-                return self._eval_t(latent, xyz_t).reshape(self.A_CHUNK, pts_per)
+                out = self._eval_t(latent, xyz_t).reshape(self.A_CHUNK, pts_per)
+                return out.astype(jnp.float16)
 
             self._block_fns["fn"] = f
         return self._block_fns["fn"]
 
-    def eval_blocks(self, latent, abi: np.ndarray, b: int, N: int) -> np.ndarray:
-        """SDF at every fine point of the given stride-b blocks
-        (b must equal SPARSE_BLOCK). Returns [A, b+1, b+1, b+1]."""
-        assert b == SPARSE_BLOCK, "fixed-size sparse blocks"
+    def iter_block_values(self, latent, abi: np.ndarray, N: int, scale: int = 1):
+        """Yield (values [Ac, (b+1)^3] f32, abi_chunk [Ac, 3]) chunks.
+
+        Dispatches the NEXT chunk to the device before synchronizing the
+        current one, so host-side consumers (the C++ mesher) overlap with
+        device evaluation.
+        """
         A = abi.shape[0]
         fn = self._get_block_fn()
         latent = jnp.asarray(latent).reshape(-1)
         h = jnp.float32(2.0 / (N - 1))
-        outs = []
+        scale_d = jnp.int32(scale)
+        pending = None
         for start in range(0, A, self.A_CHUNK):
             chunk = np.zeros((self.A_CHUNK, 3), np.int32)
             end = min(A, start + self.A_CHUNK)
             chunk[: end - start] = abi[start:end]
-            outs.append(np.asarray(fn(latent, jnp.asarray(chunk), h))[: end - start])
-        vals = np.concatenate(outs, axis=0)
-        return vals.reshape(A, b + 1, b + 1, b + 1)
+            dev = fn(latent, jnp.asarray(chunk), h, scale_d)  # async dispatch
+            if pending is not None:
+                p_dev, p_np, p_n = pending
+                yield np.asarray(p_dev[:p_n]).astype(np.float32), p_np[:p_n]
+            pending = (dev, chunk, end - start)
+        if pending is not None:
+            p_dev, p_np, p_n = pending
+            yield np.asarray(p_dev[:p_n]).astype(np.float32), p_np[:p_n]
+
+    def eval_blocks(self, latent, abi: np.ndarray, b: int, N: int, scale: int = 1) -> np.ndarray:
+        """SDF at every stride-``scale`` lattice point of the given blocks
+        (b must equal SPARSE_BLOCK). Returns [A, b+1, b+1, b+1]."""
+        assert b == SPARSE_BLOCK, "fixed-size sparse blocks"
+        outs = [v for v, _ in self.iter_block_values(latent, abi, N, scale)]
+        vals = np.concatenate(outs, axis=0) if outs else np.zeros((0, (b + 1) ** 3), np.float32)
+        return vals.reshape(abi.shape[0], b + 1, b + 1, b + 1)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -189,6 +212,70 @@ def eval_grid_dense(
         return out.reshape(N, N, N)
     sdf = _eval_grid_chunks(decoder, params, latent, N, max_batch)
     return np.asarray(sdf[: N**3]).reshape(N, N, N)
+
+
+def _streaming_available() -> bool:
+    from msd_tpu.native import load_native
+
+    return load_native() is not None
+
+
+def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size):
+    """Hierarchical active-block discovery + streamed C++ marching
+    tetrahedra: chunk k meshes on the host while chunk k+1 evaluates on
+    the device."""
+    import ctypes
+
+    from msd_tpu.native import load_native
+    from msd_tpu.ops.marching_cubes import _FLIP_TABLE
+
+    lib = load_native()
+    abi4, evaluated = _sparse_active4(latent, N, evaluator, safety, clamp_dist)
+    logging.debug(
+        "[create_mesh] streaming: %d active blocks, %d prefilter evals",
+        abi4.shape[0], evaluated,
+    )
+    if abi4.shape[0] == 0:
+        raise ValueError("Surface level must be within volume data range.")
+    flips = np.ascontiguousarray(_FLIP_TABLE.astype(np.uint8))
+    handle = lib.mt_create(
+        ctypes.c_int64(N),
+        flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(abi4.shape[0]),
+    )
+    b = SPARSE_BLOCK
+    for vals, chunk in evaluator.iter_block_values(latent, abi4, N, scale=1):
+        vals = np.ascontiguousarray(vals, np.float32)
+        bases = np.ascontiguousarray(chunk.astype(np.int32) * b)
+        lib.mt_add_blocks(
+            ctypes.c_void_p(handle),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            bases.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(vals.shape[0]),
+            ctypes.c_int32(b),
+        )
+    out_verts = ctypes.POINTER(ctypes.c_float)()
+    out_faces = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    rc = lib.mt_finish(
+        ctypes.c_void_p(handle),
+        ctypes.byref(out_verts), ctypes.byref(nv),
+        ctypes.byref(out_faces), ctypes.byref(nf),
+    )
+    if rc != 0 or nv.value == 0:
+        if rc == 0:
+            lib.mt_free(out_verts)
+            lib.mt_free(out_faces)
+        raise ValueError("Surface level must be within volume data range.")
+    try:
+        verts = np.ctypeslib.as_array(out_verts, shape=(nv.value, 3)).copy()
+        faces = np.ctypeslib.as_array(out_faces, shape=(nf.value, 3)).copy()
+    finally:
+        lib.mt_free(out_verts)
+        lib.mt_free(out_faces)
+    verts = verts * np.float32(voxel_size) - 1.0
+    return verts.astype(np.float32), faces
 
 
 _EVAL_CACHE: dict = {}
@@ -247,6 +334,82 @@ def _make_eval_pts(decoder, params, latent, max_batch, evaluator):
                 )
             return np.concatenate(vals)[:n]
     return eval_pts
+
+
+def _active_from_lattice(lattice: np.ndarray, diag: float):
+    """Blocks of a corner lattice that may contain the zero level
+    (min |corner| below ``diag`` or corner sign change)."""
+    nb = lattice.shape[0] - 1
+    cmin = np.full((nb, nb, nb), np.inf)
+    sign_any = np.zeros((nb, nb, nb), dtype=bool)
+    sign_all = np.ones((nb, nb, nb), dtype=bool)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                sub = lattice[dx : nb + dx, dy : nb + dy, dz : nb + dz]
+                cmin = np.minimum(cmin, np.abs(sub))
+                neg = sub < 0
+                sign_any |= neg
+                sign_all &= neg
+    return (cmin < diag) | (sign_any & ~sign_all)
+
+
+def _sparse_active4(latent, N, evaluator, safety, clamp_dist):
+    """Active stride-SPARSE_BLOCK block indices via hierarchical refinement.
+
+    Uses a stride-16 prefilter level when the resolution allows it (the
+    half-diagonal Lipschitz bound must stay below the clamp band), which
+    skips evaluating most of the stride-4 corner lattice. Returns
+    (abi4 [A, 3], evaluated_so_far).
+    """
+    b = SPARSE_BLOCK
+    h = 2.0 / (N - 1)
+    s3 = math.sqrt(3.0) / 2.0
+    nb4 = (N - 1) // b
+    two_level = (
+        (N - 1) % (4 * b) == 0
+        and (4 * b) * h * s3 * safety < clamp_dist
+        and nb4 % 4 == 0
+    )
+    latent = jnp.asarray(latent).reshape(-1)
+    if two_level:
+        nb16 = nb4 // 4
+        ci = np.arange(nb16 + 1) * (4 * b)
+        cx, cy, cz = np.meshgrid(ci, ci, ci, indexing="ij")
+        pts = np.stack([cx, cy, cz], axis=-1).reshape(-1, 3).astype(np.float32) * h - 1.0
+        lat16 = np.asarray(evaluator.eval_points(latent, pts)).reshape(nb16 + 1, nb16 + 1, nb16 + 1)
+        evaluated = pts.shape[0]
+        active16 = _active_from_lattice(lat16, (4 * b) * h * s3 * safety)
+        abi16 = np.stack(np.nonzero(active16), axis=1).astype(np.int32)
+        if abi16.shape[0] == 0:
+            return np.zeros((0, 3), np.int64), evaluated
+        # stride-b lattice within each active superblock
+        vals16 = evaluator.eval_blocks(latent, abi16, b, N, scale=b)  # [A16, b+1, b+1, b+1]
+        evaluated += vals16.size
+        diag4 = b * h * s3 * safety
+        # criterion per stride-b sub-block inside each superblock
+        sub_cmin = np.full((vals16.shape[0], b, b, b), np.inf)
+        s_any = np.zeros((vals16.shape[0], b, b, b), dtype=bool)
+        s_all = np.ones((vals16.shape[0], b, b, b), dtype=bool)
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    sub = vals16[:, dx : b + dx, dy : b + dy, dz : b + dz]
+                    sub_cmin = np.minimum(sub_cmin, np.abs(sub))
+                    neg = sub < 0
+                    s_any |= neg
+                    s_all &= neg
+        sub_active = (sub_cmin < diag4) | (s_any & ~s_all)
+        aa, ai, aj, ak = np.nonzero(sub_active)
+        abi4 = abi16[aa].astype(np.int64) * 4 + np.stack([ai, aj, ak], axis=1)
+        return abi4, evaluated
+    # single level: full stride-b corner lattice
+    ci = np.arange(nb4 + 1) * b
+    cx, cy, cz = np.meshgrid(ci, ci, ci, indexing="ij")
+    pts = np.stack([cx, cy, cz], axis=-1).reshape(-1, 3).astype(np.float32) * h - 1.0
+    lattice = np.asarray(evaluator.eval_points(latent, pts)).reshape(nb4 + 1, nb4 + 1, nb4 + 1)
+    active = _active_from_lattice(lattice, b * h * s3 * safety)
+    return np.stack(np.nonzero(active), axis=1).astype(np.int64), pts.shape[0]
 
 
 def _sparse_blocks(decoder, params, latent, N, b, max_batch, safety, clamp_dist, evaluator):
@@ -375,7 +538,14 @@ def create_mesh(
     voxel_size = 2.0 / (N - 1)
     b = _pick_block(N, clamp_dist, sparse_safety) if sparse else 1
     try:
-        if b > 2:
+        if b > 2 and evaluator is not None and _streaming_available():
+            # fastest path: hierarchical refinement + streamed C++ meshing
+            # overlapped with device evaluation
+            verts, faces = _create_mesh_streaming(
+                latent_vec, N, evaluator, sparse_safety, clamp_dist, voxel_size
+            )
+            logging.debug("[create_mesh] streaming mesh takes: %f", time.time() - start)
+        elif b > 2:
             # sparse fast path: mesh directly from active blocks, never
             # materializing the N^3 grid
             corner_sdf, abi, block_vals, stats = _sparse_blocks(

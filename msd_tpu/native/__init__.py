@@ -71,6 +71,26 @@ def load_native():
             ]
             lib.mt_free.restype = None
             lib.mt_free.argtypes = [ctypes.c_void_p]
+            lib.mt_create.restype = ctypes.c_void_p
+            lib.mt_create.argtypes = [
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ]
+            lib.mt_add_blocks.restype = None
+            lib.mt_add_blocks.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+                ctypes.c_int32,
+            ]
+            lib.mt_finish.restype = ctypes.c_int
+            lib.mt_finish.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
             _LIB = lib
         except Exception as e:  # toolchain missing / compile error
             logging.warning("native library unavailable, using numpy path: %s", e)

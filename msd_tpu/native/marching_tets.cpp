@@ -201,28 +201,15 @@ struct Builder {
 
 }  // namespace
 
-extern "C" {
-
-// Process A blocks of (b+1)^3 values at stride-b positions on an N^3 grid.
-// block_vals: [A, b+1, b+1, b+1] float32; bases: [A, 3] int32 (fine index of
-// each block origin); flips: [6, 16, 2] uint8 orientation table.
-// Outputs malloc'd arrays (caller frees via mt_free): verts (x,y,z per
-// vertex, grid-index space) and faces (int32 triples).
-int mt_blocks(
+static void add_blocks_impl(
+    Builder& builder,
     const float* block_vals,
     const int32_t* bases,
     int64_t num_blocks,
     int32_t b,
-    int64_t N,
-    const uint8_t* flips,
-    float** out_verts,
-    int64_t* out_num_verts,
-    int32_t** out_faces,
-    int64_t* out_num_faces) {
+    int64_t N) {
   const int bp = b + 1;
   const int64_t pts_per = (int64_t)bp * bp * bp;
-  Builder builder((size_t)num_blocks * 16 + 1024, N, flips);
-
   for (int64_t blk = 0; blk < num_blocks; blk++) {
     const float* vals = block_vals + blk * pts_per;
     const int64_t bx = bases[blk * 3 + 0];
@@ -260,7 +247,59 @@ int mt_blocks(
       }
     }
   }
+}
 
+extern "C" {
+
+// ---- streaming builder API (overlap host meshing with device eval) ----
+
+void* mt_create(int64_t N, const uint8_t* flips, int64_t expected_blocks) {
+  // flips must outlive the handle (the Python side keeps it alive)
+  return new Builder((size_t)expected_blocks * 16 + 1024, N, flips);
+}
+
+void mt_add_blocks(
+    void* handle, const float* block_vals, const int32_t* bases,
+    int64_t num_blocks, int32_t b) {
+  Builder* builder = (Builder*)handle;
+  add_blocks_impl(*builder, block_vals, bases, num_blocks, b, builder->N);
+}
+
+int mt_finish(
+    void* handle,
+    float** out_verts, int64_t* out_num_verts,
+    int32_t** out_faces, int64_t* out_num_faces) {
+  Builder* builder = (Builder*)handle;
+  *out_num_verts = (int64_t)(builder->verts.size() / 3);
+  *out_num_faces = (int64_t)(builder->faces.size() / 3);
+  *out_verts = (float*)malloc(builder->verts.size() * sizeof(float));
+  *out_faces = (int32_t*)malloc(builder->faces.size() * sizeof(int32_t));
+  int rc = 0;
+  if ((!*out_verts && !builder->verts.empty()) || (!*out_faces && !builder->faces.empty()))
+    rc = -1;
+  else {
+    memcpy(*out_verts, builder->verts.data(), builder->verts.size() * sizeof(float));
+    memcpy(*out_faces, builder->faces.data(), builder->faces.size() * sizeof(int32_t));
+  }
+  delete builder;
+  return rc;
+}
+
+// ---- one-shot API ----
+
+int mt_blocks(
+    const float* block_vals,
+    const int32_t* bases,
+    int64_t num_blocks,
+    int32_t b,
+    int64_t N,
+    const uint8_t* flips,
+    float** out_verts,
+    int64_t* out_num_verts,
+    int32_t** out_faces,
+    int64_t* out_num_faces) {
+  Builder builder((size_t)num_blocks * 16 + 1024, N, flips);
+  add_blocks_impl(builder, block_vals, bases, num_blocks, b, N);
   *out_num_verts = (int64_t)(builder.verts.size() / 3);
   *out_num_faces = (int64_t)(builder.faces.size() / 3);
   *out_verts = (float*)malloc(builder.verts.size() * sizeof(float));

@@ -571,10 +571,63 @@ class Stage1Trainer:
             self.writer.add_scalar("Mean Chamfer Dist/train", float(np.mean(dists)), epoch)
 
     def _eval_test(self, epoch):
-        # Test-set latent re-optimization eval (ref: train_deep_sdf.py:958-1032)
-        # is exposed via msd_tpu.train.reconstruct in the reconstruct CLI; the
-        # in-training hook is enabled when a TestSplit with samples exists.
-        pass
+        """Test-set eval: optimize a latent per test shape from its GT SDF
+        samples, mesh it, and Chamfer against the GT mesh
+        (ref: train_deep_sdf.py:958-1032)."""
+        specs = self.specs
+        torus_path = get_spec_with_default(specs, "TorusPath", None)
+        test_split_file = get_spec_with_default(specs, "TestSplit", None)
+        if not test_split_file or not os.path.exists(str(test_split_file)):
+            return
+        try:
+            from msd_tpu import mesh as mesh_mod
+            from msd_tpu.data.sdf_samples import read_sdf_samples, remove_nans
+            from msd_tpu.data.splits import get_instance_filenames
+            from msd_tpu.metrics.chamfer import compute_mesh_chamfer
+            from msd_tpu.train.reconstruct import reconstruct
+        except ImportError:
+            return
+        test_split = load_split(test_split_file)
+        filenames = get_instance_filenames(self.data_source, test_split)
+        n_eval = min(get_spec_with_default(specs, "EvalTestSceneNumber", 10), len(filenames))
+        steps = get_spec_with_default(specs, "EvalTestOptimizationSteps", 1000)
+        eval_grid_res = get_spec_with_default(specs, "EvalGridResolution", 256)
+        test_errs, dists, lat_mags = [], [], []
+        t0 = time.time()
+        for fname in filenames[:n_eval]:
+            if not os.path.isfile(fname):
+                continue
+            save_name = os.path.basename(fname).split(".npz")[0]
+            pos, neg = read_sdf_samples(fname)
+            pos, neg = remove_nans(pos), remove_nans(neg)
+            err, latent = reconstruct(
+                self.decoder, self.state["net"], int(steps), self.latent_size,
+                [pos, neg], 0.01, 0.1, num_samples=16384, lr=5e-3, l2reg=True,
+            )
+            test_errs.append(err)
+            lat_mags.append(float(np.linalg.norm(np.asarray(latent))))
+            out_dir = os.path.join(
+                self.experiment_directory, ws.tb_logs_dir, ws.tb_logs_test_reconstructions, save_name
+            )
+            os.makedirs(out_dir, exist_ok=True)
+            tri = mesh_mod.create_mesh(
+                self.decoder, self.state["net"], latent,
+                filename=os.path.join(out_dir, f"epoch={epoch}"),
+                N=eval_grid_res, return_mesh=True,
+            )
+            if torus_path and os.path.exists(str(torus_path)):
+                gt_path = os.path.join(str(torus_path), save_name + ".obj")
+                if tri is not None and tri is not False and os.path.exists(gt_path):
+                    cd, _ = compute_mesh_chamfer(gt_path, tri)
+                    dists.append(cd)
+        if test_errs:
+            self.writer.add_scalar("Loss/test", float(np.mean(test_errs)), epoch)
+            self.writer.add_scalar("Mean Latent Magnitude/test", float(np.mean(lat_mags)), epoch)
+        if dists:
+            self.writer.add_scalar("Mean Chamfer Dist/test", float(np.mean(dists)), epoch)
+        self.writer.add_scalar(
+            "Time/test eval per shape (sec)", (time.time() - t0) / max(1, n_eval), epoch
+        )
 
 
 def main_function(experiment_directory: str, continue_from=None, batch_split: int = 1):

@@ -281,16 +281,21 @@ class Stage2Trainer:
 
         # ---- data ----
         self.data_source = specs["DataSource"]
+        self._labels_map = None
+        if self.use_labels:
+            self._labels_map = load_labels(os.path.join(self.data_source, self.labels_filename))
         if dataset is None:
             train_split = load_split(specs["TrainSplit"])
-            labels = None
-            if self.use_labels:
-                labels = load_labels(os.path.join(self.data_source, self.labels_filename))
             dataset = SdfDataset.from_split(
-                self.data_source, train_split, self.num_samp_per_scene, labels=labels,
+                self.data_source, train_split, self.num_samp_per_scene, labels=self._labels_map,
                 warn_missing_labels=g("WarnMissingLabels", True),
             )
         self.dataset = dataset
+
+        # val/test datasets (ref: :989-1173) — loaded lazily on first eval
+        self.val_split_file = g("ValSplit", None)
+        self.test_split_file = g("TestSplit", None)
+        self._eval_datasets = {}
         self.num_scenes = dataset.num_scenes
         if self.teacher_latents.shape[0] != self.num_scenes:
             raise Exception(
@@ -664,6 +669,80 @@ class Stage2Trainer:
             mu = mu[np.asarray(indices)]
         return mu
 
+    # ------------------------------------------------------------------
+    # val/test split evaluation (ref: train_MLP_VAE_deep_sdf.py:415-473
+    # reconstruct_latents_for_dataset + the val/test eval orchestration)
+    def get_eval_dataset(self, split_label: str):
+        """Lazily load the val/test SdfDataset."""
+        if split_label in self._eval_datasets:
+            return self._eval_datasets[split_label]
+        split_file = {"val": self.val_split_file, "test": self.test_split_file}.get(split_label)
+        if not split_file or not os.path.exists(str(split_file)):
+            self._eval_datasets[split_label] = None
+            return None
+        ds = SdfDataset.from_split(
+            self.data_source, load_split(split_file), self.num_samp_per_scene,
+            labels=self._labels_map,
+        )
+        self._eval_datasets[split_label] = ds
+        return ds
+
+    def reconstruct_latents_for_dataset(self, dataset, num_iterations=None, num_samples=None, lr=None):
+        """Optimize a Stage-1-style latent per shape of an eval split through
+        the (frozen) SDF decoder (ref: :415-473). Returns [S, L] f32."""
+        from msd_tpu.train.reconstruct import reconstruct
+
+        g = lambda k, d: get_spec_with_default(self.specs, k, d)
+        num_iterations = num_iterations or g("EvalTestOptimizationSteps", 1000)
+        num_samples = num_samples or g("EvalTestNumSamples", self.num_samp_per_scene)
+        lr = lr or g("EvalTestLatentLR", 5e-3)
+        init_std = g("EvalTestLatentInitStd", 0.01)
+        l2reg = g("EvalTestLatentL2Reg", True)
+        out = np.zeros((dataset.num_scenes, self.latent_size), np.float32)
+        sdf_params = self.sdf_params()
+        for i in range(dataset.num_scenes):
+            pos = dataset.pos[i, : dataset.pos_counts[i]]
+            neg = dataset.neg[i, : dataset.neg_counts[i]]
+            _, latent = reconstruct(
+                self.sdf_decoder, sdf_params, int(num_iterations), self.latent_size,
+                [pos, neg], float(init_std), self.clamp_dist,
+                num_samples=int(num_samples), lr=float(lr), l2reg=bool(l2reg),
+            )
+            out[i] = np.asarray(latent).reshape(-1)
+        return out
+
+    def eval_split(self, epoch: int, split_label: str, teacher_latents: np.ndarray, dataset):
+        """SAP + correlation on an eval split: encode the reconstructed
+        teacher latents with the VAE, then score mu against the split's
+        labels (ref eval blocks :3433-3826)."""
+        import jax as _jax
+
+        from msd_tpu.metrics import sap as sap_metric
+
+        vae_out = self.vae.apply(
+            self.state["vae"], jnp.asarray(teacher_latents), rng=_jax.random.PRNGKey(0), train=False
+        )
+        mu = np.asarray(vae_out["mu"])
+        results = {}
+        if dataset.labels is not None:
+            labels = dataset.labels[:, self.label_index].astype(float)
+            mask = np.isfinite(labels) & (labels != -1)
+            if mask.sum() >= 4:
+                try:
+                    results["sap"] = sap_metric.sap(
+                        labels[mask].reshape(-1, 1), mu[mask],
+                        continuous_factors=self.label_task_type not in ("classification", "class", "cls", "binary"),
+                        regression=self.label_task_type in ("regression", "reg", "continuous"),
+                    )
+                    self.writer.add_scalar(f"SAP/vae_{split_label}", results["sap"], epoch)
+                except Exception as e:
+                    logging.warning("SAP skipped (%s): %s", split_label, e)
+                if np.std(mu[mask, 0]) > 0 and np.std(labels[mask]) > 0:
+                    corr = float(np.corrcoef(mu[mask, 0], labels[mask])[0, 1])
+                    results["corr"] = corr
+                    self.writer.add_scalar(f"Correlation/{split_label}_latent0_label", corr, epoch)
+        return results
+
     def train(self, start_epoch: int = 1, num_epochs: int | None = None):
         num_epochs = num_epochs or self.num_epochs
         rng = np.random.default_rng(get_spec_with_default(self.specs, "Seed", 0) + start_epoch)
@@ -717,6 +796,27 @@ class Stage2Trainer:
             if g(self.specs, "EvalGTMeshDir", None) and mesh_train_scene_num > 0:
                 sel = self.train_indices[:mesh_train_scene_num]
                 ev.generate_eval_meshes(self, epoch, "train", sel, writer=self.writer)
+
+        # val/test latent re-optimization evals (ref: :415-473, :3640-3826)
+        eval_test_frequency = g(self.specs, "EvalTestFrequency", 0)
+        eval_val_frequency = g(self.specs, "EvalValFrequency", eval_test_frequency)
+        for split_label, freq, gate_key, start_key in (
+            ("test", eval_test_frequency, "EvalTestReconstructLatents", "EvalTestStartEpoch"),
+            ("val", eval_val_frequency, "EvalValReconstructLatents", "EvalValStartEpoch"),
+        ):
+            if not freq or epoch % freq != 0:
+                continue
+            if not g(self.specs, gate_key, False):
+                continue
+            if epoch < g(self.specs, start_key, 1):
+                continue
+            dataset = self.get_eval_dataset(split_label)
+            if dataset is None:
+                continue
+            logging.info("reconstructing %s-split latents for eval...", split_label)
+            teacher = self.reconstruct_latents_for_dataset(dataset)
+            results = self.eval_split(epoch, split_label, teacher, dataset)
+            logging.info("epoch %d %s eval: %s", epoch, split_label, results)
 
 
 def main_function(experiment_directory: str, continue_from=None, batch_split: int = 1):

@@ -1,0 +1,61 @@
+"""Streaming (two-level + C++) mesh path vs the plain sparse path."""
+
+import numpy as np
+import pytest
+from scipy.spatial import cKDTree
+
+from msd_tpu import mesh as mesh_mod
+from msd_tpu.native import load_native
+from test_reconstruct_and_mesh import trained  # noqa: F401  (fixture)
+
+needs_native = pytest.mark.skipif(load_native() is None, reason="no C++ toolchain")
+
+
+@needs_native
+def test_streaming_matches_sparse(trained, tmp_path):  # noqa: F811
+    trainer, _ = trained
+    latent = trainer.state["lat"][2]
+    ev = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+
+    res_plain = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=193, return_mesh=True,
+        evaluator=None, sparse=True,
+    )
+    pv, pf = res_plain
+    res_stream = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=193, return_mesh=True,
+        evaluator=ev, sparse=True,
+    )
+    sv, sf = res_stream
+    # same surface: every streamed vertex has an identical twin (f16 transfer
+    # perturbs interpolation by ~1e-3 voxel)
+    d, _ = cKDTree(pv).query(sv)
+    h = 2.0 / 192
+    assert d.max() < 0.05 * h, d.max()
+    assert abs(len(sv) - len(pv)) <= max(3, 0.001 * len(pv))
+    # watertight + oriented
+    edges = np.sort(np.concatenate([sf[:, [0, 1]], sf[:, [1, 2]], sf[:, [2, 0]]]), axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
+
+
+@needs_native
+def test_two_level_prefilter_engages(trained):  # noqa: F811
+    trainer, _ = trained
+    latent = trainer.state["lat"][2]
+    ev = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    # two-level engages once the stride-16 half-diagonal bound fits the
+    # clamp band: 16h*sqrt(3)/2*1.3 < 0.1 needs N >= ~450 -> use N=513
+    abi4, evaluated = mesh_mod._sparse_active4(latent, 513, ev, 1.3, 0.1)
+    n_corner_single = (512 // 4 + 1) ** 3  # 2.1M
+    # the hierarchical path must evaluate far fewer prefilter points than
+    # the full stride-4 lattice
+    assert evaluated < 0.5 * n_corner_single, (evaluated, n_corner_single)
+    assert abi4.shape[0] > 0
+    # and the resulting active set must cover the surface: mesh it
+    res = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=513, return_mesh=True, evaluator=ev,
+    )
+    assert res is not None and res is not False
+    radii = np.linalg.norm(res[0], axis=1)
+    np.testing.assert_allclose(radii.mean(), 0.5, atol=0.06)  # tiny-model bias

@@ -18,5 +18,11 @@ if __name__ == "__main__":
     arg_parser.add_argument("--batch_split", dest="batch_split", type=int, default=1)
     add_common_args(arg_parser)
     args = arg_parser.parse_args()
+    # default log file <exp>/train.log (ref: train_MLP_VAE_deep_sdf.py:3952-3953)
+    if args.logfile is None:
+        import os
+
+        args.logfile = os.path.join(args.experiment_directory, "train.log")
+        os.makedirs(args.experiment_directory, exist_ok=True)
     configure_logging(args)
     main_function(args.experiment_directory, args.continue_from, args.batch_split)
