@@ -18,6 +18,7 @@ sample uniformly with replacement, matching `unpack_sdf_samples`
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -118,6 +119,7 @@ class SdfDataset:
     neg_counts: np.ndarray  # [S]
     subsample: int
     labels: Optional[np.ndarray] = None  # [S, L] with NaN fill for missing
+    surface_points: Optional[np.ndarray] = None  # [S, P, 3] for point encoders
     _device_arrays: Optional[tuple] = field(default=None, repr=False)
 
     @classmethod
@@ -128,6 +130,9 @@ class SdfDataset:
         subsample: int,
         labels: Optional[dict] = None,
         warn_missing_labels: bool = True,
+        data_source_mesh: Optional[str] = None,
+        return_surface_points: bool = False,
+        surface_point_count: int = 2048,
     ) -> "SdfDataset":
         npyfiles = get_instance_filenames(data_source, split)
         instance_ids = [t[2] for t in split_triples(split)]
@@ -152,6 +157,32 @@ class SdfDataset:
             label_arr = _labels_for_instances(
                 labels, keep_ids, warn_missing=warn_missing_labels
             )
+
+        # surface point clouds for point-based encoders
+        # (ref: deep_sdf/data.py:139-142, :209-217)
+        surface_points = None
+        if return_surface_points:
+            if not data_source_mesh:
+                raise RuntimeError("data_source_mesh must be set when return_surface_points=True")
+            from msd_tpu.data.mesh_io import load_mesh
+            from msd_tpu.ops.sampling import sample_mesh_surface
+
+            rng = np.random.default_rng(0)
+            pts = []
+            for iid in keep_ids:
+                mesh_path = None
+                for cand in (iid + ".obj", iid + ".ply", iid):
+                    p = os.path.join(data_source_mesh, cand)
+                    if os.path.isfile(p):
+                        mesh_path = p
+                        break
+                if mesh_path is None:
+                    logging.warning("Requested non-existent mesh file for '%s'", iid)
+                    pts.append(np.zeros((surface_point_count, 3), np.float32))
+                    continue
+                v, f = load_mesh(mesh_path)
+                pts.append(sample_mesh_surface(v, f, surface_point_count, rng)[0])
+            surface_points = np.stack(pts)
         return cls(
             npyfiles=keep_files,
             instance_ids=keep_ids,
@@ -161,6 +192,7 @@ class SdfDataset:
             neg_counts=neg_counts,
             subsample=subsample,
             labels=label_arr,
+            surface_points=surface_points,
         )
 
     def __len__(self):

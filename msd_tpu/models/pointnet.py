@@ -102,6 +102,20 @@ class PointNetEncoder:
             return (head("mu"), head("logvar")), bn_updates
         return head("z"), bn_updates
 
+    @staticmethod
+    def update_bn_stats(params, bn_updates):
+        """Functionally fold running-stat updates back into the params."""
+        params = dict(params, bns=list(params["bns"]))
+        for i, stats in enumerate(bn_updates.get("convs", [])):
+            if stats is not None:
+                params["bns"][i] = dict(params["bns"][i], **stats)
+        for name, stats in bn_updates.get("heads", {}).items():
+            if stats is not None:
+                head = dict(params[f"fc_{name}"])
+                head["bn"] = dict(head["bn"], **stats)
+                params[f"fc_{name}"] = head
+        return params
+
 
 class ResnetPointnet:
     """ref: networks/pointnet_encoder.py:102-157. Input [B, N, 3]."""
@@ -167,3 +181,7 @@ class ResnetPointnet:
         if self.kl_div_loss:
             return (_linear(params["fc_mu"], act), _linear(params["fc_logvar"], act)), {}
         return _linear(params["fc_c"], act), {}
+
+    @staticmethod
+    def update_bn_stats(params, bn_updates):
+        return params  # no BatchNorm in ResnetPointnet

@@ -165,3 +165,18 @@ class PointNet2Encoder:
         if self.kl_div_loss:
             return (head("mu"), head("logvar")), bn_updates
         return head("z"), bn_updates
+
+    @staticmethod
+    def update_bn_stats(params, bn_updates):
+        """Functionally fold running-stat updates back into the params."""
+        params = dict(params, sa=[dict(l, bns=list(l["bns"])) for l in params["sa"]])
+        for si, stats_list in enumerate(bn_updates.get("sa", [])):
+            for bi, stats in enumerate(stats_list):
+                if stats is not None:
+                    params["sa"][si]["bns"][bi] = dict(params["sa"][si]["bns"][bi], **stats)
+        for name, stats in bn_updates.get("heads", {}).items():
+            if stats is not None:
+                head = dict(params[f"fc_{name}"])
+                head["bn"] = dict(head["bn"], **stats)
+                params[f"fc_{name}"] = head
+        return params

@@ -75,5 +75,12 @@ class PointNetLatentVAE:
     def decode(self, params, z, *, train=False, rng=None):
         return self.decoder.apply(params["decoder"], z, train=train, rng=rng)
 
+    def update_bn_stats(self, params, bn_updates):
+        if not bn_updates:
+            return params
+        return dict(
+            params, encoder=self.encoder.update_bn_stats(params["encoder"], bn_updates)
+        )
+
     def num_params(self, params):
         return sum(x.size for x in jax.tree.leaves(params))

@@ -289,8 +289,14 @@ class Stage2Trainer:
             dataset = SdfDataset.from_split(
                 self.data_source, train_split, self.num_samp_per_scene, labels=self._labels_map,
                 warn_missing_labels=g("WarnMissingLabels", True),
+                data_source_mesh=g("DataSourceMesh", None),
+                return_surface_points=self.vae_input_mode == "points"
+                and g("ReturnSurfacePoints", True),
+                surface_point_count=g("SurfacePointCount", 2048),
             )
         self.dataset = dataset
+        if self.vae_input_mode == "points" and dataset.surface_points is None:
+            raise RuntimeError("Surface points required for point-based encoder.")
 
         # val/test datasets (ref: :989-1173) — loaded lazily on first eval
         self.val_split_file = g("ValSplit", None)
@@ -395,7 +401,9 @@ class Stage2Trainer:
         clamp = self.clamp_dist
         train_sdf = self.train_sdf_decoder
 
-        def loss_fn(trainable, frozen_sdf, teacher, pos, pc, neg, nc, scene_idx,
+        points_mode = self.vae_input_mode == "points"
+
+        def loss_fn(trainable, frozen_sdf, teacher, surface_pts, pos, pc, neg, nc, scene_idx,
                     label_values, label_valid, age_values, age_valid, key,
                     kl_weight, code_reg_weight):
             aux = {}
@@ -404,8 +412,9 @@ class Stage2Trainer:
             xyz = batch[..., :3]
             sdf_gt = jnp.clip(batch[..., 3:4], -clamp, clamp)
 
-            teacher_batch = teacher[scene_idx]  # [B, L]
-            vae_out = vae.apply(trainable["vae"], teacher_batch, rng=k_vae, train=True)
+            teacher_batch = teacher[scene_idx]  # [B, L] (always the recon target)
+            vae_in = surface_pts[scene_idx] if points_mode else teacher_batch
+            vae_out = vae.apply(trainable["vae"], vae_in, rng=k_vae, train=True)
             mu, logvar, z, z_hat = vae_out["mu"], vae_out["logvar"], vae_out["z"], vae_out["z_hat"]
 
             vae_total, recon, kl, dip = self._vae_objective_fn(
@@ -491,13 +500,15 @@ class Stage2Trainer:
             total = vae_total + self.sdf_loss_weight * sdf_total
             aux["vae_total"] = vae_total
             aux["total"] = total
+            if points_mode and "bn_updates" in vae_out:
+                aux["bn_updates"] = jax.lax.stop_gradient(vae_out["bn_updates"])
             return total, aux
 
-        def step(state, opt_state, frozen_sdf, teacher, pos, pc, neg, nc, scene_idx,
+        def step(state, opt_state, frozen_sdf, teacher, surface_pts, pos, pc, neg, nc, scene_idx,
                  label_values, label_valid, age_values, age_valid, key,
                  kl_weight, code_reg_weight, lr_vae, lr_sdf):
             grads, aux = jax.grad(loss_fn, has_aux=True)(
-                state, frozen_sdf, teacher, pos, pc, neg, nc, scene_idx,
+                state, frozen_sdf, teacher, surface_pts, pos, pc, neg, nc, scene_idx,
                 label_values, label_valid, age_values, age_valid, key,
                 kl_weight, code_reg_weight,
             )
@@ -511,6 +522,11 @@ class Stage2Trainer:
             if train_sdf:
                 lr_tree["sdf"] = lr_sdf
             new_state, new_opt = adam_update(state, grads, opt_state, lr_tree)
+            bn_updates = aux.pop("bn_updates", None)
+            if bn_updates is not None:
+                new_state = dict(
+                    new_state, vae=vae.update_bn_stats(new_state["vae"], bn_updates)
+                )
             return new_state, new_opt, aux
 
         return jax.jit(step, donate_argnums=(0, 1))
@@ -585,6 +601,10 @@ class Stage2Trainer:
 
         pos, pc, neg, nc = self.dataset.device_arrays()
         teacher = jnp.asarray(self.teacher_latents)
+        if self.vae_input_mode == "points":
+            surface = jnp.asarray(self.dataset.surface_points, jnp.float32)
+        else:
+            surface = jnp.zeros((1, 1, 3), jnp.float32)  # unused placeholder
         frozen_sdf = self.sdf_params_frozen if not self.train_sdf_decoder else jax.tree.map(
             lambda x: x, self.state.get("sdf", {})
         )
@@ -599,7 +619,7 @@ class Stage2Trainer:
             lv, valid, av, avalid = self._batch_labels(sel, rng)
             key = jax.random.fold_in(self.base_key, epoch * 100003 + bidx)
             self.state, self.opt_state, aux = self._step_fn(
-                self.state, self.opt_state, frozen_sdf, teacher, pos, pc, neg, nc,
+                self.state, self.opt_state, frozen_sdf, teacher, surface, pos, pc, neg, nc,
                 jnp.asarray(sel), jnp.asarray(lv), jnp.asarray(valid),
                 jnp.asarray(av), jnp.asarray(avalid), key,
                 jnp.float32(kl_weight), jnp.float32(code_reg_weight),
@@ -616,11 +636,15 @@ class Stage2Trainer:
     # ------------------------------------------------------------------
     def compute_vae_latents(self, batch_size: int = 1024) -> np.ndarray:
         """Deterministic VAE mu's for every scene (exported to LatentCodes,
-        ref: :1638-1659 compute_vae_latents)."""
+        ref: :1638-1659 compute_vae_latents). Point encoders consume the
+        surface point clouds (ref _select_vae_inputs)."""
         out = []
-        teacher = jnp.asarray(self.teacher_latents)
+        if self.vae_input_mode == "points":
+            inputs = jnp.asarray(self.dataset.surface_points, jnp.float32)
+        else:
+            inputs = jnp.asarray(self.teacher_latents)
         for start in range(0, self.num_scenes, batch_size):
-            chunk = teacher[start : start + batch_size]
+            chunk = inputs[start : start + batch_size]
             vae_out = self.vae.apply(self.state["vae"], chunk, rng=jax.random.PRNGKey(0), train=False)
             out.append(np.asarray(vae_out["mu"]))
         return np.concatenate(out, axis=0)
@@ -800,21 +824,35 @@ class Stage2Trainer:
         # val/test latent re-optimization evals (ref: :415-473, :3640-3826)
         eval_test_frequency = g(self.specs, "EvalTestFrequency", 0)
         eval_val_frequency = g(self.specs, "EvalValFrequency", eval_test_frequency)
-        for split_label, freq, gate_key, start_key in (
-            ("test", eval_test_frequency, "EvalTestReconstructLatents", "EvalTestStartEpoch"),
-            ("val", eval_val_frequency, "EvalValReconstructLatents", "EvalValStartEpoch"),
+        for split_label, freq, gate_key, start_key, latent_key in (
+            ("test", eval_test_frequency, "EvalTestReconstructLatents", "EvalTestStartEpoch", "TestLatentPath"),
+            ("val", eval_val_frequency, "EvalValReconstructLatents", "EvalValStartEpoch", "ValLatentPath"),
         ):
             if not freq or epoch % freq != 0:
                 continue
-            if not g(self.specs, gate_key, False):
-                continue
             if epoch < g(self.specs, start_key, 1):
+                continue
+            reconstruct_gate = g(self.specs, gate_key, False)
+            latent_path = resolve_spec_path(g(self.specs, latent_key, None), self.experiment_directory)
+            if not reconstruct_gate and latent_path is None:
                 continue
             dataset = self.get_eval_dataset(split_label)
             if dataset is None:
                 continue
-            logging.info("reconstructing %s-split latents for eval...", split_label)
-            teacher = self.reconstruct_latents_for_dataset(dataset)
+            if reconstruct_gate:
+                # per-shape latent optimization (ref: :415-473, :1071)
+                logging.info("reconstructing %s-split latents for eval...", split_label)
+                teacher = self.reconstruct_latents_for_dataset(dataset)
+            else:
+                # precomputed latents (TestLatentPath/ValLatentPath,
+                # ref: :1052-1140)
+                teacher = load_teacher_latents(latent_path)
+                if teacher.shape[0] != dataset.num_scenes:
+                    logging.warning(
+                        "%s latents (%d) != %s scenes (%d); skipping eval",
+                        latent_key, teacher.shape[0], split_label, dataset.num_scenes,
+                    )
+                    continue
             results = self.eval_split(epoch, split_label, teacher, dataset)
             logging.info("epoch %d %s eval: %s", epoch, split_label, results)
 
