@@ -447,9 +447,9 @@ class Stage1Trainer:
                 self.save_logs()
 
             if eval_hooks:
-                if epoch % eval_train_frequency == 0:
+                if eval_train_frequency and epoch % eval_train_frequency == 0:
                     self._eval_train(epoch)
-                if epoch % eval_test_frequency == 0:
+                if eval_test_frequency and epoch % eval_test_frequency == 0:
                     self._eval_test(epoch)
             w.flush()
 
