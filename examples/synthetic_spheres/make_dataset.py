@@ -118,6 +118,7 @@ def main():
         "VAELatentDim": 4,
         "VAEEncoderHiddenDims": [64, 32],
         "VAEDecoderHiddenDims": [32, 64],
+        "ScenesPerBatch": 6,
         "LabelTaskType": "classification",
         "GuidedContrastiveLoss": True,
         "SNNLType": "cls",

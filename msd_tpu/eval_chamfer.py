@@ -59,6 +59,23 @@ def evaluate(experiment_directory, checkpoint, data_dir, split_filename, curvatu
             data_dir, ws.normalization_param_subdir, dataset, class_name, instance_name + ".npz"
         )
         if not os.path.isfile(ground_truth_samples_filename):
+            # flat splits don't carry the data-source subdir; search for the
+            # instance under SurfaceSamples/*/
+            import glob as _glob
+
+            hits = _glob.glob(
+                os.path.join(data_dir, ws.surface_samples_subdir, "**", instance_name + ".ply"),
+                recursive=True,
+            )
+            if hits:
+                ground_truth_samples_filename = hits[0]
+                rel = os.path.relpath(
+                    os.path.dirname(hits[0]), os.path.join(data_dir, ws.surface_samples_subdir)
+                )
+                normalization_params_filename = os.path.join(
+                    data_dir, ws.normalization_param_subdir, rel, instance_name + ".npz"
+                )
+        if not os.path.isfile(ground_truth_samples_filename):
             logging.warning("missing GT surface samples %s", ground_truth_samples_filename)
             continue
 

@@ -128,8 +128,24 @@ def reconstruct(
     key = key if key is not None else jax.random.PRNGKey(0)
     kinit, kopt = jax.random.split(key)
 
-    pos = jnp.asarray(np.asarray(test_sdf[0], np.float32))
-    neg = jnp.asarray(np.asarray(test_sdf[1], np.float32))
+    def _pad_pow2(arr):
+        """Pad sample arrays to a pow2 row count so the jitted scan is
+        reused across shapes with different sample counts (each distinct
+        shape would otherwise trigger a fresh compile). Sampling stays
+        bounded by the true count."""
+        arr = np.asarray(arr, np.float32)
+        n = arr.shape[0]
+        n_pad = 1024
+        while n_pad < n:
+            n_pad *= 2
+        if n_pad != n:
+            arr = np.concatenate([arr, np.zeros((n_pad - n, arr.shape[1]), np.float32)], axis=0)
+        return arr, n
+
+    pos_np, n_pos = _pad_pow2(test_sdf[0])
+    neg_np, n_neg = _pad_pow2(test_sdf[1])
+    pos = jnp.asarray(pos_np)
+    neg = jnp.asarray(neg_np)
 
     if isinstance(stat, float):
         init_latent = stat * jax.random.normal(kinit, (1, latent_size))
@@ -154,7 +170,7 @@ def reconstruct(
         dist_type=str(dist_type),
     )
     losses, latent = _reconstruct_scan(
-        decoder, cfg, params, pos, jnp.int32(pos.shape[0]), neg, jnp.int32(neg.shape[0]), init_latent, dm, ds, kopt
+        decoder, cfg, params, pos, jnp.int32(n_pos), neg, jnp.int32(n_neg), init_latent, dm, ds, kopt
     )
     losses = np.asarray(losses)
     if return_loss_hist:

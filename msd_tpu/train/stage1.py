@@ -646,5 +646,28 @@ def main_function(experiment_directory: str, continue_from=None, batch_split: in
         trainer.num_scenes,
         trainer.latent_size,
     )
-    trainer.train(start_epoch=start_epoch, batch_split=batch_split)
+    try:
+        trainer.train(start_epoch=start_epoch, batch_split=batch_split)
+    except KeyboardInterrupt:
+        # flush/close TensorBoard and save progress, like the reference's
+        # interrupt handling (ref: train_deep_sdf.py:1038-1080)
+        logging.error("Received KeyboardInterrupt. Cleaning up and ending training.")
+    finally:
+        if trainer.epoch > 0:
+            trainer.save_checkpoint("latest")
+            trainer.save_logs()
+        if trainer._writer is not None:
+            # final hparams summary (ref: train_deep_sdf.py:1053-1078)
+            try:
+                scalar_keys = (
+                    "CodeLength", "NumEpochs", "SamplesPerScene", "ScenesPerBatch",
+                    "ClampingDistance", "CodeRegularizationLambda",
+                )
+                hparams = {k: trainer.specs[k] for k in scalar_keys if k in trainer.specs}
+                final = trainer.loss_log_epoch[-1] if trainer.loss_log_epoch else float("nan")
+                trainer.writer.add_hparams(hparams, {"final_loss": final})
+            except Exception:
+                pass
+            trainer.writer.flush()
+            trainer.writer.close()
     return trainer

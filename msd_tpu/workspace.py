@@ -152,3 +152,35 @@ def get_sdf_samples_filename(data_dir, dataset_name, class_name, instance_name):
     return os.path.join(
         data_dir, sdf_samples_subdir, dataset_name, class_name, instance_name + ".npz"
     )
+
+
+# ---------------------------------------------------------------------------
+# Model/latent loaders (ref: deep_sdf/workspace.py:40-115) — thin wrappers
+# over the registry + checkpoint modules so reference-style call sites work.
+
+
+def build_decoder(experiment_directory, experiment_specifications=None):
+    """Construct the experiment's decoder from its specs
+    (ref: deep_sdf/workspace.py:56-66)."""
+    from msd_tpu.models import build_decoder as _build
+
+    specs = experiment_specifications or load_experiment_specifications(experiment_directory)
+    return _build(specs["NetworkArch"], specs["CodeLength"], specs["NetworkSpecs"])
+
+
+def load_decoder(experiment_directory, checkpoint, experiment_specifications=None):
+    """Returns (decoder, params, epoch) (ref: deep_sdf/workspace.py:69-80)."""
+    from msd_tpu.utils.checkpoint import load_model
+
+    decoder = build_decoder(experiment_directory, experiment_specifications)
+    params, epoch = load_model(experiment_directory, checkpoint, decoder)
+    return decoder, params, epoch
+
+
+def load_latent_vectors(experiment_directory, checkpoint):
+    """Latent table [S, L] for a checkpoint, handling both Embedding-state
+    and legacy raw-tensor formats (ref: deep_sdf/workspace.py:83-115)."""
+    from msd_tpu.utils.checkpoint import load_latent_vectors as _load
+
+    arr, _epoch = _load(experiment_directory, str(checkpoint) + ".pth")
+    return arr

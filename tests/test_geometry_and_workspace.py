@@ -1,0 +1,87 @@
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from msd_tpu.utils import geometry as geo
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_rotations():
+    x = np.array([1.0, 0.0, 0.0, 1.0])
+    y = geo.rotate(x, gamma=np.pi / 2)
+    np.testing.assert_allclose(y[:3], [0, 1, 0], atol=1e-12)
+    y = geo.rotate(x, beta=np.pi / 2)
+    np.testing.assert_allclose(y[:3], [0, 0, -1], atol=1e-12)
+
+
+def test_scaling_helpers(rng):
+    v = rng.normal(size=(200, 3)) * 3 + 7
+    (vs, _), centroid, scale = geo.scale_to_unit_sphere(v, None, return_stats=True)
+    assert np.linalg.norm(vs, axis=1).max() == pytest.approx(1.0, rel=1e-5)
+    vr, _ = geo.rescale_unit_mesh(vs, None, shift=centroid, scale=scale)
+    np.testing.assert_allclose(vr, v, atol=1e-4)
+
+    (vc, _), centroid2, half_extent = geo.scale_to_unit_cube(v, None, return_stats=True)
+    extents = vc.max(axis=0) - vc.min(axis=0)
+    assert extents.max() == pytest.approx(2.0, rel=1e-5)
+
+
+def test_psnr():
+    assert geo.psnr(0.01) == pytest.approx(20.0)
+
+
+def test_workspace_loaders(tmp_path):
+    import jax
+
+    import msd_tpu.workspace as ws
+    from msd_tpu.models.deepsdf import DeepSDFDecoder
+    from msd_tpu.utils import checkpoint as ckpt
+
+    specs = {
+        "NetworkArch": "deep_sdf_decoder",
+        "CodeLength": 8,
+        "NetworkSpecs": {"dims": [16, 16], "latent_in": [1], "weight_norm": True, "norm_layers": [0]},
+    }
+    exp = str(tmp_path)
+    ws.save_experiment_specifications(exp, specs)
+    dec = ws.build_decoder(exp)
+    params = dec.init(jax.random.PRNGKey(0))
+    ckpt.save_model(exp, "latest.pth", dec, params, 7)
+    ckpt.save_latent_vectors(exp, "latest.pth", np.zeros((5, 8), np.float32), 7)
+
+    dec2, params2, epoch = ws.load_decoder(exp, "latest")
+    assert epoch == 7
+    import jax.numpy as jnp
+
+    x = jnp.ones((3, 11))
+    np.testing.assert_allclose(
+        np.asarray(dec.apply(params, x)), np.asarray(dec2.apply(params2, x)), atol=1e-6
+    )
+    lat = ws.load_latent_vectors(exp, "latest")
+    assert lat.shape == (5, 8)
+
+
+def test_label_creation_cli(tmp_path):
+    csv_path = tmp_path / "meta.csv"
+    csv_path.write_text(
+        "id,diagnosis,age\nshape_a,1,72\nshape_b,0,65\nshape_c,,80\n"
+    )
+    out = tmp_path / "labels.pt"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "utils", "label_creation.py"),
+         "--csv", str(csv_path), "--columns", "diagnosis", "age",
+         "--normalize", "age", "--out", str(out)],
+        capture_output=True, text=True, env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr
+    from msd_tpu.data.labels import load_labels
+
+    labels = load_labels(str(out))
+    assert set(labels) == {"shape_a", "shape_b", "shape_c"}
+    np.testing.assert_allclose(labels["shape_a"], [1.0, (72 - 65) / 15])
+    assert np.isnan(labels["shape_c"][0])  # missing diagnosis -> NaN
