@@ -192,6 +192,7 @@ def main():
             "backend": backend,
             "train_queries_per_sec": round(train_qps),
             "train_step_ms": round(1e3 * points_per_step / train_qps, 1),
+            "train_matmul_precision": "bfloat16 (f32 is 4.1x slower at identical loss; MatmulPrecision spec key)",
             "raw_fused_kernel_queries_per_sec": None if raw_qps is None else round(raw_qps),
             "grid512_seconds": round(t_grid, 3),
             "grid512_evaluated_fraction": round(stats["evaluated"] / stats["total"], 4),
