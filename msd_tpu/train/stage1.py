@@ -416,10 +416,21 @@ class Stage1Trainer:
         eval_test_frequency = get_spec_with_default(specs, "EvalTestFrequency", 500)
         rng = np.random.default_rng(get_spec_with_default(specs, "Seed", 0) + start_epoch)
 
+        # optional jax.profiler trace of selected epochs (TPU-native
+        # equivalent of the reference's wall-clock timing logs, SURVEY §5.1):
+        # "ProfileEpochs": [e1, e2, ...] writes traces under
+        # <exp>/TensorBoard/profile for xprof/tensorboard-profile viewing.
+        profile_epochs = set(get_spec_with_default(specs, "ProfileEpochs", []) or [])
+        profile_dir = os.path.join(self.experiment_directory, ws.tb_logs_dir, "profile")
+
         for epoch in range(start_epoch, num_epochs + 1):
             t0 = time.time()
             self.epoch = epoch
-            mean = self.train_epoch(epoch, batch_split=batch_split, rng=rng)
+            if epoch in profile_epochs:
+                with jax.profiler.trace(profile_dir):
+                    mean = self.train_epoch(epoch, batch_split=batch_split, rng=rng)
+            else:
+                mean = self.train_epoch(epoch, batch_split=batch_split, rng=rng)
             seconds = time.time() - t0
             self.timing_log.append(seconds)
 

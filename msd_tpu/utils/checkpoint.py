@@ -169,3 +169,41 @@ def clip_logs(loss_log, lr_log, timing_log, lat_mag_log, param_mag_log, epoch):
     for n in param_mag_log:
         param_mag_log[n] = param_mag_log[n][:epoch]
     return loss_log, lr_log, timing_log, lat_mag_log, param_mag_log
+
+
+# ---------------------------------------------------------------------------
+# Orbax checkpointing (optional fast native format alongside the
+# reference-compatible .pth files — SURVEY §5.4 TPU equivalent).
+
+
+def save_orbax(experiment_directory, name, state, opt_state, epoch):
+    """Save the full {params, opt_state, epoch} pytree with orbax under
+    <exp>/OrbaxCheckpoints/<name>."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(experiment_directory, "OrbaxCheckpoints", str(name)))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        path,
+        {"state": state, "opt_state": opt_state._asdict(), "epoch": epoch},
+        force=True,
+    )
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_orbax(experiment_directory, name, state_template, opt_state_template):
+    """Restore a pytree saved by save_orbax. Returns (state, opt_state, epoch)."""
+    import orbax.checkpoint as ocp
+
+    from msd_tpu.utils.optim import AdamState
+
+    path = os.path.abspath(os.path.join(experiment_directory, "OrbaxCheckpoints", str(name)))
+    ckptr = ocp.StandardCheckpointer()
+    template = {
+        "state": state_template,
+        "opt_state": opt_state_template._asdict(),
+        "epoch": 0,
+    }
+    restored = ckptr.restore(path, template)
+    return restored["state"], AdamState(**restored["opt_state"]), int(restored["epoch"])

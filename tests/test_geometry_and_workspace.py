@@ -85,3 +85,32 @@ def test_label_creation_cli(tmp_path):
     assert set(labels) == {"shape_a", "shape_b", "shape_c"}
     np.testing.assert_allclose(labels["shape_a"], [1.0, (72 - 65) / 15])
     assert np.isnan(labels["shape_c"][0])  # missing diagnosis -> NaN
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from msd_tpu.utils import checkpoint as ckpt
+    from msd_tpu.utils.optim import adam_init
+
+    state = {"net": {"lin0": {"w": jnp.ones((4, 4)), "b": jnp.zeros(4)}}, "lat": jnp.ones((3, 2))}
+    opt = adam_init(state)
+    ckpt.save_orbax(str(tmp_path), "latest", state, opt, 12)
+    s2, o2, epoch = ckpt.load_orbax(str(tmp_path), "latest", state, opt)
+    assert epoch == 12
+    np.testing.assert_allclose(np.asarray(s2["lat"]), np.ones((3, 2)))
+    assert jax.tree.structure(o2) == jax.tree.structure(opt)
+
+
+def test_profile_epochs_hook(tmp_path):
+    import jax
+
+    from test_stage1_trainer import _specs
+    from msd_tpu.train.stage1 import Stage1Trainer
+
+    exp_dir, specs = _specs(tmp_path, NumEpochs=1, ProfileEpochs=[1])
+    tr = Stage1Trainer(exp_dir)
+    tr.train(num_epochs=1, eval_hooks=False)
+    prof_dir = os.path.join(exp_dir, "TensorBoard", "profile")
+    assert os.path.isdir(prof_dir) and len(os.listdir(prof_dir)) > 0
