@@ -74,44 +74,41 @@ def sample_surface_points(verts, faces, num_points, rng=None, orient_outward=Tru
 # tiled kNN + normal vote (device)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _knn_chunk(queries, surf_pts, surf_norms, k, s_tile):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _knn_chunk(queries, surf_pts, surf_norms, k, s_tile, use_approx=True):
     """For one query chunk [Qc, 3]: k nearest surface points + vote stats.
 
-    Streams surface points in tiles of ``s_tile`` with a running top-k.
-    Returns (num_pos [Qc], sdf_mag [Qc], nearest_dist [Qc]).
+    Distances run as one MXU matmul against all surface points; on TPU,
+    `jax.lax.approx_min_k` (hardware-accelerated approximate top-k,
+    recall ~0.98 at rank k) extracts the neighbors — ~1000x the
+    scan-with-running-top-k formulation this replaces. The all-or-nothing
+    vote is robust to near-tie neighbor swaps; the magnitude uses the
+    returned nearest distance. On CPU (tests) exact top_k is used instead
+    (approx_min_k lowers to a very slow path there).
+    Returns (num_pos, nearest_dist, plane_dist).
     """
-    qc = queries.shape[0]
-    s = surf_pts.shape[0]
-    n_tiles = s // s_tile
     q_sq = jnp.sum(queries**2, axis=1, keepdims=True)  # [Qc, 1]
-
-    def tile_body(carry, t):
-        best_d, best_i = carry  # [Qc, k] running top-k (negative distances)
-        start = t * s_tile
-        pts = jax.lax.dynamic_slice(surf_pts, (start, 0), (s_tile, 3))
-        d2 = q_sq + jnp.sum(pts**2, axis=1)[None, :] - 2.0 * queries @ pts.T  # [Qc, S_t]
-        cat_d = jnp.concatenate([best_d, -d2], axis=1)
-        cat_i = jnp.concatenate(
-            [best_i, jnp.broadcast_to(start + jnp.arange(s_tile)[None, :], d2.shape)], axis=1
-        )
-        top_d, top_pos = jax.lax.top_k(cat_d, k)  # top of negative distances = nearest
-        top_i = jnp.take_along_axis(cat_i, top_pos, axis=1)
-        return (top_d, top_i), None
-
-    init = (jnp.full((qc, k), -jnp.inf), jnp.zeros((qc, k), jnp.int32))
-    (neg_d2, idx), _ = jax.lax.scan(tile_body, init, jnp.arange(n_tiles))
+    d2 = q_sq + jnp.sum(surf_pts**2, axis=1)[None, :] - 2.0 * queries @ surf_pts.T
+    if use_approx:
+        _, idx = jax.lax.approx_min_k(d2, k, recall_target=0.98)
+    else:
+        _, idx = jax.lax.top_k(-d2, k)
 
     # votes (ref: PreprocessMesh.cpp:146-160)
     nn_pts = surf_pts[idx]  # [Qc, k, 3]
     nn_norms = surf_norms[idx]
     ray = queries[:, None, :] - nn_pts  # [Qc, k, 3]
-    ray_len = jnp.sqrt(jnp.maximum(jnp.sum(ray**2, axis=2), 1e-24))
+    ray_len2 = jnp.sum(ray**2, axis=2)
+    ray_len = jnp.sqrt(jnp.maximum(ray_len2, 1e-24))
     d = jnp.sum(nn_norms * ray, axis=2) / ray_len
     num_pos = jnp.sum(d > 0, axis=1)
 
-    nearest_dist = jnp.sqrt(jnp.maximum(-neg_d2[:, 0], 0.0))
-    plane_dist = jnp.abs(jnp.sum(nn_norms[:, 0, :] * ray[:, 0, :], axis=1))
+    # the true nearest is the min over the returned k (exact within the set)
+    order = jnp.argmin(ray_len2, axis=1)
+    nearest_dist = jnp.take_along_axis(ray_len, order[:, None], axis=1)[:, 0]
+    near_norm = jnp.take_along_axis(nn_norms, order[:, None, None], axis=1)[:, 0, :]
+    near_ray = jnp.take_along_axis(ray, order[:, None, None], axis=1)[:, 0, :]
+    plane_dist = jnp.abs(jnp.sum(near_norm * near_ray, axis=1))
     return num_pos, nearest_dist, plane_dist
 
 
@@ -144,12 +141,14 @@ def knn_sign_vote(
     queries_pad = np.zeros((q_pad, 3), np.float32)
     queries_pad[:q] = queries
 
+    use_approx = jax.default_backend() == "tpu"
     num_pos = np.empty(q_pad, np.int32)
     nearest = np.empty(q_pad, np.float32)
     plane = np.empty(q_pad, np.float32)
     for start in range(0, q_pad, q_chunk):
         npos, nd, pd = _knn_chunk(
-            jnp.asarray(queries_pad[start : start + q_chunk]), pts_d, norms_d, num_votes, s_tile
+            jnp.asarray(queries_pad[start : start + q_chunk]), pts_d, norms_d,
+            num_votes, s_tile, use_approx,
         )
         num_pos[start : start + q_chunk] = np.asarray(npos)
         nearest[start : start + q_chunk] = np.asarray(nd)
