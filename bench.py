@@ -155,11 +155,7 @@ def main():
     t_grid = time.time() - t0
     n_eff = mesh_mod._snap_n(N)
     grid_qps_effective = n_eff**3 / t_grid
-    # sparse-eval stats for reporting (re-runs the two eval stages)
-    _, _, _, stats = mesh_mod._sparse_blocks(
-        trainer.decoder, trainer.state["net"], jnp.asarray(latent), n_eff,
-        mesh_mod.SPARSE_BLOCK, 2**18, 1.3, 0.1, evaluator,
-    )
+    stats = dict(mesh_mod.LAST_STREAMING_STATS) or {"evaluated": -1, "total": n_eff**3}
 
     # N=256-class mesh (the resolution reconstruct.py actually uses)
     t0 = time.time()

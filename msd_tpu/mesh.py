@@ -214,6 +214,10 @@ def eval_grid_dense(
     return np.asarray(sdf[: N**3]).reshape(N, N, N)
 
 
+# stats of the most recent streaming create_mesh (read by bench.py)
+LAST_STREAMING_STATS: dict = {}
+
+
 def _streaming_available() -> bool:
     from msd_tpu.native import load_native
 
@@ -231,6 +235,10 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size)
 
     lib = load_native()
     abi4, evaluated = _sparse_active4(latent, N, evaluator, safety, clamp_dist)
+    total_evals = evaluated + abi4.shape[0] * (SPARSE_BLOCK + 1) ** 3
+    LAST_STREAMING_STATS.update(
+        active_blocks=int(abi4.shape[0]), evaluated=int(total_evals), total=int(N**3)
+    )
     logging.debug(
         "[create_mesh] streaming: %d active blocks, %d prefilter evals",
         abi4.shape[0], evaluated,

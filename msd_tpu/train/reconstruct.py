@@ -34,6 +34,9 @@ class ReconstructConfig(NamedTuple):
     code_bound: Optional[float] = None
     dist_weight: float = 0.0
     dist_type: str = "zscore_l2"
+    # bf16 matmuls: ~4x faster on TPU MXU at negligible latent-fit impact
+    # (same default as Stage-1 training; see train/stage1.py measurement)
+    matmul_precision: str = "bfloat16"
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -93,9 +96,10 @@ def _reconstruct_scan(decoder, cfg: ReconstructConfig, params, pos, pos_count, n
         return (latent, m, v), loss
 
     zeros = jnp.zeros_like(init_latent)
-    (latent, _, _), losses = jax.lax.scan(
-        step, (init_latent, zeros, zeros), jnp.arange(cfg.num_iterations)
-    )
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        (latent, _, _), losses = jax.lax.scan(
+            step, (init_latent, zeros, zeros), jnp.arange(cfg.num_iterations)
+        )
     return losses, latent
 
 
