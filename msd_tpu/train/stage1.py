@@ -72,7 +72,18 @@ _PRECISIONS = {
 
 
 class Stage1Trainer:
-    def __init__(self, experiment_directory: str, specs: dict | None = None, dataset: SdfDataset | None = None):
+    def __init__(
+        self,
+        experiment_directory: str,
+        specs: dict | None = None,
+        dataset: SdfDataset | None = None,
+        mesh=None,
+    ):
+        """``mesh``: optional jax.sharding.Mesh with a "data" axis. When
+        given, the scene/point batch is sharded over it (dp/sp), the latent
+        table is sharded over its scene axis, decoder params are replicated,
+        and XLA inserts the gradient psum over ICI (SURVEY §2.6/§5.8)."""
+        self.mesh = mesh
         self.experiment_directory = experiment_directory
         self.specs = specs if specs is not None else ws.load_experiment_specifications(experiment_directory)
         specs = self.specs
@@ -154,6 +165,8 @@ class Stage1Trainer:
             state["gmm"] = gmm_prior_init(k_gmm, self.gmm_k, self.latent_size, self.gmm_init_sigma)
         self.state = state
         self.opt_state = adam_init(state)
+        if self.mesh is not None:
+            self._apply_mesh_placement()
 
         # host-side logs (reference Logs.pth families)
         self.loss_log = []
@@ -167,6 +180,43 @@ class Stage1Trainer:
 
         self._writer = None
         self._step_fn = None
+
+    # ------------------------------------------------------------------
+    def _apply_mesh_placement(self):
+        """Shard the latent table (+ its Adam moments) over the mesh's scene
+        axis; replicate decoder params. Batches are sharded per step in
+        train_epoch."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(self.mesh, P())
+        n_dev = int(np.prod(list(self.mesh.shape.values())))
+        if self.num_scenes % n_dev == 0:
+            scene_shard = NamedSharding(self.mesh, P("data", None))
+        else:
+            # scene axis not divisible by the mesh -> replicate the (small)
+            # latent table; gradients still psum over the sharded batch
+            logging.info(
+                "latent table (%d scenes) not divisible by %d devices; replicating",
+                self.num_scenes, n_dev,
+            )
+            scene_shard = replicated
+
+        def place(tree):
+            out = dict(tree)
+            out["net"] = jax.device_put(tree["net"], replicated)
+            out["lat"] = jax.device_put(tree["lat"], scene_shard)
+            if "gmm" in tree:
+                out["gmm"] = jax.device_put(tree["gmm"], replicated)
+            return out
+
+        self.state = place(self.state)
+        self.opt_state = type(self.opt_state)(
+            count=jax.device_put(self.opt_state.count, replicated),
+            mu=place(self.opt_state.mu),
+            nu=place(self.opt_state.nu),
+        )
+        self._batch_sharding = NamedSharding(self.mesh, P("data"))
+        self._replicated = replicated
 
     # ------------------------------------------------------------------
     @property
@@ -392,6 +442,8 @@ class Stage1Trainer:
         metrics_device = []
         for b in range(nb):
             idx = jnp.asarray(perm[b * self.scene_per_batch : (b + 1) * self.scene_per_batch])
+            if self.mesh is not None:
+                idx = jax.device_put(idx, self._batch_sharding)
             self.global_batch_idx += 1
             key = jax.random.fold_in(self.base_key, self.global_batch_idx)
             self.state, self.opt_state, m = self._step_fn(
@@ -463,6 +515,12 @@ class Stage1Trainer:
             w.add_scalar("Learning Rate/Latent", self.lr_log[-1][1], epoch)
             w.add_scalar("Mean Latent Magnitude/train", lat_mag, epoch)
             w.add_scalar("Time/epoch (min)", seconds / 60, epoch)
+            # per-parameter weight norms + aggregate grad norm
+            # (ref: train_deep_sdf.py:877-888)
+            for name, mag in self._param_magnitudes().items():
+                w.add_scalar(f"WeightsNorm/{name}", mag, epoch)
+            if "net_grad_norm" in mean:
+                w.add_scalar("GradsNorm/allNetParams.grad", mean["net_grad_norm"], epoch)
 
             if epoch in self.checkpoints:
                 self.save_checkpoint(str(epoch))

@@ -170,3 +170,25 @@ def test_code_bound_projection(tmp_path):
     norms = np.linalg.norm(np.asarray(trainer.state["lat"]), axis=1)
     # all touched rows were projected to <= bound (+ small optimizer drift)
     assert np.median(norms) < 0.2
+
+
+def test_multichip_mesh_training(tmp_path):
+    """Training over a virtual 8-device mesh: sharded batch + scene-sharded
+    latent table, loss finite, shardings preserved across steps."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    exp_dir, specs = _specs(tmp_path, ScenesPerBatch=4, NumEpochs=2)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))  # 6 scenes % 2 == 0
+    trainer = Stage1Trainer(exp_dir, mesh=mesh)
+    m1 = trainer.train_epoch(1)
+    m2 = trainer.train_epoch(2)
+    assert np.isfinite(m1["total"]) and np.isfinite(m2["total"])
+    assert "data" in str(trainer.state["lat"].sharding.spec)
+
+    # parity with single-device training given the same seed/config
+    t_single = Stage1Trainer(exp_dir)
+    s1 = t_single.train_epoch(1)
+    assert s1["total"] == pytest.approx(m1["total"], rel=1e-4)
