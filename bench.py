@@ -57,7 +57,9 @@ def main():
     backend = jax.default_backend()
 
     # ---- flagship spec (ref: examples/ADNI/minimal_eikonal/specs.json) ----
-    num_scenes = 32
+    # 128 scenes -> 4 steps/epoch so the once-per-epoch host sync amortizes
+    # like in real training (ADNI: 696 scenes = 21 steps/epoch)
+    num_scenes = 128
     specs = {
         "Description": "bench",
         "DataSource": "<in-memory>",
@@ -106,17 +108,18 @@ def main():
     points_per_step = specs["SamplesPerScene"] * specs["ScenesPerBatch"]
 
     # ---- training throughput ----
-    trainer.train_epoch(1)  # warmup/compile (1 batch: 32 scenes)
+    steps_per_epoch = num_scenes // specs["ScenesPerBatch"]
+    trainer.train_epoch(1)  # warmup/compile
     t0 = time.time()
     train_steps = 0
     for e in range(2, 12):
         trainer.train_epoch(e)
-        train_steps += 1
+        train_steps += steps_per_epoch
     t_train = time.time() - t0
     train_qps = train_steps * points_per_step / t_train
 
     # shape the field a little more so the mesh is meaningful
-    for e in range(12, 40):
+    for e in range(12, 25):
         m = trainer.train_epoch(e)
 
     latent = trainer.state["lat"][0]
