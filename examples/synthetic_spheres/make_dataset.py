@@ -12,7 +12,6 @@ radius) exercising the whole pipeline without any medical data:
 """
 
 import argparse
-import json
 import os
 import sys
 

@@ -6,10 +6,7 @@ interpolations / single-dimension sweeps of a trained decoder."""
 import argparse
 import os
 
-import numpy as np
-
 import msd_tpu.workspace as ws
-from msd_tpu import mesh as mesh_mod
 from msd_tpu import plotting
 from msd_tpu.models import build_decoder
 from msd_tpu.utils import add_common_args, configure_logging

@@ -13,7 +13,6 @@ Supported formats:
 
 from __future__ import annotations
 
-import struct
 from typing import Optional, Tuple
 
 import numpy as np

@@ -14,9 +14,6 @@ call exactly.
 
 from __future__ import annotations
 
-import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

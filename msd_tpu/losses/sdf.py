@@ -7,7 +7,6 @@ networks/residual_mlp_vae.py:405-417 (Stage-2 reuse).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -9,7 +9,7 @@ mean-curvature estimate (replacing robust_laplacian).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import numpy as np
 from scipy.spatial import cKDTree as KDTree

@@ -20,7 +20,7 @@ linspace; codes are min-max scaled for classification.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

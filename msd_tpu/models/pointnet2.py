@@ -11,8 +11,6 @@ sort trick (:42-53) with static shapes.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -9,8 +9,6 @@ per-scene point sets for the SDF-consistency loss (ref: :222-230).
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 

@@ -12,7 +12,6 @@ import hashlib
 import logging
 import os
 import subprocess
-import sys
 import threading
 
 _LOCK = threading.Lock()

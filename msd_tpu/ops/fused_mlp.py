@@ -25,13 +25,8 @@ dropout is inference-off). Unsupported configs fall back to the XLA path.
 
 from __future__ import annotations
 
-import functools
-import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from msd_tpu.models.common import weight_norm_effective
 

@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import logging
 import time
-from typing import Optional, Union
-
 import numpy as np
 
 import matplotlib

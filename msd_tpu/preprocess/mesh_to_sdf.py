@@ -33,18 +33,13 @@ from __future__ import annotations
 import functools
 import logging
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from msd_tpu.ops.sampling import (
-    bounding_cube_normalization,
-    face_normals,
-    sample_mesh_surface,
-    triangle_areas,
-)
+from msd_tpu.ops.sampling import bounding_cube_normalization, sample_mesh_surface
 
 
 def signed_volume(verts, faces) -> float:

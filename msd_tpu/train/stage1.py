@@ -21,8 +21,6 @@ Differences from the reference (documented deviations):
 
 from __future__ import annotations
 
-import functools
-import json
 import logging
 import math
 import os
@@ -36,7 +34,7 @@ import msd_tpu.workspace as ws
 from msd_tpu.config import get_spec_with_default
 from msd_tpu.data.sdf_samples import SdfDataset, sample_sdf_batch
 from msd_tpu.data.splits import load_split
-from msd_tpu.losses.sdf import clamped_l1_sum, code_regularization, eikonal_loss
+from msd_tpu.losses.sdf import code_regularization, eikonal_loss
 from msd_tpu.losses.stage1 import (
     covariance_loss,
     gmm_prior_init,

@@ -19,10 +19,8 @@ tiny.
 from __future__ import annotations
 
 import logging
-import math
 import os
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ torch is used strictly as the .pth (de)serializer.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ marching tetrahedra, and mesh ops.
 
 import argparse
 import csv
-import logging
 import os
 import sys
 from glob import glob
