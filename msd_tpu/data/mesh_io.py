@@ -87,7 +87,10 @@ def save_ply(
     with open(path, "wb") as f:
         f.write(("\n".join(header) + "\n").encode("ascii"))
         if binary:
-            f.write(vertices.astype("<f4").tobytes())
+            if vertices.dtype == np.dtype("<f4"):
+                f.write(memoryview(vertices).cast("B"))  # no copy
+            else:
+                f.write(vertices.astype("<f4").tobytes())
             if faces is not None:
                 faces = np.asarray(faces, np.int32)
                 rec = np.empty(nf, dtype=[("n", "u1"), ("idx", "<i4", (3,))])

@@ -226,9 +226,13 @@ def _streaming_available() -> bool:
 
 def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size):
     """Hierarchical active-block discovery + streamed C++ marching
-    tetrahedra: chunk k meshes on the host while chunk k+1 evaluates on
-    the device."""
+    tetrahedra, fully pipelined three ways: while the device evaluates
+    chunk k+2, the main thread waits on chunk k+1's transfer and a worker
+    thread meshes chunk k (ctypes releases the GIL around mt_add_blocks,
+    and the relay transfer releases it while blocked on IO, so meshing
+    and transfer genuinely overlap even on a single-core host)."""
     import ctypes
+    from concurrent.futures import ThreadPoolExecutor
 
     from msd_tpu.native import load_native
     from msd_tpu.ops.marching_cubes import _FLIP_TABLE
@@ -252,9 +256,9 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size)
         ctypes.c_int64(abi4.shape[0]),
     )
     b = SPARSE_BLOCK
-    for vals, chunk in evaluator.iter_block_values(latent, abi4, N, scale=1):
-        vals = np.ascontiguousarray(vals, np.float32)
-        bases = np.ascontiguousarray(chunk.astype(np.int32) * b)
+
+    def mesh_chunk(vals, bases):
+        # vals/bases stay referenced by this closure for the call's duration
         lib.mt_add_blocks(
             ctypes.c_void_p(handle),
             vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -262,28 +266,39 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size)
             ctypes.c_int64(vals.shape[0]),
             ctypes.c_int32(b),
         )
+
+    # single worker: mt_add_blocks calls must stay sequential (one Builder)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = None
+        for vals, chunk in evaluator.iter_block_values(latent, abi4, N, scale=1):
+            vals = np.ascontiguousarray(vals, np.float32)
+            bases = np.ascontiguousarray(chunk.astype(np.int32) * b)
+            if fut is not None:
+                fut.result()
+            fut = pool.submit(mesh_chunk, vals, bases)
+        if fut is not None:
+            fut.result()
+
     out_verts = ctypes.POINTER(ctypes.c_float)()
     out_faces = ctypes.POINTER(ctypes.c_int32)()
     nv = ctypes.c_int64()
     nf = ctypes.c_int64()
-    rc = lib.mt_finish(
-        ctypes.c_void_p(handle),
-        ctypes.byref(out_verts), ctypes.byref(nv),
-        ctypes.byref(out_faces), ctypes.byref(nf),
-    )
-    if rc != 0 or nv.value == 0:
-        if rc == 0:
-            lib.mt_free(out_verts)
-            lib.mt_free(out_faces)
-        raise ValueError("Surface level must be within volume data range.")
     try:
-        verts = np.ctypeslib.as_array(out_verts, shape=(nv.value, 3)).copy()
+        # zero-copy views into the builder's buffers; the scale/shift below
+        # materializes the final arrays, so no intermediate copy is needed
+        lib.mt_finish_view(
+            ctypes.c_void_p(handle),
+            ctypes.byref(out_verts), ctypes.byref(nv),
+            ctypes.byref(out_faces), ctypes.byref(nf),
+        )
+        if nv.value == 0:
+            raise ValueError("Surface level must be within volume data range.")
+        verts_view = np.ctypeslib.as_array(out_verts, shape=(nv.value, 3))
+        verts = verts_view * np.float32(voxel_size) - np.float32(1.0)
         faces = np.ctypeslib.as_array(out_faces, shape=(nf.value, 3)).copy()
     finally:
-        lib.mt_free(out_verts)
-        lib.mt_free(out_faces)
-    verts = verts * np.float32(voxel_size) - 1.0
-    return verts.astype(np.float32), faces
+        lib.mt_destroy(ctypes.c_void_p(handle))
+    return verts.astype(np.float32, copy=False), faces
 
 
 _EVAL_CACHE: dict = {}
@@ -576,12 +591,13 @@ def create_mesh(
         return False
 
     # apply additional offset and scale (ref: deep_sdf/mesh.py:132-136)
-    pts = verts.astype(np.float64)
-    if scale is not None:
-        pts = pts / scale
-    if offset is not None:
-        pts = pts - offset
-    verts = pts.astype(np.float32)
+    if scale is not None or offset is not None:
+        pts = verts.astype(np.float64)
+        if scale is not None:
+            pts = pts / scale
+        if offset is not None:
+            pts = pts - offset
+        verts = pts.astype(np.float32)
 
     if filename:
         os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)

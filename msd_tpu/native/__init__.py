@@ -90,6 +90,10 @@ def load_native():
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
                 ctypes.POINTER(ctypes.c_int64),
             ]
+            lib.mt_finish_view.restype = ctypes.c_int
+            lib.mt_finish_view.argtypes = lib.mt_finish.argtypes
+            lib.mt_destroy.restype = None
+            lib.mt_destroy.argtypes = [ctypes.c_void_p]
             _LIB = lib
         except Exception as e:  # toolchain missing / compile error
             logging.warning("native library unavailable, using numpy path: %s", e)

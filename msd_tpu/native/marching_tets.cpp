@@ -265,6 +265,23 @@ void mt_add_blocks(
   add_blocks_impl(*builder, block_vals, bases, num_blocks, b, builder->N);
 }
 
+// Zero-copy variant: returns views of the builder's internal buffers.
+// The pointers stay valid until mt_destroy(handle); the caller must copy
+// (or transform) them out before destroying and must NOT mt_free() them.
+int mt_finish_view(
+    void* handle,
+    float** out_verts, int64_t* out_num_verts,
+    int32_t** out_faces, int64_t* out_num_faces) {
+  Builder* builder = (Builder*)handle;
+  *out_num_verts = (int64_t)(builder->verts.size() / 3);
+  *out_num_faces = (int64_t)(builder->faces.size() / 3);
+  *out_verts = builder->verts.data();
+  *out_faces = builder->faces.data();
+  return 0;
+}
+
+void mt_destroy(void* handle) { delete (Builder*)handle; }
+
 int mt_finish(
     void* handle,
     float** out_verts, int64_t* out_num_verts,
