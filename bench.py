@@ -118,7 +118,9 @@ def main():
     t_train = time.time() - t0
     train_qps = train_steps * points_per_step / t_train
 
-    # shape the field a little more so the mesh is meaningful
+    # shape the field a little more so the mesh is meaningful (longer
+    # training does NOT shrink the active-block set — the shell width is
+    # set by the Lipschitz refinement threshold, not by field noise)
     for e in range(12, 25):
         m = trainer.train_epoch(e)
 

@@ -153,6 +153,45 @@ class PointEvaluator:
             self._block_fns["fn"] = f
         return self._block_fns["fn"]
 
+    def _get_mask_fn(self):
+        """Block program fused with a per-block sign-crossing reduction:
+        returns [A_CHUNK] bool, True iff the block's (b+1)^3 corner lattice
+        has mixed signs. Only 1 byte/block crosses the (slow) relay."""
+        if "mask" not in self._block_fns:
+            fn = self._get_block_fn()
+
+            @jax.jit
+            def m(latent, abi_chunk, h, scale):
+                vals = fn(latent, abi_chunk, h, scale)
+                neg = vals < 0
+                return jnp.any(neg, axis=1) & ~jnp.all(neg, axis=1)
+
+            self._block_fns["mask"] = m
+        return self._block_fns["mask"]
+
+    def crossing_blocks(self, latent, abi: np.ndarray, N: int) -> np.ndarray:
+        """Subset of ``abi`` whose blocks contain a sign change.
+
+        Blocks whose corner lattice is single-signed emit no marching-tets
+        geometry, and in the Lipschitz-threshold active set they are the
+        large majority (the threshold shell is several blocks thick but the
+        crossing shell is ~1 block thick) — filtering them on device cuts
+        the value transfer ~4-5x with a bit-exact identical mesh.
+        """
+        A = abi.shape[0]
+        fn = self._get_mask_fn()
+        latent = jnp.asarray(latent).reshape(-1)
+        h = jnp.float32(2.0 / (N - 1))
+        scale_d = jnp.int32(1)
+        pending = []
+        for start in range(0, A, self.A_CHUNK):
+            chunk = np.zeros((self.A_CHUNK, 3), np.int32)
+            end = min(A, start + self.A_CHUNK)
+            chunk[: end - start] = abi[start:end]
+            pending.append((fn(latent, jnp.asarray(chunk), h, scale_d), end - start))
+        mask = np.concatenate([np.asarray(dev[:n]) for dev, n in pending]) if pending else np.zeros(0, bool)
+        return abi[mask]
+
     def iter_block_values(self, latent, abi: np.ndarray, N: int, scale: int = 1):
         """Yield (values [Ac, (b+1)^3] f32, abi_chunk [Ac, 3]) chunks.
 
@@ -239,21 +278,30 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size)
 
     lib = load_native()
     abi4, evaluated = _sparse_active4(latent, N, evaluator, safety, clamp_dist)
-    total_evals = evaluated + abi4.shape[0] * (SPARSE_BLOCK + 1) ** 3
+    if abi4.shape[0] == 0:
+        raise ValueError("Surface level must be within volume data range.")
+    # second on-device prune: only sign-crossing blocks produce geometry,
+    # and only those cross the slow host link (identical mesh, ~4-5x fewer
+    # bytes than transferring the whole Lipschitz-threshold shell)
+    abi_x = evaluator.crossing_blocks(latent, abi4, N)
+    total_evals = evaluated + (abi4.shape[0] + abi_x.shape[0]) * (SPARSE_BLOCK + 1) ** 3
     LAST_STREAMING_STATS.update(
-        active_blocks=int(abi4.shape[0]), evaluated=int(total_evals), total=int(N**3)
+        active_blocks=int(abi4.shape[0]),
+        crossing_blocks=int(abi_x.shape[0]),
+        evaluated=int(total_evals),
+        total=int(N**3),
     )
     logging.debug(
-        "[create_mesh] streaming: %d active blocks, %d prefilter evals",
-        abi4.shape[0], evaluated,
+        "[create_mesh] streaming: %d active blocks, %d crossing, %d prefilter evals",
+        abi4.shape[0], abi_x.shape[0], evaluated,
     )
-    if abi4.shape[0] == 0:
+    if abi_x.shape[0] == 0:
         raise ValueError("Surface level must be within volume data range.")
     flips = np.ascontiguousarray(_FLIP_TABLE.astype(np.uint8))
     handle = lib.mt_create(
         ctypes.c_int64(N),
         flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.c_int64(abi4.shape[0]),
+        ctypes.c_int64(abi_x.shape[0]),
     )
     b = SPARSE_BLOCK
 
@@ -270,7 +318,7 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size)
     # single worker: mt_add_blocks calls must stay sequential (one Builder)
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = None
-        for vals, chunk in evaluator.iter_block_values(latent, abi4, N, scale=1):
+        for vals, chunk in evaluator.iter_block_values(latent, abi_x, N, scale=1):
             vals = np.ascontiguousarray(vals, np.float32)
             bases = np.ascontiguousarray(chunk.astype(np.int32) * b)
             if fut is not None:
