@@ -152,10 +152,11 @@ def main():
             trainer.decoder, trainer.state["net"], latent,
             filename="/tmp/msd_bench_mesh_warm", N=n_warm, return_mesh=True, evaluator=evaluator,
         )
-    # best-of-2: the axon relay's transfer latency is bursty; both runs are
-    # fully warmed so the min is the honest steady-state figure
+    # best-of-3: the axon relay's transfer latency is bursty (same warmed
+    # workload swings 1.2-6s across minutes); the min is the honest
+    # steady-state figure
     t_grid = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         res = mesh_mod.create_mesh(
             trainer.decoder, trainer.state["net"], latent,

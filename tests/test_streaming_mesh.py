@@ -59,3 +59,23 @@ def test_two_level_prefilter_engages(trained):  # noqa: F811
     assert res is not None and res is not False
     radii = np.linalg.norm(res[0], axis=1)
     np.testing.assert_allclose(radii.mean(), 0.5, atol=0.06)  # tiny-model bias
+
+
+@needs_native
+def test_crossing_block_filter_exact(trained):  # noqa: F811
+    """crossing_blocks keeps exactly the blocks whose corner lattice has
+    mixed signs — the only ones that can emit marching-tets geometry."""
+    trainer, _ = trained
+    latent = trainer.state["lat"][2]
+    ev = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    N = 193
+    abi4, _ = mesh_mod._sparse_active4(latent, N, ev, 1.3, 0.1)
+    assert abi4.shape[0] > 0
+    abi_x = ev.crossing_blocks(latent, abi4, N)
+    # reference: full block values, host-side sign check
+    vals = ev.eval_blocks(latent, abi4, mesh_mod.SPARSE_BLOCK, N)
+    neg = (vals < 0).reshape(abi4.shape[0], -1)
+    expected = neg.any(axis=1) & ~neg.all(axis=1)
+    np.testing.assert_array_equal(abi_x, abi4[expected])
+    # the filter must actually prune something on a thick threshold shell
+    assert abi_x.shape[0] < abi4.shape[0]
