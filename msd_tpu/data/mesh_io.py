@@ -205,3 +205,11 @@ def load_mesh(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     if ext == "ply":
         return load_ply(path)
     raise ValueError(f"unsupported mesh format: {path}")
+
+
+def save_mesh(path: str, vertices: np.ndarray, faces: np.ndarray):
+    """Extension-dispatched mesh writer (.obj ascii / .ply binary)."""
+    if path.lower().endswith(".obj"):
+        save_obj(path, vertices, faces)
+    else:
+        save_ply(path, vertices, faces)

@@ -93,3 +93,19 @@ def comp_fc_net_frac_params(num_params, codelength, div):
     return -(codelength + 4) / (7 * 2) + math.sqrt(
         ((codelength + 4) / (7 * 2)) ** 2 + (num_params / (div * 7))
     )
+
+
+def is_watertight(faces) -> bool:
+    """True iff every undirected edge is shared by exactly two faces
+    (the manifold-closedness test trimesh's is_watertight performs;
+    used by the OAI-ZIB grooming checks, ref: sdf_utils/mesh_scaling.ipynb)."""
+    import numpy as np
+
+    f = np.asarray(faces)
+    if f.size == 0:
+        return False
+    edges = np.sort(
+        np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]]), axis=1
+    )
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    return bool((counts == 2).all())
