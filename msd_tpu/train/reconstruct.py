@@ -39,8 +39,7 @@ class ReconstructConfig(NamedTuple):
     matmul_precision: str = "bfloat16"
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _reconstruct_scan(decoder, cfg: ReconstructConfig, params, pos, pos_count, neg, neg_count, init_latent, dist_mean, dist_std, key):
+def _reconstruct_scan_impl(decoder, cfg: ReconstructConfig, params, pos, pos_count, neg, neg_count, init_latent, dist_mean, dist_std, key):
     """Returns (loss_hist [iters], latent [1, L])."""
     half = cfg.num_samples // 2
     decreased_by = 10.0
@@ -101,6 +100,9 @@ def _reconstruct_scan(decoder, cfg: ReconstructConfig, params, pos, pos_count, n
             step, (init_latent, zeros, zeros), jnp.arange(cfg.num_iterations)
         )
     return losses, latent
+
+
+_reconstruct_scan = functools.partial(jax.jit, static_argnums=(0, 1))(_reconstruct_scan_impl)
 
 
 def reconstruct(
@@ -180,3 +182,142 @@ def reconstruct(
     if return_loss_hist:
         return losses.tolist(), latent
     return float(losses[-1]), latent
+
+
+# ---------------------------------------------------------------------------
+# Batched reconstruction: many shapes at once, optionally sharded over a
+# device mesh. The reference loops shapes one at a time on one GPU
+# (ref: reconstruct.py:259-357); latent fits are independent, so on TPU the
+# shape axis vmaps into one program and shards across chips (SURVEY §2.6).
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _reconstruct_scan_batch(decoder, cfg, params, pos, pos_count, neg, neg_count, init_latent, dist_mean, dist_std, keys):
+    """pos/neg [S, P, 4], counts [S], init_latent [S, 1, L], keys [S, 2]
+    -> (loss_hist [S, iters], latents [S, 1, L])."""
+
+    def single(p, pc, n, nc, il, k):
+        return _reconstruct_scan_impl(
+            decoder, cfg, params, p, pc, n, nc, il, dist_mean, dist_std, k
+        )
+
+    return jax.vmap(single)(pos, pos_count, neg, neg_count, init_latent, keys)
+
+
+def reconstruct_batch(
+    decoder,
+    params,
+    num_iterations,
+    latent_size,
+    test_sdfs,
+    stat,
+    clamp_dist,
+    num_samples=30000,
+    lr=5e-4,
+    l2reg=False,
+    code_reg_lambda=None,
+    code_reg_type="l2_sq",
+    code_bound=None,
+    dist_mean=None,
+    dist_std=None,
+    dist_weight=0.0,
+    dist_type="zscore_l2",
+    key=None,
+    mesh=None,
+):
+    """Fit latents for ``len(test_sdfs)`` shapes in ONE device program.
+
+    test_sdfs: list of (pos [Pi,4], neg [Ni,4]) pairs. With ``mesh`` (a 1-D
+    jax.sharding.Mesh with a "data" axis) the shape axis is sharded across
+    devices — each chip optimizes its slice of shapes, no collectives needed.
+    Returns (final_losses [S], latents [S, L]).
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    S = len(test_sdfs)
+    if S == 0:
+        return np.zeros(0, np.float32), np.zeros((0, latent_size), np.float32)
+
+    # common pow2 padding across shapes -> one [S, P, 4] stack, one compile
+    def _pad_to(arr, n_pad):
+        arr = np.asarray(arr, np.float32)
+        n = arr.shape[0]
+        out = np.zeros((n_pad, arr.shape[1]), np.float32)
+        out[:n] = arr
+        return out, n
+
+    def _pow2(n):
+        p = 1024
+        while p < n:
+            p *= 2
+        return p
+
+    p_pad = _pow2(max(p.shape[0] for p, _ in test_sdfs))
+    n_pad = _pow2(max(n.shape[0] for _, n in test_sdfs))
+    pos_list, pos_counts, neg_list, neg_counts = [], [], [], []
+    for p, n in test_sdfs:
+        pp, pc = _pad_to(p, p_pad)
+        nn, nc = _pad_to(n, n_pad)
+        pos_list.append(pp)
+        pos_counts.append(pc)
+        neg_list.append(nn)
+        neg_counts.append(nc)
+
+    # pad the shape axis so it divides the mesh (padded rows re-fit shape 0)
+    n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    S_pad = ((S + n_dev - 1) // n_dev) * n_dev
+    for _ in range(S_pad - S):
+        pos_list.append(pos_list[0])
+        pos_counts.append(pos_counts[0])
+        neg_list.append(neg_list[0])
+        neg_counts.append(neg_counts[0])
+
+    kinit, kopt = jax.random.split(key)
+    if isinstance(stat, float):
+        init = stat * jax.random.normal(kinit, (S_pad, 1, latent_size))
+    else:
+        mean, std = stat
+        init = jnp.asarray(mean).reshape(1, 1, -1) + jnp.asarray(std).reshape(1, 1, -1) * jax.random.normal(
+            kinit, (S_pad, 1, latent_size)
+        )
+    keys = jax.vmap(lambda i: jax.random.fold_in(kopt, i))(jnp.arange(S_pad))
+
+    dm = jnp.zeros((1, latent_size)) if dist_mean is None else jnp.asarray(dist_mean).reshape(1, -1)
+    ds = jnp.ones((1, latent_size)) if dist_std is None else jnp.maximum(jnp.asarray(dist_std).reshape(1, -1), 1e-8)
+
+    pos = jnp.asarray(np.stack(pos_list))
+    neg = jnp.asarray(np.stack(neg_list))
+    pcs = jnp.asarray(np.array(pos_counts, np.int32))
+    ncs = jnp.asarray(np.array(neg_counts, np.int32))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        pos = jax.device_put(pos, shard)
+        neg = jax.device_put(neg, shard)
+        pcs = jax.device_put(pcs, shard)
+        ncs = jax.device_put(ncs, shard)
+        init = jax.device_put(init, shard)
+        keys = jax.device_put(keys, shard)
+        params = jax.device_put(params, repl)
+
+    cfg = ReconstructConfig(
+        num_iterations=int(num_iterations),
+        latent_size=int(latent_size),
+        clamp_dist=float(clamp_dist),
+        num_samples=int(num_samples),
+        lr=float(lr),
+        l2reg=bool(l2reg),
+        code_reg_lambda=None if code_reg_lambda is None else float(code_reg_lambda),
+        code_reg_type=str(code_reg_type),
+        code_bound=None if code_bound is None else float(code_bound),
+        dist_weight=float(dist_weight) if dist_weight else 0.0,
+        dist_type=str(dist_type),
+    )
+    losses, latents = _reconstruct_scan_batch(
+        decoder, cfg, params, pos, pcs, neg, ncs, init, dm, ds, keys
+    )
+    losses = np.asarray(losses)[:S]
+    latents = np.asarray(latents)[:S, 0, :]
+    return losses[:, -1], latents

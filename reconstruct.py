@@ -36,6 +36,13 @@ if __name__ == "__main__":
     arg_parser.add_argument(
         "--skip", dest="skip", action="store_true", help="Skip shapes already reconstructed."
     )
+    arg_parser.add_argument(
+        "--batch", dest="batch_size", type=int, default=0,
+        help="Fit this many shapes per device program (0 = one at a time, the "
+        "reference's behavior). Latent fits are independent, so batching "
+        "vmaps them into one program; on a multi-chip mesh the batch shards "
+        "across chips.",
+    )
     add_common_args(arg_parser)
     args = arg_parser.parse_args()
     configure_logging(args)
@@ -63,11 +70,10 @@ if __name__ == "__main__":
     os.makedirs(reconstruction_meshes_dir, exist_ok=True)
     os.makedirs(reconstruction_codes_dir, exist_ok=True)
 
-    err_sum = 0.0
-    # pad all shapes to a common sample count so one jitted reconstruction
-    # program is reused across every shape (no per-shape recompiles)
-    for ii, npz in enumerate(npz_filenames):
-        if "npz" not in npz:
+    # resolve the worklist first (shared by both modes)
+    work = []
+    for npz in npz_filenames:
+        if "npz" not in npz or not os.path.isfile(npz):
             continue
         mesh_filename = os.path.join(reconstruction_meshes_dir, os.path.basename(npz)[:-4])
         latent_filename = os.path.join(
@@ -75,36 +81,74 @@ if __name__ == "__main__":
         )
         if args.skip and os.path.isfile(mesh_filename + ".ply") and os.path.isfile(latent_filename):
             continue
-        if not os.path.isfile(npz):
-            continue
+        work.append((npz, mesh_filename, latent_filename))
 
-        logging.info("reconstructing %s", npz)
-        pos, neg = read_sdf_samples(npz)
-        pos, neg = remove_nans(pos), remove_nans(neg)
-
-        start = time.time()
-        err, latent = reconstruct(
-            decoder,
-            params,
-            int(args.iterations),
-            latent_size,
-            [pos, neg],
-            0.01,
-            0.1,
-            num_samples=8000,
-            lr=5e-3,
-            l2reg=True,
-        )
-        logging.debug("reconstruct time: %s", time.time() - start)
-        err_sum += err
-        logging.debug("current_error avg: %s", err_sum / (ii + 1))
-
-        start = time.time()
+    def save_outputs(latent, mesh_filename, latent_filename):
         mesh.create_mesh(
             decoder, params, latent, mesh_filename, N=args.mesh_resolution, max_batch=int(2**18)
         )
-        logging.info("total time: %s", time.time() - start)
-
         import torch
 
-        torch.save(torch.from_numpy(np.asarray(latent))[None, ...], latent_filename)
+        torch.save(torch.from_numpy(np.asarray(latent).reshape(1, -1).copy())[None, ...], latent_filename)
+
+    err_sum = 0.0
+    if args.batch_size > 1:
+        # fit batch_size shapes per device program (sharded over the mesh
+        # when multiple chips are visible)
+        from msd_tpu.train.reconstruct import reconstruct_batch
+
+        n_dev = len(__import__("jax").devices())
+        dev_mesh = None
+        if n_dev > 1:
+            from msd_tpu.parallel.mesh_utils import make_mesh
+
+            dev_mesh = make_mesh()
+        done = 0
+        for start_i in range(0, len(work), args.batch_size):
+            group = work[start_i : start_i + args.batch_size]
+            shapes = []
+            for npz, _, _ in group:
+                pos, neg = read_sdf_samples(npz)
+                shapes.append((remove_nans(pos), remove_nans(neg)))
+            start = time.time()
+            errs, latents = reconstruct_batch(
+                decoder, params, int(args.iterations), latent_size, shapes,
+                0.01, 0.1, num_samples=8000, lr=5e-3, l2reg=True, mesh=dev_mesh,
+            )
+            logging.info(
+                "reconstructed %d shapes in %.2fs (%.2fs/shape)",
+                len(group), time.time() - start, (time.time() - start) / len(group),
+            )
+            for (npz, mesh_filename, latent_filename), err, latent in zip(group, errs, latents):
+                err_sum += float(err)
+                done += 1
+                logging.debug("current_error avg: %s", err_sum / done)
+                save_outputs(latent, mesh_filename, latent_filename)
+    else:
+        # one shape at a time (pow2 sample padding keeps one jitted program
+        # reused across every shape — no per-shape recompiles)
+        for ii, (npz, mesh_filename, latent_filename) in enumerate(work):
+            logging.info("reconstructing %s", npz)
+            pos, neg = read_sdf_samples(npz)
+            pos, neg = remove_nans(pos), remove_nans(neg)
+
+            start = time.time()
+            err, latent = reconstruct(
+                decoder,
+                params,
+                int(args.iterations),
+                latent_size,
+                [pos, neg],
+                0.01,
+                0.1,
+                num_samples=8000,
+                lr=5e-3,
+                l2reg=True,
+            )
+            logging.debug("reconstruct time: %s", time.time() - start)
+            err_sum += err
+            logging.debug("current_error avg: %s", err_sum / (ii + 1))
+
+            start = time.time()
+            save_outputs(latent, mesh_filename, latent_filename)
+            logging.info("total time: %s", time.time() - start)

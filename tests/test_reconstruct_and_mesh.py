@@ -122,3 +122,44 @@ def test_reconstruct_code_bound_and_dist_penalty(trained):
         dist_weight=0.1,
     )
     assert float(np.linalg.norm(np.asarray(latent))) <= 0.05 + 1e-5
+
+
+def test_reconstruct_batch_matches_single_and_shards(trained):
+    """reconstruct_batch fits all shapes in one program; sharded over a
+    virtual 8-device mesh it produces working latents for every shape."""
+    from jax.sharding import Mesh
+
+    from msd_tpu.train.reconstruct import reconstruct_batch
+
+    trainer, _ = trained
+    ds = trainer.dataset
+    shapes = [
+        (ds.pos[i, : ds.pos_counts[i]], ds.neg[i, : ds.neg_counts[i]])
+        for i in range(3)
+    ]
+    losses, latents = reconstruct_batch(
+        trainer.decoder, trainer.state["net"], 120, trainer.latent_size,
+        shapes, 0.01, 0.1, num_samples=512, lr=5e-3, l2reg=True,
+    )
+    assert losses.shape == (3,) and latents.shape == (3, trainer.latent_size)
+    # each fitted latent decodes to a near-zero SDF loss on its own samples
+    single_losses = []
+    for (pos, neg), lat in zip(shapes, latents):
+        hist, _ = reconstruct(
+            trainer.decoder, trainer.state["net"], 120, trainer.latent_size,
+            [pos, neg], 0.01, 0.1, num_samples=512, lr=5e-3, l2reg=True,
+            return_loss_hist=True,
+        )
+        single_losses.append(hist[-1])
+    # batched fits reach the same quality as the sequential reference path
+    assert np.all(losses < np.array(single_losses) * 1.5 + 5e-3), (losses, single_losses)
+
+    # sharded: 3 shapes pad to 8 across the virtual device mesh
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    losses_sh, latents_sh = reconstruct_batch(
+        trainer.decoder, trainer.state["net"], 60, trainer.latent_size,
+        shapes, 0.01, 0.1, num_samples=512, lr=5e-3, l2reg=True, mesh=mesh,
+    )
+    assert losses_sh.shape == (3,) and latents_sh.shape == (3, trainer.latent_size)
+    assert np.isfinite(latents_sh).all()
+    assert np.all(losses_sh < 0.1)
