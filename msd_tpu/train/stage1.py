@@ -664,7 +664,7 @@ class Stage1Trainer:
             from msd_tpu.data.sdf_samples import read_sdf_samples, remove_nans
             from msd_tpu.data.splits import get_instance_filenames
             from msd_tpu.metrics.chamfer import compute_mesh_chamfer
-            from msd_tpu.train.reconstruct import reconstruct
+            from msd_tpu.train.reconstruct import reconstruct_batch
         except ImportError:
             return
         test_split = load_split(test_split_file)
@@ -674,17 +674,24 @@ class Stage1Trainer:
         eval_grid_res = get_spec_with_default(specs, "EvalGridResolution", 256)
         test_errs, dists, lat_mags = [], [], []
         t0 = time.time()
+        # all test latents fit in ONE vmapped device program (sharded over
+        # self.mesh when training multi-chip); meshing stays per shape
+        names, shapes = [], []
         for fname in filenames[:n_eval]:
             if not os.path.isfile(fname):
                 continue
-            save_name = os.path.basename(fname).split(".npz")[0]
             pos, neg = read_sdf_samples(fname)
-            pos, neg = remove_nans(pos), remove_nans(neg)
-            err, latent = reconstruct(
-                self.decoder, self.state["net"], int(steps), self.latent_size,
-                [pos, neg], 0.01, 0.1, num_samples=16384, lr=5e-3, l2reg=True,
-            )
-            test_errs.append(err)
+            shapes.append((remove_nans(pos), remove_nans(neg)))
+            names.append(os.path.basename(fname).split(".npz")[0])
+        if not shapes:
+            return
+        errs, latents = reconstruct_batch(
+            self.decoder, self.state["net"], int(steps), self.latent_size,
+            shapes, 0.01, 0.1, num_samples=16384, lr=5e-3, l2reg=True,
+            mesh=self.mesh,
+        )
+        for save_name, err, latent in zip(names, errs, latents):
+            test_errs.append(float(err))
             lat_mags.append(float(np.linalg.norm(np.asarray(latent))))
             out_dir = os.path.join(
                 self.experiment_directory, ws.tb_logs_dir, ws.tb_logs_test_reconstructions, save_name

@@ -711,8 +711,9 @@ class Stage2Trainer:
 
     def reconstruct_latents_for_dataset(self, dataset, num_iterations=None, num_samples=None, lr=None):
         """Optimize a Stage-1-style latent per shape of an eval split through
-        the (frozen) SDF decoder (ref: :415-473). Returns [S, L] f32."""
-        from msd_tpu.train.reconstruct import reconstruct
+        the (frozen) SDF decoder (ref: :415-473) — all shapes in one vmapped
+        device program. Returns [S, L] f32."""
+        from msd_tpu.train.reconstruct import reconstruct_batch
 
         g = lambda k, d: get_spec_with_default(self.specs, k, d)
         num_iterations = num_iterations or g("EvalTestOptimizationSteps", 1000)
@@ -720,18 +721,16 @@ class Stage2Trainer:
         lr = lr or g("EvalTestLatentLR", 5e-3)
         init_std = g("EvalTestLatentInitStd", 0.01)
         l2reg = g("EvalTestLatentL2Reg", True)
-        out = np.zeros((dataset.num_scenes, self.latent_size), np.float32)
-        sdf_params = self.sdf_params()
-        for i in range(dataset.num_scenes):
-            pos = dataset.pos[i, : dataset.pos_counts[i]]
-            neg = dataset.neg[i, : dataset.neg_counts[i]]
-            _, latent = reconstruct(
-                self.sdf_decoder, sdf_params, int(num_iterations), self.latent_size,
-                [pos, neg], float(init_std), self.clamp_dist,
-                num_samples=int(num_samples), lr=float(lr), l2reg=bool(l2reg),
-            )
-            out[i] = np.asarray(latent).reshape(-1)
-        return out
+        shapes = [
+            (dataset.pos[i, : dataset.pos_counts[i]], dataset.neg[i, : dataset.neg_counts[i]])
+            for i in range(dataset.num_scenes)
+        ]
+        _, latents = reconstruct_batch(
+            self.sdf_decoder, self.sdf_params(), int(num_iterations), self.latent_size,
+            shapes, float(init_std), self.clamp_dist,
+            num_samples=int(num_samples), lr=float(lr), l2reg=bool(l2reg),
+        )
+        return latents.astype(np.float32)
 
     def eval_split(self, epoch: int, split_label: str, teacher_latents: np.ndarray, dataset):
         """SAP + correlation on an eval split: encode the reconstructed
