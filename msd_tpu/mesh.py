@@ -188,8 +188,13 @@ class PointEvaluator:
             chunk = np.zeros((self.A_CHUNK, 3), np.int32)
             end = min(A, start + self.A_CHUNK)
             chunk[: end - start] = abi[start:end]
-            pending.append((fn(latent, jnp.asarray(chunk), h, scale_d), end - start))
-        mask = np.concatenate([np.asarray(dev[:n]) for dev, n in pending]) if pending else np.zeros(0, bool)
+            pending.append(fn(latent, jnp.asarray(chunk), h, scale_d))
+        if not pending:
+            return abi[:0]
+        # ONE device->host fetch for all chunks: per-chunk fetches each pay
+        # a full relay round trip (~20-500 ms under load), which dominates
+        # the 1-byte/block payload
+        mask = np.asarray(jnp.concatenate(pending))[:A]
         return abi[mask]
 
     def iter_block_values(self, latent, abi: np.ndarray, N: int, scale: int = 1):
