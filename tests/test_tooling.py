@@ -141,3 +141,80 @@ def test_create_splits_and_ply_to_obj_cli(tmp_path):
     assert r.returncode == 0, r.stderr
     train = json.load(open(tmp_path / "splits" / "toy_train_split.json"))
     assert len(train) == 8
+
+
+def test_mesh_scaling_cli(tmp_path):
+    """utils/mesh_scaling.py: group-uniform rescale + watertight audit
+    (ref: sdf_utils/mesh_scaling.ipynb)."""
+    import numpy as np
+
+    from msd_tpu.data.mesh_io import load_mesh, save_obj
+
+    verts = np.array(
+        [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)], np.float32
+    )
+    faces = np.array(
+        [[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5], [0, 4, 5], [0, 5, 1],
+         [2, 3, 7], [2, 7, 6], [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]],
+        np.int32,
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    save_obj(str(src / "a.obj"), verts * 10.0, faces)
+    save_obj(str(src / "b.obj"), verts * 25.0 + 5.0, faces)
+    save_obj(str(src / "open.obj"), verts * 10.0, faces[:-1])  # not watertight
+    out = tmp_path / "out"
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "utils", "mesh_scaling.py"),
+         "-i", str(src), "-o", str(out)],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "Watertight meshes: 2/3" in res.stdout
+    assert "NOT watertight: open.obj" in res.stdout
+    import json as _json
+
+    info = _json.loads((out / "scale_info.json").read_text())
+    assert info["global_min"] == 0.0 and info["global_max"] == 30.0
+    allv = np.concatenate([load_mesh(str(out / f))[0] for f in ("a.obj", "b.obj")])
+    assert np.isclose(allv.min(), -0.9) and np.isclose(allv.max(), 0.9)
+
+
+def test_latent_manifold_cli(tmp_path):
+    """latent_manifold.py: HLLE/ICA/PCA embeddings of trained latents."""
+    import json as _json
+
+    import numpy as np
+
+    from msd_tpu.data.labels import save_labels
+    from msd_tpu.utils.checkpoint import save_latent_vectors
+
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 1, 40)
+    lat = np.outer(t, rng.normal(size=16)) + 0.05 * rng.normal(size=(40, 16))
+    save_latent_vectors(str(exp), "latest.pth", lat.astype(np.float32), epoch=7)
+    ids = [f"shape_{i:03d}" for i in range(40)]
+    _json.dump({"ds": {"grp": ids}}, open(tmp_path / "split.json", "w"))
+    _json.dump(
+        {"Description": "m", "DataSource": str(tmp_path),
+         "TrainSplit": str(tmp_path / "split.json"), "NetworkArch": "deep_sdf_decoder",
+         "NetworkSpecs": {}, "CodeLength": 16, "NumEpochs": 1, "SnapshotFrequency": 1,
+         "LearningRateSchedule": [{"Type": "Constant", "Value": 1e-3}] * 2,
+         "SamplesPerScene": 1, "ScenesPerBatch": 1, "ClampingDistance": 0.1},
+        open(exp / "specs.json", "w"),
+    )
+    save_labels(str(tmp_path / "labels.json"), {i: [float(k % 3)] for k, i in enumerate(ids)})
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "latent_manifold.py"),
+         "-e", str(exp), "--methods", "hlle", "ica", "pca",
+         "--labels_path", str(tmp_path / "labels.json")],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    out_dir = exp / "Evaluation" / "Manifold"
+    for m in ("hlle", "ica", "pca"):
+        assert (out_dir / f"latent_{m}.png").exists(), m
+        emb = np.load(out_dir / f"latent_{m}.npy")
+        assert emb.shape == (40, 2) and np.isfinite(emb).all()
