@@ -189,6 +189,19 @@ def main():
     baseline_grid_qps = 1.34e7  # ref GPU: 512^3 in ~10 s (deep_sdf/mesh.py:27)
     value = grid_qps_effective
 
+    # measured PyTorch reference denominator on this host (BASELINE.md;
+    # produced by benchmarks/reference_torch.py)
+    torch_meas = {}
+    meas_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "baseline_torch_measured.json")
+    if os.path.isfile(meas_path):
+        with open(meas_path) as f:
+            torch_meas = json.load(f)
+    ref_train_cpu = torch_meas.get("train_queries_per_sec")
+    # derived GPU training anchor: grid-eval rate / 6 (fwd+bwd ~3x fwd
+    # FLOPs, eikonal double-backward ~2x more) — see BASELINE.md
+    ref_train_gpu_derived = baseline_grid_qps / 6.0
+
     result = {
         "metric": "SDF grid-eval queries/sec/chip (512^3 mesh extraction, effective)",
         "value": round(value),
@@ -203,6 +216,11 @@ def main():
             "grid512_seconds": round(t_grid, 3),
             "grid512_evaluated_fraction": round(stats["evaluated"] / stats["total"], 4),
             "create_mesh256_seconds": round(t_mesh256, 3),
+            "train_vs_reference_cpu_measured": (
+                None if not ref_train_cpu else round(train_qps / ref_train_cpu, 1)
+            ),
+            "train_vs_reference_gpu_derived": round(train_qps / ref_train_gpu_derived, 2),
+            "reference_torch_measured": torch_meas or None,
             "train_loss_sdf": round(float(m["sdf"]), 5),
             "chamfer_sphere": None if chamfer is None else float(chamfer),
             "fused_kernel": evaluator.fused,
