@@ -169,6 +169,111 @@ class PointEvaluator:
             self._block_fns["mask"] = m
         return self._block_fns["mask"]
 
+    def _get_vals_mask_fn(self):
+        """Block program returning (values f16 [A_CHUNK, 125], crossing mask
+        [A_CHUNK]) in one dispatch — values stay device-resident so the
+        streaming path never evaluates a block twice."""
+        if "vals_mask" not in self._block_fns:
+            fn = self._get_block_fn()
+
+            @jax.jit
+            def vm(latent, abi_chunk, h, scale):
+                vals = fn(latent, abi_chunk, h, scale)
+                neg = vals < 0
+                return vals, jnp.any(neg, axis=1) & ~jnp.all(neg, axis=1)
+
+            self._block_fns["vals_mask"] = vm
+        return self._block_fns["vals_mask"]
+
+    def _get_gather_fn(self, codec: str):
+        """jit: (vals_all [M, 125] f16, idx [C_CHUNK], q) -> encoded rows.
+
+        codec "int8": linear quantization code = round(v/q) clipped to
+        +-127 (q = 3h/127 covers the +-3h band every crossing edge of a
+        ~1-Lipschitz field lives in; quantum ~0.024 h). Sign is preserved,
+        so cell classification matches f16; vertex interpolation error is
+        <~0.02 h. codec "f16": raw rows.
+        """
+        key = f"gather_{codec}"
+        if key not in self._block_fns:
+            if codec == "int8":
+
+                @jax.jit
+                def g(vals_all, idx, q):
+                    rows = vals_all[idx].astype(jnp.float32)
+                    # sign-preserving: nonzero values never round to code 0,
+                    # so decoded signs match the f16 signs the crossing-block
+                    # selection used (else excluded blocks could leave holes)
+                    mag = jnp.clip(jnp.round(jnp.abs(rows) / q), 1, 127)
+                    code = jnp.where(rows == 0, 0.0, jnp.sign(rows) * mag)
+                    return code.astype(jnp.int8)
+
+            else:
+
+                @jax.jit
+                def g(vals_all, idx, q):
+                    return vals_all[idx]
+
+            self._block_fns[key] = g
+        return self._block_fns[key]
+
+    def stream_crossing_values(self, latent, abi: np.ndarray, N: int, codec: str = "int8"):
+        """One-pass streaming evaluation of the active set.
+
+        Dispatches the value evaluation of every ``abi`` chunk up front
+        (values stay on device), fetches the per-block crossing mask in ONE
+        transfer, then gathers only the crossing rows on device — encoded
+        per ``codec`` — and yields decoded (values f32 [n, 125],
+        abi_rows [n, 3]) chunks, dispatch-ahead so the host-side consumer
+        overlaps with device work and transfers.
+
+        Returns (abi_x, iterator).
+        """
+        A = abi.shape[0]
+        fn = self._get_vals_mask_fn()
+        latent = jnp.asarray(latent).reshape(-1)
+        h = 2.0 / (N - 1)
+        h_d = jnp.float32(h)
+        scale_d = jnp.int32(1)
+        vals_chunks, mask_chunks = [], []
+        for start in range(0, A, self.A_CHUNK):
+            chunk = np.zeros((self.A_CHUNK, 3), np.int32)
+            end = min(A, start + self.A_CHUNK)
+            chunk[: end - start] = abi[start:end]
+            v, m = fn(latent, jnp.asarray(chunk), h_d, scale_d)
+            vals_chunks.append(v)
+            mask_chunks.append(m)
+        if not vals_chunks:
+            return abi[:0], iter(())
+        mask = np.asarray(jnp.concatenate(mask_chunks))[:A]  # ONE fetch
+        abi_x = abi[mask]
+        idx_all = np.nonzero(mask)[0].astype(np.int32)
+        vals_all = jnp.concatenate(vals_chunks, axis=0)
+        gather = self._get_gather_fn(codec)
+        q = np.float32(3.0 * h / 127.0)
+        q_d = jnp.float32(q)
+
+        C_CHUNK = self.A_CHUNK
+        pending = []
+        counts = []
+        for start in range(0, idx_all.shape[0], C_CHUNK):
+            end = min(idx_all.shape[0], start + C_CHUNK)
+            idx = np.zeros(C_CHUNK, np.int32)
+            idx[: end - start] = idx_all[start:end]
+            pending.append(gather(vals_all, jnp.asarray(idx), q_d))
+            counts.append(end - start)
+
+        def it():
+            for i, (dev, n) in enumerate(zip(pending, counts)):
+                rows = np.asarray(dev[:n])
+                if codec == "int8":
+                    vals = rows.astype(np.float32) * q
+                else:
+                    vals = rows.astype(np.float32)
+                yield vals, abi_x[i * C_CHUNK : i * C_CHUNK + n]
+
+        return abi_x, it()
+
     def crossing_blocks(self, latent, abi: np.ndarray, N: int) -> np.ndarray:
         """Subset of ``abi`` whose blocks contain a sign change.
 
@@ -196,6 +301,59 @@ class PointEvaluator:
         # the 1-byte/block payload
         mask = np.asarray(jnp.concatenate(pending))[:A]
         return abi[mask]
+
+    def _get_submask_fn(self):
+        """Superblock program fused with the per-sub-block activity
+        criterion (min |corner| below the Lipschitz half-diagonal, or corner
+        sign change): returns the b^3 sub-block flags bit-packed to
+        [A_CHUNK, b^3/8] uint8 — 8 bytes/superblock instead of 250 value
+        bytes crossing the relay."""
+        if "submask" not in self._block_fns:
+            fn = self._get_block_fn()
+            b = SPARSE_BLOCK
+
+            @jax.jit
+            def sm(latent, abi_chunk, h, scale, diag):
+                vals = fn(latent, abi_chunk, h, scale).astype(jnp.float32)
+                v = vals.reshape(-1, b + 1, b + 1, b + 1)
+                cmin = jnp.full(v.shape[:1] + (b, b, b), jnp.inf)
+                s_any = jnp.zeros(v.shape[:1] + (b, b, b), bool)
+                s_all = jnp.ones(v.shape[:1] + (b, b, b), bool)
+                for dx in (0, 1):
+                    for dy in (0, 1):
+                        for dz in (0, 1):
+                            sub = v[:, dx : b + dx, dy : b + dy, dz : b + dz]
+                            cmin = jnp.minimum(cmin, jnp.abs(sub))
+                            neg = sub < 0
+                            s_any = s_any | neg
+                            s_all = s_all & neg
+                act = (cmin < diag) | (s_any & ~s_all)
+                bits = act.reshape(act.shape[0], -1, 8)
+                w = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+                return jnp.sum(bits * w, axis=-1).astype(jnp.uint8)
+
+            self._block_fns["submask"] = sm
+        return self._block_fns["submask"]
+
+    def subblock_active(self, latent, abi: np.ndarray, N: int, scale: int, diag: float) -> np.ndarray:
+        """[A, b, b, b] bool: active flags for the stride-``scale``/b
+        sub-blocks of each superblock, computed on device."""
+        b = SPARSE_BLOCK
+        A = abi.shape[0]
+        fn = self._get_submask_fn()
+        latent = jnp.asarray(latent).reshape(-1)
+        h_d = jnp.float32(2.0 / (N - 1))
+        pending = []
+        for start in range(0, A, self.A_CHUNK):
+            chunk = np.zeros((self.A_CHUNK, 3), np.int32)
+            end = min(A, start + self.A_CHUNK)
+            chunk[: end - start] = abi[start:end]
+            pending.append(fn(latent, jnp.asarray(chunk), h_d, jnp.int32(scale), jnp.float32(diag)))
+        if not pending:
+            return np.zeros((0, b, b, b), bool)
+        packed = np.asarray(jnp.concatenate(pending))[:A]  # ONE fetch
+        flags = np.unpackbits(packed, axis=1, bitorder="little")[:, : b * b * b]
+        return flags.astype(bool).reshape(A, b, b, b)
 
     def iter_block_values(self, latent, abi: np.ndarray, N: int, scale: int = 1):
         """Yield (values [Ac, (b+1)^3] f32, abi_chunk [Ac, 3]) chunks.
@@ -268,13 +426,15 @@ def _streaming_available() -> bool:
     return load_native() is not None
 
 
-def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size):
+def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size, value_codec="int8"):
     """Hierarchical active-block discovery + streamed C++ marching
-    tetrahedra, fully pipelined three ways: while the device evaluates
-    chunk k+2, the main thread waits on chunk k+1's transfer and a worker
-    thread meshes chunk k (ctypes releases the GIL around mt_add_blocks,
-    and the relay transfer releases it while blocked on IO, so meshing
-    and transfer genuinely overlap even on a single-core host)."""
+    tetrahedra. The active set is evaluated ONCE on device (values stay
+    device-resident), the crossing mask crosses the relay as 1 bit/block,
+    and only crossing-block values transfer — int8-encoded by default
+    (quantum ~0.024 voxel; ``value_codec="f16"`` restores the half-float
+    stream). Host meshing runs in a worker thread overlapped with
+    transfers (ctypes releases the GIL around mt_add_blocks, and relay
+    transfers release it while blocked on IO)."""
     import ctypes
     from concurrent.futures import ThreadPoolExecutor
 
@@ -282,19 +442,25 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size)
     from msd_tpu.ops.marching_cubes import _FLIP_TABLE
 
     lib = load_native()
+    t0 = time.time()
     abi4, evaluated = _sparse_active4(latent, N, evaluator, safety, clamp_dist)
+    t_refine = time.time() - t0
     if abi4.shape[0] == 0:
         raise ValueError("Surface level must be within volume data range.")
-    # second on-device prune: only sign-crossing blocks produce geometry,
-    # and only those cross the slow host link (identical mesh, ~4-5x fewer
-    # bytes than transferring the whole Lipschitz-threshold shell)
-    abi_x = evaluator.crossing_blocks(latent, abi4, N)
-    total_evals = evaluated + (abi4.shape[0] + abi_x.shape[0]) * (SPARSE_BLOCK + 1) ** 3
+    # one-pass eval of the active set: values stay on device, the crossing
+    # mask comes back as 1 bit/block, and only crossing rows are gathered
+    # and streamed (only those produce marching-tets geometry)
+    t0 = time.time()
+    abi_x, value_iter = evaluator.stream_crossing_values(latent, abi4, N, codec=value_codec)
+    t_crossing = time.time() - t0
+    total_evals = evaluated + abi4.shape[0] * (SPARSE_BLOCK + 1) ** 3
     LAST_STREAMING_STATS.update(
         active_blocks=int(abi4.shape[0]),
         crossing_blocks=int(abi_x.shape[0]),
         evaluated=int(total_evals),
         total=int(N**3),
+        t_refine=round(t_refine, 3),
+        t_crossing=round(t_crossing, 3),
     )
     logging.debug(
         "[create_mesh] streaming: %d active blocks, %d crossing, %d prefilter evals",
@@ -321,9 +487,10 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size)
         )
 
     # single worker: mt_add_blocks calls must stay sequential (one Builder)
+    t0 = time.time()
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = None
-        for vals, chunk in evaluator.iter_block_values(latent, abi_x, N, scale=1):
+        for vals, chunk in value_iter:
             vals = np.ascontiguousarray(vals, np.float32)
             bases = np.ascontiguousarray(chunk.astype(np.int32) * b)
             if fut is not None:
@@ -331,7 +498,9 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size)
             fut = pool.submit(mesh_chunk, vals, bases)
         if fut is not None:
             fut.result()
+    LAST_STREAMING_STATS["t_stream"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
     out_verts = ctypes.POINTER(ctypes.c_float)()
     out_faces = ctypes.POINTER(ctypes.c_int32)()
     nv = ctypes.c_int64()
@@ -351,6 +520,9 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size)
         faces = np.ctypeslib.as_array(out_faces, shape=(nf.value, 3)).copy()
     finally:
         lib.mt_destroy(ctypes.c_void_p(handle))
+    LAST_STREAMING_STATS["t_finish"] = round(time.time() - t0, 3)
+    LAST_STREAMING_STATS["num_verts"] = int(nv.value)
+    LAST_STREAMING_STATS["num_faces"] = int(nf.value)
     return verts.astype(np.float32, copy=False), faces
 
 
@@ -459,23 +631,12 @@ def _sparse_active4(latent, N, evaluator, safety, clamp_dist):
         abi16 = np.stack(np.nonzero(active16), axis=1).astype(np.int32)
         if abi16.shape[0] == 0:
             return np.zeros((0, 3), np.int64), evaluated
-        # stride-b lattice within each active superblock
-        vals16 = evaluator.eval_blocks(latent, abi16, b, N, scale=b)  # [A16, b+1, b+1, b+1]
-        evaluated += vals16.size
+        # stride-b lattice within each active superblock; the per-sub-block
+        # activity criterion runs on device and only bit-packed flags cross
+        # the relay (PointEvaluator.subblock_active)
         diag4 = b * h * s3 * safety
-        # criterion per stride-b sub-block inside each superblock
-        sub_cmin = np.full((vals16.shape[0], b, b, b), np.inf)
-        s_any = np.zeros((vals16.shape[0], b, b, b), dtype=bool)
-        s_all = np.ones((vals16.shape[0], b, b, b), dtype=bool)
-        for dx in (0, 1):
-            for dy in (0, 1):
-                for dz in (0, 1):
-                    sub = vals16[:, dx : b + dx, dy : b + dy, dz : b + dz]
-                    sub_cmin = np.minimum(sub_cmin, np.abs(sub))
-                    neg = sub < 0
-                    s_any |= neg
-                    s_all &= neg
-        sub_active = (sub_cmin < diag4) | (s_any & ~s_all)
+        sub_active = evaluator.subblock_active(latent, abi16, N, scale=b, diag=diag4)
+        evaluated += abi16.shape[0] * (b + 1) ** 3
         aa, ai, aj, ak = np.nonzero(sub_active)
         abi4 = abi16[aa].astype(np.int64) * 4 + np.stack([ai, aj, ak], axis=1)
         return abi4, evaluated
@@ -597,6 +758,7 @@ def create_mesh(
     clamp_dist: float = 0.1,
     sparse_safety: float = 1.3,
     evaluator: Optional[PointEvaluator] = None,
+    value_codec: str = "int8",
 ):
     """Latent -> SDF grid -> marching tetrahedra -> .ply
     (ref: deep_sdf/mesh.py:21-93). Returns (verts, faces) when
@@ -618,7 +780,8 @@ def create_mesh(
             # fastest path: hierarchical refinement + streamed C++ meshing
             # overlapped with device evaluation
             verts, faces = _create_mesh_streaming(
-                latent_vec, N, evaluator, sparse_safety, clamp_dist, voxel_size
+                latent_vec, N, evaluator, sparse_safety, clamp_dist, voxel_size,
+                value_codec=value_codec,
             )
             logging.debug("[create_mesh] streaming mesh takes: %f", time.time() - start)
         elif b > 2:
@@ -653,8 +816,10 @@ def create_mesh(
         verts = pts.astype(np.float32)
 
     if filename:
+        t0 = time.time()
         os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
         save_ply(filename + ".ply", verts, faces)
+        LAST_STREAMING_STATS["t_ply"] = round(time.time() - t0, 3)
     if return_mesh:
         return verts, faces
     return True

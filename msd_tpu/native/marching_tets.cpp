@@ -83,11 +83,22 @@ struct EdgeMap {
 struct Builder {
   std::vector<float> verts;     // xyz triples (grid-index space)
   std::vector<int32_t> faces;   // triangles
-  EdgeMap edges;
+  EdgeMap edges;                // global map: block-BOUNDARY edges only
   int64_t N;
   const uint8_t* flips;
   int64_t deltas[13];           // possible hi-lo values for cell-corner edges
   int n_deltas = 0;
+  // per-corner-pair edge code table (code of |id(a)-id(b)| for cube corners)
+  int code_tab[8][8];
+
+  // Block-local edge cache (stamp-versioned so no per-block clearing):
+  // local edges are deduped in this L1/L2-resident array; the global hash
+  // map is consulted only for edges lying on a block face (shared with a
+  // neighboring block). Sized at first add_blocks call for the block size.
+  std::vector<int32_t> local_ids;
+  std::vector<int32_t> local_stamp;
+  int32_t stamp = 0;
+  int local_bp = 0;
 
   Builder(size_t expected_edges, int64_t n, const uint8_t* flip)
       : edges(expected_edges), N(n), flips(flip) {
@@ -98,6 +109,13 @@ struct Builder {
           int64_t d = (int64_t)dx * N * N + (int64_t)dy * N + dz;
           if (d > 0 && n_deltas < 13) deltas[n_deltas++] = d;  // exactly 13
         }
+    for (int a = 0; a < 8; a++)
+      for (int b = 0; b < 8; b++) {
+        int64_t d = ((int64_t)(CORNERS[a][0] - CORNERS[b][0]) * N +
+                     (CORNERS[a][1] - CORNERS[b][1])) * N +
+                    (CORNERS[a][2] - CORNERS[b][2]);
+        code_tab[a][b] = delta_code(d < 0 ? -d : d);
+      }
   }
 
   inline int delta_code(int64_t d) {
@@ -112,15 +130,52 @@ struct Builder {
     out[0] = (double)(vid / (N * N));
   }
 
-  // vertex on edge (a inside, b outside); sa/sb their sdf values
-  inline int32_t edge_vertex(int64_t a, int64_t b, double sa, double sb) {
-    int64_t lo = a < b ? a : b;
-    int64_t hi = a < b ? b : a;
-    // exact compact key: lo (< N^3 <= 2^34 for N<=1625) * 14 + edge code
-    uint64_t key = (uint64_t)lo * 14 + (uint64_t)delta_code(hi - lo);
+  void begin_block(int bp) {
+    if (local_bp != bp) {
+      local_bp = bp;
+      local_ids.assign((size_t)bp * bp * bp * 14, -1);
+      local_stamp.assign((size_t)bp * bp * bp * 14, -1);
+      stamp = 0;
+    }
+    stamp++;
+  }
+
+  // vertex on edge between global ids a/b at local lattice coords
+  // la/lb (each in [0, bp)); code = precomputed |delta| code; sa/sb sdf.
+  inline int32_t edge_vertex(int64_t a, int64_t b, int code,
+                             const int* la, const int* lb,
+                             double sa, double sb) {
+    const bool a_lo = a < b;
+    const int64_t lo = a_lo ? a : b;
+    const int* ll = a_lo ? la : lb;
+    const int bp = local_bp;
+    const size_t lkey =
+        (((size_t)ll[0] * bp + ll[1]) * bp + ll[2]) * 14 + code;
+    if (local_stamp[lkey] == stamp) return local_ids[lkey];
+
+    // shared across blocks iff the edge lies in a block-face plane
+    const int* lh = a_lo ? lb : la;
+    const int last = bp - 1;
+    bool boundary = false;
+    for (int ax = 0; ax < 3; ax++) {
+      if (ll[ax] == lh[ax] && (ll[ax] == 0 || ll[ax] == last)) {
+        boundary = true;
+        break;
+      }
+    }
+
     int32_t next_id = (int32_t)(verts.size() / 3);
-    int32_t got = edges.get_or_insert(key, next_id);
-    if (got >= 0) return got;
+    if (boundary) {
+      uint64_t key = (uint64_t)lo * 14 + (uint64_t)code;
+      int32_t got = edges.get_or_insert(key, next_id);
+      if (got >= 0) {
+        local_ids[lkey] = got;
+        local_stamp[lkey] = stamp;
+        return got;
+      }
+    }
+    local_ids[lkey] = next_id;
+    local_stamp[lkey] = stamp;
     // new vertex: interpolate between endpoint positions
     double denom = sb - sa;
     if (std::fabs(denom) < 1e-12) denom = 1e-12;
@@ -149,11 +204,20 @@ struct Builder {
     }
   }
 
-  void process_tet(int t, const int64_t* ids, const double* sdf) {
+  // cube-corner-index based edge lookup: ca/cb in [0,8), arrays are the
+  // cell's 8 corner global ids / sdf values / local lattice coords
+  inline int32_t cedge(int ca, int cb, const int64_t* ids, const double* sdf,
+                       const int (*lc)[3]) {
+    return edge_vertex(ids[ca], ids[cb], code_tab[ca][cb], lc[ca], lc[cb],
+                       sdf[ca], sdf[cb]);
+  }
+
+  void process_tet(int t, const int* cs, const int64_t* ids,
+                   const double* sdf, const int (*lc)[3]) {
     bool in[4];
     int subset = 0, n_in = 0;
     for (int v = 0; v < 4; v++) {
-      in[v] = sdf[v] < 0.0;
+      in[v] = sdf[cs[v]] < 0.0;
       if (in[v]) {
         subset |= 1 << v;
         n_in++;
@@ -168,9 +232,9 @@ struct Builder {
       int o[3], k = 0;
       for (int i = 0; i < 4; i++)
         if (i != v) o[k++] = i;
-      int32_t e0 = edge_vertex(ids[v], ids[o[0]], sdf[v], sdf[o[0]]);
-      int32_t e1 = edge_vertex(ids[v], ids[o[1]], sdf[v], sdf[o[1]]);
-      int32_t e2 = edge_vertex(ids[v], ids[o[2]], sdf[v], sdf[o[2]]);
+      int32_t e0 = cedge(cs[v], cs[o[0]], ids, sdf, lc);
+      int32_t e1 = cedge(cs[v], cs[o[1]], ids, sdf, lc);
+      int32_t e2 = cedge(cs[v], cs[o[2]], ids, sdf, lc);
       emit_tri(e0, e1, e2, F[0]);
     } else if (n_in == 3) {
       int v = 0;
@@ -178,9 +242,9 @@ struct Builder {
       int o[3], k = 0;
       for (int i = 0; i < 4; i++)
         if (i != v) o[k++] = i;
-      int32_t e0 = edge_vertex(ids[o[0]], ids[v], sdf[o[0]], sdf[v]);
-      int32_t e1 = edge_vertex(ids[o[1]], ids[v], sdf[o[1]], sdf[v]);
-      int32_t e2 = edge_vertex(ids[o[2]], ids[v], sdf[o[2]], sdf[v]);
+      int32_t e0 = cedge(cs[o[0]], cs[v], ids, sdf, lc);
+      int32_t e1 = cedge(cs[o[1]], cs[v], ids, sdf, lc);
+      int32_t e2 = cedge(cs[o[2]], cs[v], ids, sdf, lc);
       emit_tri(e0, e1, e2, F[0]);
     } else {
       // 2-2: quad in cyclic order (v0,o0), (v0,o1), (v1,o1), (v1,o0)
@@ -189,10 +253,10 @@ struct Builder {
         if (in[i]) vi[a++] = i;
         else oi[b++] = i;
       }
-      int32_t q0 = edge_vertex(ids[vi[0]], ids[oi[0]], sdf[vi[0]], sdf[oi[0]]);
-      int32_t q1 = edge_vertex(ids[vi[0]], ids[oi[1]], sdf[vi[0]], sdf[oi[1]]);
-      int32_t q2 = edge_vertex(ids[vi[1]], ids[oi[1]], sdf[vi[1]], sdf[oi[1]]);
-      int32_t q3 = edge_vertex(ids[vi[1]], ids[oi[0]], sdf[vi[1]], sdf[oi[0]]);
+      int32_t q0 = cedge(cs[vi[0]], cs[oi[0]], ids, sdf, lc);
+      int32_t q1 = cedge(cs[vi[0]], cs[oi[1]], ids, sdf, lc);
+      int32_t q2 = cedge(cs[vi[1]], cs[oi[1]], ids, sdf, lc);
+      int32_t q3 = cedge(cs[vi[1]], cs[oi[0]], ids, sdf, lc);
       emit_tri(q0, q1, q2, F[0]);
       emit_tri(q0, q2, q3, F[1]);
     }
@@ -215,12 +279,14 @@ static void add_blocks_impl(
     const int64_t bx = bases[blk * 3 + 0];
     const int64_t by = bases[blk * 3 + 1];
     const int64_t bz = bases[blk * 3 + 2];
+    builder.begin_block(bp);
     for (int ci = 0; ci < b; ci++) {
       for (int cj = 0; cj < b; cj++) {
         for (int ck = 0; ck < b; ck++) {
           // gather 8 corners
           double s[8];
           int64_t ids[8];
+          int lc[8][3];
           bool any_in = false, all_in = true;
           for (int c = 0; c < 8; c++) {
             const int x = ci + CORNERS[c][0];
@@ -232,16 +298,13 @@ static void add_blocks_impl(
             any_in |= inside;
             all_in &= inside;
             ids[c] = ((bx + x) * N + (by + y)) * N + (bz + z);
+            lc[c][0] = x;
+            lc[c][1] = y;
+            lc[c][2] = z;
           }
           if (!any_in || all_in) continue;
           for (int t = 0; t < 6; t++) {
-            int64_t tids[4];
-            double tsdf[4];
-            for (int v = 0; v < 4; v++) {
-              tids[v] = ids[TETS[t][v]];
-              tsdf[v] = s[TETS[t][v]];
-            }
-            builder.process_tet(t, tids, tsdf);
+            builder.process_tet(t, TETS[t], ids, s, lc);
           }
         }
       }

@@ -24,7 +24,7 @@ def test_streaming_matches_sparse(trained, tmp_path):  # noqa: F811
     pv, pf = res_plain
     res_stream = mesh_mod.create_mesh(
         trainer.decoder, trainer.state["net"], latent, N=193, return_mesh=True,
-        evaluator=ev, sparse=True,
+        evaluator=ev, sparse=True, value_codec="f16",
     )
     sv, sf = res_stream
     # same surface: every streamed vertex has an identical twin (f16 transfer
@@ -35,6 +35,27 @@ def test_streaming_matches_sparse(trained, tmp_path):  # noqa: F811
     assert abs(len(sv) - len(pv)) <= max(3, 0.001 * len(pv))
     # watertight + oriented
     edges = np.sort(np.concatenate([sf[:, [0, 1]], sf[:, [1, 2]], sf[:, [2, 0]]]), axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
+
+    # int8 value codec (the default): vertices may slide tangentially on
+    # shallow edges (ill-conditioned t), but must stay ON the zero surface:
+    # the decoded-field residual at each vertex is bounded by half the
+    # quantization step, and the mesh stays watertight (the global linear
+    # codec is sign-consistent across blocks by construction).
+    qv, qf = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=193, return_mesh=True,
+        evaluator=ev, sparse=True, value_codec="int8",
+    )
+    from msd_tpu.models.deepsdf import decode_sdf
+
+    sub = qv[:: max(1, len(qv) // 4096)]
+    resid = np.abs(np.asarray(decode_sdf(trainer.decoder, trainer.state["net"],
+                                         trainer.state["lat"][2], sub)))
+    # residual bound: quantization (3h/127 per lattice value) + f16 floor
+    assert resid.max() < 0.05 * h, resid.max()
+    assert abs(len(qv) - len(pv)) <= 0.02 * len(pv), (len(qv), len(pv))
+    edges = np.sort(np.concatenate([qf[:, [0, 1]], qf[:, [1, 2]], qf[:, [2, 0]]]), axis=1)
     _, counts = np.unique(edges, axis=0, return_counts=True)
     assert (counts == 2).all()
 
