@@ -1,0 +1,465 @@
+"""Pallas TPU fused forward+backward training kernel for the Stage-1 loss.
+
+The Stage-1 hot loop differentiates clamped-L1 + eikonal through the
+decoder (ref: train_deep_sdf.py:594-784). Under XLA autodiff this lowers
+to ~5 chained matmul sweeps whose intermediates round-trip HBM; the
+backward ran at ~34% of MXU peak (PERF.md §2). This kernel computes the
+loss AND all parameter/latent gradients in ONE pass per 128-point tile
+with every weight, activation, and f32 gradient accumulator resident in
+VMEM.
+
+Derivation (per point; relu'' = 0 a.e., matching JAX autodiff exactly):
+
+  primal     a_i = W_i h_{i-1} (+ W_x x + c_i),  h_i = relu(a_i)
+             y = tanh(a_last), yc = clip(y, ±δ), m = 1[|y|<δ], τ = 1−y²
+  u-chain    u_last = m·τ;   u_{i-1} = D_{i-1} (W_iᵀ u_i),  D_i = 1[a_i>0]
+  (∇xyz)     g = W_x0ᵀ u_0 + W_xLᵀ u_L   (xyz columns of layer 0 and the
+             latent_in layer);  gn = ‖g‖;  eik = w_e · mean((1−gn)²)
+  reverse    ḡ = (2 w_e/N_e)·(gn−1)/gn · g,   q̄ = m·τ·ḡ
+             s̄ = m·τ·sign(yc−gt)/N_tot  −  2y·(ḡᵀg)      (τ-path folded)
+  δ-chain    δ_last = s̄; standard reverse: dW_i += δa_i h_{i-1}ᵀ,
+             dc_i += Σ δa_i,  dW_x += δa x ᵀ
+  ū/t-chain  ū_0 = W_x0 q̄;  t_i = D_i ū_i;  ū_{i+1} = W_{i+1} t_i (+ W_xL q̄
+             at the latent_in layer);  dW_{i+1} += u_{i+1} t_iᵀ,
+             dW_x += u q̄ᵀ                         (second-order terms)
+
+The latent enters only through per-scene bias columns c_i = z@Wz_i + b_i
+(computed outside the kernel), so dz / db / dWz are recovered from the
+per-scene dc accumulators by tiny XLA matmuls. Weight-norm (when active)
+is handled by jax.vjp of the effective-weight map outside the kernel.
+
+Supported configs (supports_fused_train): deep_sdf_decoder without
+xyz_in_all / norm layers / pre-final tanh, ≤1 latent_in index not on the
+last two layers, points-per-scene divisible by the 128-lane tile, no
+active dropout. Everything else falls back to the XLA path
+(Stage1Trainer dispatches).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from msd_tpu.models.common import weight_norm_effective
+
+TILE = 128          # minimum lane tile; actual tile set per build
+_XPAD = 8  # xyz rows padded to the f32 sublane
+
+
+def supports_fused_train(decoder, points_per_scene: int) -> bool:
+    return (
+        type(decoder).__name__ == "DeepSDFDecoder"
+        and not decoder.xyz_in_all
+        # weight-norm is fine (handled by vjp of the effective-weight map);
+        # LayerNorm inside the chain is not
+        and not any(has_ln for _, _, _, has_ln in decoder.layer_shapes)
+        and not decoder.use_tanh
+        and len(decoder.latent_in) <= 1
+        and (not decoder.latent_in or 0 < decoder.latent_in[0] < decoder.num_layers - 2)
+        and points_per_scene % TILE == 0
+    )
+
+
+def _layer_plan(decoder):
+    """Static per-layer plan: (kind, prev_width, out_width)."""
+    L = decoder.latent_size
+    nl = decoder.num_layers - 1
+    latent_in = decoder.latent_in[0] if decoder.latent_in else None
+    plan = []
+    for l in range(nl):
+        in_dim, out_dim, _, _ = decoder.layer_shapes[l]
+        if l == 0:
+            plan.append(("first", None, out_dim))
+        elif l == latent_in:
+            plan.append(("latent", in_dim - (L + 3), out_dim))
+        else:
+            plan.append(("plain", in_dim, out_dim))
+    return plan, latent_in, L, nl
+
+
+def split_weights(decoder, weights):
+    """weights: per-layer effective [in, out] matrices. Returns per-layer
+    {Mp: [out, prev]|None, Mx: [out, 3]|None, Wz: [L, out]|None} (Mp/Mx
+    transposed for the points-as-lanes kernel layout)."""
+    plan, latent_in, L, nl = _layer_plan(decoder)
+    parts = []
+    for l, (kind, prev, out) in enumerate(plan):
+        w = weights[l]
+        if kind == "first":
+            parts.append({"Mp": None, "Mx": w[L : L + 3].T, "Wz": w[:L]})
+        elif kind == "latent":
+            parts.append(
+                {"Mp": w[:prev].T, "Mx": w[prev + L : prev + L + 3].T, "Wz": w[prev : prev + L]}
+            )
+        else:
+            parts.append({"Mp": w.T, "Mx": None, "Wz": None})
+    return parts
+
+
+def _make_kernel(plan, latent_li, use_eikonal, dtype, tps):
+    """Kernel body. Ref order:
+    in:  xyz [8,T], gt [8,T], scal [1,4] SMEM,
+         per layer: (Mp?, Mx?, c[1,out])
+    out: loss_acc [8,128], per layer: (dMp?, dMx?, dc[1,out])
+    scratch: h_0..h_{nl-2}, then (if eikonal) u_0..u_{nl-2}
+    """
+    from jax.experimental import pallas as pl
+
+    nl = len(plan)
+
+    def kernel(*refs):
+        it = iter(refs)
+        xyz_ref, gt_ref, scal_ref = next(it), next(it), next(it)
+        lin = []
+        for kind, prev, out in plan:
+            e = {}
+            if kind != "first":
+                e["Mp"] = next(it)
+            if kind in ("first", "latent"):
+                e["Mx"] = next(it)
+            e["c"] = next(it)
+            lin.append(e)
+        loss_ref = next(it)
+        lout = []
+        for kind, prev, out in plan:
+            e = {}
+            if kind != "first":
+                e["dMp"] = next(it)
+            if kind in ("first", "latent"):
+                e["dMx"] = next(it)
+            e["dc"] = next(it)
+            lout.append(e)
+        h_scr = [next(it) for _ in range(nl - 1)]
+        u_scr = [next(it) for _ in range(nl - 1)] if use_eikonal else None
+
+        pid = pl.program_id(0)
+        clamp = scal_ref[0, 0]
+        inv_ntot = scal_ref[0, 1]
+        eik_coef = scal_ref[0, 2]  # 2 * w_e / N_e
+
+        @pl.when(pid == 0)
+        def _init():
+            loss_ref[:] = jnp.zeros_like(loss_ref)
+            for l in range(nl):
+                if "dMp" in lout[l]:
+                    lout[l]["dMp"][:] = jnp.zeros_like(lout[l]["dMp"])
+                if "dMx" in lout[l]:
+                    lout[l]["dMx"][:] = jnp.zeros_like(lout[l]["dMx"])
+
+        @pl.when(pid % tps == 0)
+        def _init_scene():
+            for l in range(nl):
+                lout[l]["dc"][:] = jnp.zeros_like(lout[l]["dc"])
+
+        x = xyz_ref[:]  # [8, T]; rows 3.. are zero
+        x_c = x.astype(dtype)
+
+        def mm(m, v):  # m @ v
+            return jax.lax.dot(m, v, preferred_element_type=jnp.float32)
+
+        def mmT(m_ref, v):  # m^T @ v (contract dim 0 of both)
+            return jax.lax.dot_general(
+                m_ref[:], v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+
+        def outer(a, b):  # a [m,T] ⊗ b [n,T] -> [m,n]
+            return jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+
+        # ---- primal ----
+        h_prev = None
+        a_last = None
+        for l, (kind, prev, out) in enumerate(plan):
+            c = lin[l]["c"][0].T  # block [1, 1, out] -> [out, 1]
+            acc = None
+            if "Mp" in lin[l]:
+                acc = mm(lin[l]["Mp"][:], h_prev)
+            if "Mx" in lin[l]:
+                part = mm(lin[l]["Mx"][:], x_c)
+                acc = part if acc is None else acc + part
+            a = acc + c
+            if l < nl - 1:
+                h_scr[l][:] = jnp.maximum(a, 0.0).astype(dtype)
+                h_prev = h_scr[l][:]
+            else:
+                a_last = a  # [8, T] (padded), row 0 valid
+
+        row0 = (jax.lax.broadcasted_iota(jnp.int32, a_last.shape, 0) == 0).astype(jnp.float32)
+        y = jnp.tanh(a_last) * row0
+        tau = (1.0 - y * y) * row0
+        m = (jnp.abs(y) < clamp).astype(jnp.float32) * row0
+
+        gt = gt_ref[:]  # row 0 = clipped gt, other rows 0
+        yc = jnp.clip(y, -clamp, clamp)
+        l1_lane = jnp.sum(jnp.abs(yc - gt) * row0, axis=0)  # [T]
+        sgn = jnp.sign(yc - gt)
+
+        # ---- u-chain + eikonal ----
+        if use_eikonal:
+            u_last = m * tau
+            u_next = u_last.astype(dtype)
+            for l in range(nl - 1, 0, -1):
+                up = mmT(lin[l]["Mp"], u_next)
+                d_mask = (h_scr[l - 1][:].astype(jnp.float32) > 0).astype(jnp.float32)
+                u_scr[l - 1][:] = (up * d_mask).astype(dtype)
+                u_next = u_scr[l - 1][:]
+            g = mmT(lin[0]["Mx"], u_scr[0][:])  # [8, T]
+            if latent_li is not None:
+                g = g + mmT(lin[latent_li]["Mx"], u_scr[latent_li][:])
+            gsq = jnp.sum(g * g, axis=0, keepdims=True)
+            gn = jnp.sqrt(jnp.maximum(gsq, 1e-24))
+            eik_lane = (1.0 - gn) ** 2  # [1, T]
+            # g already carries the m·τ factor (u_last seed), so the ū-chain
+            # below is seeded with ḡ directly; the a_last sensitivity of the
+            # seed folds into s̄ as −2y·(ḡᵀg)
+            gbar = (eik_coef * (gn - 1.0) / gn) * g
+            gdot = jnp.sum(gbar * g, axis=0, keepdims=True)
+            sbar_e = -2.0 * y[0:1] * gdot
+        else:
+            eik_lane = jnp.zeros((1, x.shape[1]), jnp.float32)
+            sbar_e = jnp.zeros((1, x.shape[1]), jnp.float32)
+
+        prev_acc = loss_ref[:]
+        rows = jax.lax.broadcasted_iota(jnp.int32, prev_acc.shape, 0)
+        upd = jnp.where(rows == 0, l1_lane[None, :], 0.0) + jnp.where(
+            rows == 1, eik_lane, 0.0
+        )
+        loss_ref[:] = prev_acc + upd
+
+        # ---- δ-chain ----
+        sbar = m[0:1] * tau[0:1] * sgn[0:1] * inv_ntot + sbar_e  # [1, T]
+        delta = row0 * sbar  # [8, T]
+        for l in range(nl - 1, -1, -1):
+            d_c = delta.astype(dtype)
+            if "dMp" in lout[l]:
+                lout[l]["dMp"][:] += outer(d_c, h_scr[l - 1][:])
+            if "dMx" in lout[l]:
+                lout[l]["dMx"][:] += outer(d_c, x_c)
+            lout[l]["dc"][:] += jnp.sum(delta, axis=1, keepdims=True).T[None]
+            if l > 0:
+                dh = mmT(lin[l]["Mp"], d_c)
+                delta = dh * (h_scr[l - 1][:].astype(jnp.float32) > 0).astype(jnp.float32)
+
+        # ---- ū/t chain (second-order eikonal) ----
+        if use_eikonal:
+            gbar_c = gbar.astype(dtype)
+            lout[0]["dMx"][:] += outer(u_scr[0][:], gbar_c)
+            ubar = mm(lin[0]["Mx"][:], gbar_c)  # [w0, T]
+            for l in range(1, nl):
+                t_prev = ((h_scr[l - 1][:].astype(jnp.float32) > 0).astype(jnp.float32) * ubar).astype(dtype)
+                u_l = u_scr[l][:] if l < nl - 1 else (m * tau).astype(dtype)
+                lout[l]["dMp"][:] += outer(u_l, t_prev)
+                if l == latent_li:
+                    lout[l]["dMx"][:] += outer(u_l, gbar_c)
+                if l < nl - 1:
+                    ubar = mm(lin[l]["Mp"][:], t_prev)
+                    if l == latent_li:
+                        ubar = ubar + mm(lin[l]["Mx"][:], gbar_c)
+
+    return kernel
+
+
+def build_fused_train(
+    decoder,
+    batch_scenes: int,
+    points_per_scene: int,
+    clamp_dist: float,
+    num_total: int,
+    use_eikonal: bool,
+    eik_weight: float = 0.002,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+    tile: int = 256,
+):
+    """Builds fn(parts, consts, xyz_t [8,N], gt_t [8,N]) ->
+    (l1_sum, eik_sum, dparts, dconsts). N = batch_scenes*points_per_scene;
+    l1 gradients use 1/num_total (the reference's full-batch normalizer),
+    eikonal uses 1/N (a mean over this microbatch, like the XLA path)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    plan, latent_li, L, nl = _layer_plan(decoder)
+    S, P = batch_scenes, points_per_scene
+    if P % tile:
+        tile = TILE
+    n = S * P
+    tps = P // tile
+    n_tiles = n // tile
+    widths = [out for _, _, out in plan]
+
+    kernel = _make_kernel(plan, latent_li, use_eikonal, dtype, tps)
+
+    def tile_ix(i):
+        return (0, i)
+
+    def const_ix(i):
+        return (i // tps, 0, 0)
+
+    def fixed_ix(i):
+        return (0, 0)
+
+    def out_pad(l):
+        return _XPAD if l == nl - 1 else widths[l]
+
+    in_specs = [
+        pl.BlockSpec((_XPAD, tile), tile_ix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((_XPAD, tile), tile_ix, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out_specs = [pl.BlockSpec((8, tile), fixed_ix, memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((8, tile), jnp.float32)]
+    for l, (kind, prev, out) in enumerate(plan):
+        op = out_pad(l)
+        if kind != "first":
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # Mp
+        if kind in ("first", "latent"):
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # Mx
+        in_specs.append(pl.BlockSpec((1, 1, op), const_ix, memory_space=pltpu.VMEM))
+    for l, (kind, prev, out) in enumerate(plan):
+        op = out_pad(l)
+        if kind != "first":
+            pw = widths[l - 1]
+            out_specs.append(pl.BlockSpec((op, pw), fixed_ix, memory_space=pltpu.VMEM))
+            out_shapes.append(jax.ShapeDtypeStruct((op, pw), jnp.float32))
+        if kind in ("first", "latent"):
+            out_specs.append(pl.BlockSpec((op, _XPAD), fixed_ix, memory_space=pltpu.VMEM))
+            out_shapes.append(jax.ShapeDtypeStruct((op, _XPAD), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, op), const_ix, memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((S, 1, op), jnp.float32))
+
+    scratch = [pltpu.VMEM((widths[l], tile), dtype) for l in range(nl - 1)]
+    if use_eikonal:
+        scratch += [pltpu.VMEM((widths[l], tile), dtype) for l in range(nl - 1)]
+
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    pallas_fn = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )
+
+    def fn(parts, consts, xyz_t, gt_t):
+        scal = jnp.array(
+            [[clamp_dist, 1.0 / num_total, 2.0 * eik_weight / n, 0.0]], jnp.float32
+        )
+        inputs = [xyz_t, gt_t, scal]
+        for l, (kind, prev, out) in enumerate(plan):
+            op = out_pad(l)
+            if kind != "first":
+                mp = parts[l]["Mp"].astype(dtype)
+                if op != out:
+                    mp = jnp.zeros((op, mp.shape[1]), dtype).at[:out].set(mp)
+                inputs.append(mp)
+            if kind in ("first", "latent"):
+                mx = jnp.zeros((op, _XPAD), dtype).at[:out, :3].set(
+                    parts[l]["Mx"].astype(dtype)
+                )
+                inputs.append(mx)
+            c = consts[l]
+            if op != out:
+                c = jnp.zeros((S, op), jnp.float32).at[:, :out].set(c)
+            inputs.append(c.reshape(S, 1, op))
+        outs = pallas_fn(*inputs)
+        it = iter(outs)
+        loss_acc = next(it)
+        dparts, dconsts = [], []
+        for l, (kind, prev, out) in enumerate(plan):
+            e = {"Mp": None, "Mx": None}
+            if kind != "first":
+                e["Mp"] = next(it)[:out]
+            if kind in ("first", "latent"):
+                e["Mx"] = next(it)[:out, :3]
+            dconsts.append(next(it)[:, 0, :out])
+            dparts.append(e)
+        return jnp.sum(loss_acc[0]), jnp.sum(loss_acc[1]), dparts, dconsts
+
+    return fn
+
+
+def fused_point_grads(
+    decoder,
+    net_params,
+    lat_rows,
+    xyz,
+    sdf_gt,
+    clamp_dist: float,
+    use_eikonal: bool,
+    num_total: int,
+    eik_weight: float = 0.002,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Fused loss + gradients for one (micro)batch.
+
+    Args: lat_rows [B, L]; xyz [B, P, 3]; sdf_gt [B, P, 1] (unclipped);
+    num_total = the XLA path's clamped-L1 normalizer (full-batch points).
+    Returns (grads_net pytree like net_params, dlat [B, L],
+    aux {sdf, eikonal}).
+    """
+    B, P = xyz.shape[0], xyz.shape[1]
+    plan, latent_li, L, nl = _layer_plan(decoder)
+
+    def eff(params):
+        ws, bs = [], []
+        for l in range(nl):
+            p = params[f"lin{l}"]
+            ws.append(weight_norm_effective(p) if "v" in p else p["w"])
+            bs.append(p["b"])
+        return ws, bs
+
+    (weights, biases), vjp_eff = jax.vjp(eff, net_params)
+    parts = split_weights(decoder, weights)
+
+    consts = []
+    for l in range(nl):
+        c = jnp.broadcast_to(biases[l][None, :], (B, biases[l].shape[0]))
+        if parts[l]["Wz"] is not None:
+            c = c + lat_rows @ parts[l]["Wz"]
+        consts.append(c)
+
+    n = B * P
+    xyz_t = jnp.zeros((_XPAD, n), jnp.float32).at[:3].set(xyz.reshape(n, 3).T)
+    gt = jnp.clip(sdf_gt.reshape(n), -clamp_dist, clamp_dist)
+    gt_t = jnp.zeros((_XPAD, n), jnp.float32).at[0].set(gt)
+
+    fused = build_fused_train(
+        decoder, B, P, clamp_dist, num_total, use_eikonal, eik_weight, dtype, interpret
+    )
+    l1_sum, eik_sum, dparts, dconsts = fused(parts, consts, xyz_t, gt_t)
+    sdf_l = l1_sum / num_total
+    eik_l = eik_weight * eik_sum / n if use_eikonal else jnp.float32(0.0)
+
+    dweights, dbiases = [], []
+    dlat = jnp.zeros_like(lat_rows)
+    for l in range(nl):
+        in_dim, out_dim, _, _ = decoder.layer_shapes[l]
+        kind = plan[l][0]
+        dc = dconsts[l]  # [B, out]
+        dW = jnp.zeros((in_dim, out_dim), jnp.float32)
+        if kind == "first":
+            dW = dW.at[:L].set(lat_rows.T @ dc)
+            dW = dW.at[L : L + 3].set(dparts[l]["Mx"].T)
+            dlat = dlat + dc @ parts[l]["Wz"].T
+        elif kind == "latent":
+            prev = in_dim - (L + 3)
+            dW = dW.at[:prev].set(dparts[l]["Mp"].T)
+            dW = dW.at[prev : prev + L].set(lat_rows.T @ dc)
+            dW = dW.at[prev + L :].set(dparts[l]["Mx"].T)
+            dlat = dlat + dc @ parts[l]["Wz"].T
+        else:
+            dW = dparts[l]["Mp"].T
+        dweights.append(dW)
+        dbiases.append(jnp.sum(dc, axis=0))
+
+    (grads_net,) = vjp_eff((dweights, dbiases))
+    return grads_net, dlat, {"sdf": sdf_l, "eikonal": eik_l}

@@ -166,6 +166,12 @@ class Stage1Trainer:
         if self.mesh is not None:
             self._apply_mesh_placement()
 
+        # fused forward+backward Pallas training kernel (ops/fused_train.py):
+        # one VMEM-resident pass computes loss + all gradients, replacing
+        # XLA autodiff's ~5 HBM-bound matmul sweeps. Enabled on TPU for
+        # supported configs; "UseFusedTrainKernel": false opts out.
+        self.use_fused_train = bool(get_spec_with_default(specs, "UseFusedTrainKernel", True))
+
         # host-side logs (reference Logs.pth families)
         self.loss_log = []
         self.loss_log_epoch = []
@@ -177,7 +183,7 @@ class Stage1Trainer:
         self.global_batch_idx = 0
 
         self._writer = None
-        self._step_fn = None
+        self._step_fns = {}  # keyed on batch_split
 
     # ------------------------------------------------------------------
     def _apply_mesh_placement(self):
@@ -239,6 +245,55 @@ class Stage1Trainer:
         use_gmi = self.use_grad_metric_iso
         train_dropout = self.train_dropout
         latent_dropout = decoder.latent_dropout
+
+        # fused Pallas fwd+bwd path (TPU, bf16, supported configs): one
+        # VMEM-resident kernel produces loss + every gradient per microbatch
+        use_fused = (
+            self.use_fused_train
+            and jax.default_backend() == "tpu"
+            and self.precision == "bfloat16"
+            and self.mesh is None
+            and not train_dropout
+            and not latent_dropout
+            and not use_iso
+            and not use_gmi
+        )
+        if use_fused:
+            from msd_tpu.ops.fused_train import supports_fused_train
+
+            use_fused = supports_fused_train(decoder, P)
+        self._fused_active = use_fused
+        do_reg = self.do_code_regularization
+        reg_lambda = self.code_reg_lambda
+        clamp = self.clamp_dist
+
+        def fused_grad_fn(trainable, idx_chunk, xyz, sdf_gt, key, epoch_f, num_total):
+            from msd_tpu.ops.fused_train import fused_point_grads
+
+            lat_rows = trainable["lat"][idx_chunk]
+            g_net, dlat_rows, aux = fused_point_grads(
+                decoder, trainable["net"], lat_rows, xyz, sdf_gt,
+                clamp, use_eik, num_total,
+            )
+            if do_reg:
+                # code reg on the expanded per-point rows = P * per-scene
+                # norms (ref: train_deep_sdf.py:609-616); safe-norm grad
+                s = jnp.sum(lat_rows * lat_rows, axis=1)
+                norms = jnp.sqrt(jnp.maximum(s, 1e-24))
+                coef = reg_lambda * jnp.minimum(1.0, epoch_f / 100.0) * P / num_total
+                aux["reg"] = coef * jnp.sum(norms)
+                dlat_rows = dlat_rows + jnp.where(
+                    (s > 1e-24)[:, None], coef * lat_rows / norms[:, None], 0.0
+                )
+            else:
+                aux["reg"] = jnp.float32(0.0)
+            grads = {
+                "net": g_net,
+                "lat": jnp.zeros_like(trainable["lat"]).at[idx_chunk].add(dlat_rows),
+            }
+            if "gmm" in trainable:
+                grads["gmm"] = jax.tree.map(jnp.zeros_like, trainable["gmm"])
+            return grads, aux
 
         def point_losses(trainable, scene_idx, xyz, sdf_gt, key, epoch_f, num_total):
             """Losses over one (micro)batch of scenes; xyz/sdf_gt [b, P, *]."""
@@ -364,10 +419,14 @@ class Stage1Trainer:
             xyz = batch[..., :3]
             sdf_gt = batch[..., 3:4]
 
-            def total_point_loss(trainable, idx_chunk, xyz_c, gt_c, k):
-                return point_losses(trainable, idx_chunk, xyz_c, gt_c, k, epoch_f, num_total)
+            if use_fused:
+                def grad_fn(trainable, idx_chunk, xyz_c, gt_c, k):
+                    return fused_grad_fn(trainable, idx_chunk, xyz_c, gt_c, k, epoch_f, num_total)
+            else:
+                def total_point_loss(trainable, idx_chunk, xyz_c, gt_c, k):
+                    return point_losses(trainable, idx_chunk, xyz_c, gt_c, k, epoch_f, num_total)
 
-            grad_fn = jax.grad(total_point_loss, has_aux=True)
+                grad_fn = jax.grad(total_point_loss, has_aux=True)
 
             if batch_split == 1:
                 grads, aux = grad_fn(state, scene_idx, xyz, sdf_gt, loss_key)
@@ -424,8 +483,9 @@ class Stage1Trainer:
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int, batch_split: int = 1, rng: np.random.Generator | None = None):
         """Run one epoch; returns mean metrics dict (host floats)."""
-        if self._step_fn is None:
-            self._step_fn = self._build_step(batch_split)
+        if batch_split not in self._step_fns:
+            self._step_fns[batch_split] = self._build_step(batch_split)
+        step_fn = self._step_fns[batch_split]
         rng = rng or np.random.default_rng(epoch)
         lr_net = float(self.lr_schedules[0].get_learning_rate(epoch, self.loss_log_epoch))
         lr_lat = float(self.lr_schedules[1].get_learning_rate(epoch, self.loss_log_epoch))
@@ -444,7 +504,7 @@ class Stage1Trainer:
                 idx = jax.device_put(idx, self._batch_sharding)
             self.global_batch_idx += 1
             key = jax.random.fold_in(self.base_key, self.global_batch_idx)
-            self.state, self.opt_state, m = self._step_fn(
+            self.state, self.opt_state, m = step_fn(
                 self.state, self.opt_state, pos, pc, neg, nc, idx, key,
                 jnp.float32(epoch), jnp.float32(lr_net), jnp.float32(lr_lat),
             )

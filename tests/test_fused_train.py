@@ -1,0 +1,138 @@
+"""Fused training-kernel gradients vs jax.grad of the XLA loss (oracle).
+
+The fused kernel hand-implements reverse-mode through clamped-L1 + eikonal
+(including the second-order ū/t chain); these tests check it against an
+independently written XLA loss differentiated by jax.grad, in Pallas
+interpret mode with float32 weights so tolerances are tight.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msd_tpu.losses.sdf import eikonal_loss
+from msd_tpu.models import build_decoder
+from msd_tpu.ops.fused_train import fused_point_grads, supports_fused_train
+
+CLAMP = 0.1
+
+
+def make_case(weight_norm=False, latent_in=(2,), seed=0, B=4, P=256, L=16, width=64, nl=5):
+    decoder = build_decoder(
+        "deep_sdf_decoder",
+        L,
+        dict(
+            dims=[width] * nl,
+            dropout=[],
+            dropout_prob=0.0,
+            norm_layers=list(range(nl)) if weight_norm else [],
+            latent_in=list(latent_in),
+            xyz_in_all=False,
+            use_tanh=False,
+            latent_dropout=False,
+            weight_norm=weight_norm,
+        ),
+    )
+    k = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(k, 4)
+    params = decoder.init(k1)
+    lat = 0.3 * jax.random.normal(k2, (B, L))
+    xyz = jax.random.uniform(k3, (B, P, 3), minval=-1, maxval=1)
+    # gt mixing in- and out-of-band values so the clamp mask is exercised
+    gt = 0.25 * jax.random.normal(k4, (B, P, 1))
+    return decoder, params, lat, xyz, gt
+
+
+def oracle_loss(decoder, params, lat, xyz, gt, use_eikonal):
+    """Replicates Stage1Trainer.point_losses' sdf+eikonal terms."""
+    B, P = xyz.shape[:2]
+    num_total = B * P
+    expanded = jnp.repeat(lat, P, axis=0)
+    xyz_flat = xyz.reshape(-1, 3)
+    gt_c = jnp.clip(gt.reshape(-1, 1), -CLAMP, CLAMP)
+
+    def pred_from_xyz(x):
+        inputs = jnp.concatenate([expanded, x], axis=1)
+        return jnp.clip(decoder.apply(params, inputs), -CLAMP, CLAMP)
+
+    if use_eikonal:
+        pred, vjp_fn = jax.vjp(pred_from_xyz, xyz_flat)
+        (grads_xyz,) = vjp_fn(jnp.ones_like(pred))
+        eik = eikonal_loss(grads_xyz)
+    else:
+        pred = pred_from_xyz(xyz_flat)
+        eik = 0.0
+    sdf_l = jnp.sum(jnp.abs(pred - gt_c)) / num_total
+    return sdf_l + eik, (sdf_l, eik)
+
+
+@pytest.mark.parametrize("use_eikonal", [False, True])
+@pytest.mark.parametrize("weight_norm", [False, True])
+def test_fused_grads_match_xla(use_eikonal, weight_norm):
+    decoder, params, lat, xyz, gt = make_case(weight_norm=weight_norm)
+    assert supports_fused_train(decoder, xyz.shape[1])
+    B, P = xyz.shape[:2]
+
+    (total, (sdf_o, eik_o)), (g_net_o, g_lat_o) = jax.value_and_grad(
+        lambda p, z: oracle_loss(decoder, p, z, xyz, gt, use_eikonal),
+        argnums=(0, 1),
+        has_aux=True,
+    )(params, lat)
+
+    g_net, g_lat, aux = fused_point_grads(
+        decoder, params, lat, xyz, gt, CLAMP, use_eikonal, B * P,
+        dtype=jnp.float32, interpret=True,
+    )
+
+    np.testing.assert_allclose(float(aux["sdf"]), float(sdf_o), rtol=1e-5, atol=1e-7)
+    if use_eikonal:
+        np.testing.assert_allclose(float(aux["eikonal"]), float(eik_o), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_lat), np.asarray(g_lat_o), rtol=2e-4, atol=1e-7)
+    flat_o = jax.tree_util.tree_flatten_with_path(g_net_o)[0]
+    flat_f = jax.tree_util.tree_flatten_with_path(g_net)[0]
+    assert len(flat_o) == len(flat_f)
+    for (path_o, leaf_o), (path_f, leaf_f) in zip(flat_o, flat_f):
+        assert path_o == path_f
+        np.testing.assert_allclose(
+            np.asarray(leaf_f), np.asarray(leaf_o), rtol=2e-4, atol=1e-7,
+            err_msg=str(path_o),
+        )
+
+
+def test_fused_grads_no_latent_in():
+    decoder, params, lat, xyz, gt = make_case(latent_in=())
+    assert supports_fused_train(decoder, xyz.shape[1])
+    B, P = xyz.shape[:2]
+    (_, (sdf_o, eik_o)), (g_net_o, g_lat_o) = jax.value_and_grad(
+        lambda p, z: oracle_loss(decoder, p, z, xyz, gt, True),
+        argnums=(0, 1),
+        has_aux=True,
+    )(params, lat)
+    g_net, g_lat, aux = fused_point_grads(
+        decoder, params, lat, xyz, gt, CLAMP, True, B * P,
+        dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(float(aux["sdf"]), float(sdf_o), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(aux["eikonal"]), float(eik_o), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_lat), np.asarray(g_lat_o), rtol=2e-4, atol=1e-7)
+    for (p_o, leaf_o), (p_f, leaf_f) in zip(
+        jax.tree_util.tree_flatten_with_path(g_net_o)[0],
+        jax.tree_util.tree_flatten_with_path(g_net)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(leaf_f), np.asarray(leaf_o), rtol=2e-4, atol=1e-7, err_msg=str(p_o)
+        )
+
+
+def test_supports_gating():
+    decoder, *_ = make_case()
+    assert supports_fused_train(decoder, 256)
+    assert not supports_fused_train(decoder, 100)  # tile divisibility
+    dec_ln = build_decoder(
+        "deep_sdf_decoder", 16,
+        dict(dims=[64] * 5, dropout=[], dropout_prob=0.0, norm_layers=[1],
+             latent_in=[2], xyz_in_all=False, use_tanh=False,
+             latent_dropout=False, weight_norm=False),
+    )
+    assert not supports_fused_train(dec_ln, 256)  # LayerNorm in chain
