@@ -59,28 +59,37 @@ def unpack_sdf_samples(filename, subsample=None, rng: Optional[np.random.Generat
 def _pad_stack(arrays: List[np.ndarray]):
     """Stack variable-length [Ni, 4] arrays into [S, Nmax, 4] + counts [S].
 
-    Padding repeats row 0 so padded rows are valid coordinates; they are
-    never selected because sampling draws indices in [0, count).
+    Padding tiles the scene's own rows cyclically, so every padded row is a
+    valid sample row. Chunklet sampling (`sample_sdf_batch`) may read into
+    the partial tail chunklet; cyclic padding keeps that draw near-uniform
+    over the scene's real rows (exactly uniform when count % r == 0).
     """
     counts = np.array([a.shape[0] for a in arrays], dtype=np.int32)
     if np.any(counts == 0):
         bad = int(np.argmax(counts == 0))
         raise ValueError(f"shape index {bad} has zero SDF samples")
-    nmax = int(counts.max())
+    nmax = -(-int(counts.max()) // _PAD_GRANULARITY) * _PAD_GRANULARITY
     out = np.empty((len(arrays), nmax, 4), dtype=np.float32)
     for i, a in enumerate(arrays):
         out[i, : a.shape[0]] = a
         if a.shape[0] < nmax:
-            out[i, a.shape[0] :] = a[0]
+            reps = -(-(nmax - a.shape[0]) // a.shape[0])
+            out[i, a.shape[0] :] = np.tile(a, (reps, 1))[: nmax - a.shape[0]]
     return out, counts
 
 
+# Padded scene slabs are rounded up to a multiple of this, so any chunklet
+# size dividing it tiles the slab exactly (no unreachable tail rows).
+_PAD_GRANULARITY = 128
+
+
 def _chunklet_size(half: int, chunk: int) -> int:
-    """Largest r <= chunk dividing half."""
-    r = min(chunk, half)
-    while half % r:
-        r -= 1
-    return max(r, 1)
+    """gcd(half, chunk): divides the per-scene draw count exactly AND (for
+    the default chunk=128) divides _PAD_GRANULARITY, so chunklets tile the
+    padded slab with no truncated tail. Power-of-two halves keep r=chunk."""
+    import math
+
+    return max(math.gcd(half, chunk), 1)
 
 
 def sample_sdf_batch(pos, pos_counts, neg, neg_counts, scene_indices, subsample, key, chunk: int = 128):
@@ -118,7 +127,10 @@ def sample_sdf_batch(pos, pos_counts, neg, neg_counts, scene_indices, subsample,
         n_draws = n_rows // r
         pmax = arr.shape[1]
         n_chunklets = pmax // r
-        cc = jnp.maximum(counts[scene_indices] // r, 1)  # [B] valid chunklets
+        # ceil-div so the partial tail chunklet is reachable (its pad rows
+        # are cyclic copies of real rows — see _pad_stack); scenes with
+        # count < r sample their rows near-uniformly from chunklet 0.
+        cc = jnp.clip((counts[scene_indices] + r - 1) // r, 1, n_chunklets)  # [B]
         ic = jax.random.randint(k, (b, n_draws), 0, cc[:, None])
         flat_ids = (scene_indices[:, None] * n_chunklets + ic).reshape(-1)
         chunked = arr[:, : n_chunklets * r, :].reshape(-1, r, 4)

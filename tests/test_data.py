@@ -104,6 +104,38 @@ def test_sample_batch_jittable(tmp_path):
     assert out.shape == (1, 16, 4)
 
 
+def test_small_scene_chunklet_sampling(tmp_path):
+    """Scenes with fewer rows than the chunklet size must sample their own
+    rows (near-uniformly via cyclic padding), never another scene's padding;
+    large-scene tail rows must be reachable (ceil-div chunklet count)."""
+    # scene 0 tiny (7 pos / 5 neg), scene 1 large with a tail (> default chunk)
+    _write_npz(str(tmp_path / "tiny.npz"), n_pos=7, n_neg=5, seed=0)
+    _write_npz(str(tmp_path / "big.npz"), n_pos=300, n_neg=290, seed=1)
+    ds = SdfDataset.from_split(str(tmp_path), ["tiny.obj", "big.obj"], subsample=64)
+    pos, pc, neg, nc = ds.device_arrays()
+
+    seen_tiny = set()
+    seen_big_rows = set()
+    big_pos = ds.pos[1, : ds.pos_counts[1]]
+    tiny_pos = ds.pos[0, : ds.pos_counts[0]]
+    for t in range(40):
+        batch = np.asarray(
+            sample_sdf_batch(pos, pc, neg, nc, jnp.array([0, 1]), 64, jax.random.PRNGKey(t), chunk=128)
+        )
+        # every drawn tiny-scene row must be one of its 7 real pos rows
+        for row in batch[0, :32]:
+            d = np.abs(tiny_pos - row).sum(axis=1)
+            assert d.min() < 1e-6
+            seen_tiny.add(int(np.argmin(d)))
+        for row in batch[1, :32]:
+            d = np.abs(big_pos - row).sum(axis=1)
+            assert d.min() < 1e-6
+            seen_big_rows.add(int(np.argmin(d)))
+    assert seen_tiny == set(range(7))  # all tiny rows sampled
+    # tail rows (beyond the last full 32-row chunklet at count=300) reachable
+    assert any(i >= 288 for i in seen_big_rows)
+
+
 def test_labels_matrix(tmp_path):
     _write_npz(str(tmp_path / "a.npz"))
     _write_npz(str(tmp_path / "b_femur.npz"))
