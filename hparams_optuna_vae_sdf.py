@@ -123,7 +123,16 @@ def run_trial(trial_dir, specs, train_epochs=None):
     holdout = trainer.holdout_indices if len(trainer.holdout_indices) else trainer.train_indices
     metrics = ev.compute_disentanglement_metrics(trainer, epoch, "holdout", holdout)
     corr = ev.compute_latent_label_correlation(trainer, epoch, "holdout", holdout)
-    recon = trainer.loss_log_epoch[-1] if trainer.loss_log_epoch else float("nan")
+    # recon term = HOLDOUT eval recon (the reference reads eval-split recon
+    # from TensorBoard, :445-470); train recon would reward overfitting.
+    em = ev.run_eval(
+        trainer, epoch, "hpo_holdout", scene_indices=holdout,
+        kl_weight=getattr(trainer, "_last_kl_weight", 0.0),
+        code_reg_weight=getattr(trainer, "_last_code_reg_weight", 0.0),
+    )
+    recon = em["eval_vae_recon"] if em else float("nan")
+    if not np.isfinite(recon):
+        recon = trainer.loss_log_epoch[-1] if trainer.loss_log_epoch else float("nan")
     sap = metrics.get("sap") or 0.0
     corr_abs = abs(corr) if corr is not None and np.isfinite(corr) else 0.0
     value = WEIGHTS["sap"] * sap + WEIGHTS["corr"] * corr_abs - WEIGHTS["recon"] * recon

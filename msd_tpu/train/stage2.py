@@ -71,7 +71,13 @@ class Stage2Trainer:
         specs: dict | None = None,
         dataset: SdfDataset | None = None,
         teacher_latents: np.ndarray | None = None,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh with a "data" axis — the
+        scene batch (and its label vectors) shard over it, VAE/SDF params
+        replicate, and XLA inserts the gradient psum over ICI; the same
+        DataParallel-equivalent contract as Stage1Trainer (SURVEY §2.6)."""
+        self.mesh = mesh
         self.experiment_directory = experiment_directory
         self.specs = specs if specs is not None else ws.load_experiment_specifications(experiment_directory)
         specs = self.specs
@@ -280,7 +286,8 @@ class Stage2Trainer:
         # ---- data ----
         self.data_source = specs["DataSource"]
         self._labels_map = None
-        if self.use_labels:
+        if self.use_labels and not (dataset is not None and dataset.labels is not None):
+            # an injected dataset that already carries labels needs no file
             self._labels_map = load_labels(os.path.join(self.data_source, self.labels_filename))
         if dataset is None:
             train_split = load_split(specs["TrainSplit"])
@@ -333,12 +340,38 @@ class Stage2Trainer:
             self.sdf_params_frozen = sdf_params
         self.state = state
         self.opt_state = adam_init(state)
+        if self.mesh is not None:
+            self._apply_mesh_placement()
 
         self.loss_log = []
         self.loss_log_epoch = []
         self.epoch = 0
         self._writer = None
-        self._step_fn = None
+        self._step_fns = {}  # keyed on batch_split
+        self.last_train_sap = None
+        self.last_holdout_sap = None
+        self.last_eval_metrics = None
+
+    # ------------------------------------------------------------------
+    def _apply_mesh_placement(self):
+        """Replicate VAE (+ trainable SDF) params and optimizer moments over
+        the mesh; scene batches shard per step in train_epoch. The batch
+        axis must be divisible by the mesh size, else the batch replicates
+        (gradients are identical either way — replication just loses the
+        speedup)."""
+        from msd_tpu.parallel import leading_axis_or_replicated, replicated_sharding
+
+        replicated = replicated_sharding(self.mesh)
+        self.state = jax.device_put(self.state, replicated)
+        self.sdf_params_frozen = (
+            jax.device_put(self.sdf_params_frozen, replicated)
+            if self.sdf_params_frozen is not None else None
+        )
+        self.opt_state = jax.device_put(self.opt_state, replicated)
+        self._batch_sharding = leading_axis_or_replicated(
+            self.mesh, self.scene_per_batch, "scene batch"
+        )
+        self._replicated = replicated
 
     # ------------------------------------------------------------------
     @property
@@ -392,7 +425,7 @@ class Stage2Trainer:
         )
 
     # ------------------------------------------------------------------
-    def _build_step(self):
+    def _build_step(self, batch_split: int = 1):
         vae = self.vae
         sdf_decoder = self.sdf_decoder
         P = self.num_samp_per_scene
@@ -400,6 +433,11 @@ class Stage2Trainer:
         train_sdf = self.train_sdf_decoder
 
         points_mode = self.vae_input_mode == "points"
+        if batch_split > 1 and (self.scene_per_batch * P) % batch_split != 0:
+            raise ValueError(
+                f"batch_split={batch_split} must divide ScenesPerBatch*SamplesPerScene"
+                f"={self.scene_per_batch * P}"
+            )
 
         def loss_fn(trainable, frozen_sdf, teacher, surface_pts, pos, pc, neg, nc, scene_idx,
                     label_values, label_valid, age_values, age_valid, key,
@@ -481,17 +519,46 @@ class Stage2Trainer:
                 vae_total = vae_total + cov
                 aux["cov"] = cov
 
-            # SDF-consistency through the Stage-1 decoder (ref: :3097-3138)
+            # SDF-consistency through the Stage-1 decoder (ref: :3097-3138).
+            # batch_split > 1 chunks the point axis with lax.scan + remat so
+            # backward memory is bounded by one chunk's activations — the
+            # XLA analog of the reference's per-chunk backward accumulation
+            # (ref: :3104-3138); equal chunks make the mean-of-chunk-means
+            # equal the reference's chunk_scale-weighted sum.
             lat_pts, xyz_flat = expand_latent_to_points(z_hat, xyz)
             sdf_params = trainable["sdf"] if train_sdf else frozen_sdf
-            sdf_input = jnp.concatenate([lat_pts, xyz_flat], axis=1)
-            pred = sdf_decoder.apply(sdf_params, sdf_input)
-            pred = jnp.clip(pred, -clamp, clamp)
-            sdf_total, sdf_l, sdf_reg = deep_sdf_loss(
-                pred, sdf_gt.reshape(-1, 1), lat_pts,
-                code_reg_lambda=self.code_reg_lambda,
-                code_reg_weight=code_reg_weight if self.do_code_regularization else 0.0,
-            )
+            gt_flat = sdf_gt.reshape(-1, 1)
+
+            def sdf_chunk_loss(lp, xp, gp):
+                pred = sdf_decoder.apply(sdf_params, jnp.concatenate([lp, xp], axis=1))
+                pred = jnp.clip(pred, -clamp, clamp)
+                return deep_sdf_loss(
+                    pred, gp, lp,
+                    code_reg_lambda=self.code_reg_lambda,
+                    code_reg_weight=code_reg_weight if self.do_code_regularization else 0.0,
+                )
+
+            if batch_split == 1:
+                sdf_total, sdf_l, sdf_reg = sdf_chunk_loss(lat_pts, xyz_flat, gt_flat)
+            else:
+                n = lat_pts.shape[0]
+                c = n // batch_split
+                chunks = (
+                    lat_pts.reshape(batch_split, c, -1),
+                    xyz_flat.reshape(batch_split, c, 3),
+                    gt_flat.reshape(batch_split, c, 1),
+                )
+
+                def scan_body(acc, inp):
+                    t, l, r = jax.checkpoint(sdf_chunk_loss)(*inp)
+                    return (acc[0] + t, acc[1] + l, acc[2] + r), None
+
+                (sdf_total, sdf_l, sdf_reg), _ = jax.lax.scan(
+                    scan_body, (jnp.float32(0.0),) * 3, chunks
+                )
+                sdf_total, sdf_l, sdf_reg = (
+                    x / batch_split for x in (sdf_total, sdf_l, sdf_reg)
+                )
             aux["sdf"] = sdf_l
             aux["sdf_reg"] = sdf_reg
 
@@ -576,9 +643,10 @@ class Stage2Trainer:
         )
 
     # ------------------------------------------------------------------
-    def train_epoch(self, epoch: int, rng: np.random.Generator | None = None):
-        if self._step_fn is None:
-            self._step_fn = self._build_step()
+    def train_epoch(self, epoch: int, batch_split: int = 1, rng: np.random.Generator | None = None):
+        if batch_split not in self._step_fns:
+            self._step_fns[batch_split] = self._build_step(batch_split)
+        step_fn = self._step_fns[batch_split]
         rng = rng or np.random.default_rng(epoch)
         lr_vae = float(self.lr_schedules[0].get_learning_rate(epoch, self.loss_log_epoch))
         lr_sdf = float(
@@ -596,6 +664,11 @@ class Stage2Trainer:
             )
         else:
             code_reg_weight = 0.0
+        # kept for the eval blocks (run_eval reuses the epoch's weights,
+        # ref: :3395-3401)
+        self._last_kl_weight = kl_weight
+        self._last_code_reg_weight = code_reg_weight
+        self._last_lr_vae = lr_vae
 
         pos, pc, neg, nc = self.dataset.device_arrays()
         teacher = jnp.asarray(self.teacher_latents)
@@ -603,9 +676,10 @@ class Stage2Trainer:
             surface = jnp.asarray(self.dataset.surface_points, jnp.float32)
         else:
             surface = jnp.zeros((1, 1, 3), jnp.float32)  # unused placeholder
-        frozen_sdf = self.sdf_params_frozen if not self.train_sdf_decoder else jax.tree.map(
-            lambda x: x, self.state.get("sdf", {})
-        )
+        # When the SDF decoder trains, loss_fn reads trainable["sdf"] and
+        # frozen_sdf is unused — pass a scalar placeholder rather than
+        # aliasing the donated state buffers (donation would invalidate them).
+        frozen_sdf = self.sdf_params_frozen if not self.train_sdf_decoder else jnp.zeros(())
         train_idx = self.train_indices
         perm = rng.permutation(len(train_idx))
         nb = len(train_idx) // self.scene_per_batch
@@ -616,10 +690,12 @@ class Stage2Trainer:
             sel = train_idx[perm[bidx * self.scene_per_batch : (bidx + 1) * self.scene_per_batch]]
             lv, valid, av, avalid = self._batch_labels(sel, rng)
             key = jax.random.fold_in(self.base_key, epoch * 100003 + bidx)
-            self.state, self.opt_state, aux = self._step_fn(
+            batch_arrays = [jnp.asarray(a) for a in (sel, lv, valid, av, avalid)]
+            if self.mesh is not None:
+                batch_arrays = [jax.device_put(a, self._batch_sharding) for a in batch_arrays]
+            self.state, self.opt_state, aux = step_fn(
                 self.state, self.opt_state, frozen_sdf, teacher, surface, pos, pc, neg, nc,
-                jnp.asarray(sel), jnp.asarray(lv), jnp.asarray(valid),
-                jnp.asarray(av), jnp.asarray(avalid), key,
+                *batch_arrays, key,
                 jnp.float32(kl_weight), jnp.float32(code_reg_weight),
                 jnp.float32(lr_vae), jnp.float32(lr_sdf),
             )
@@ -632,16 +708,19 @@ class Stage2Trainer:
         return mean
 
     # ------------------------------------------------------------------
-    def compute_vae_latents(self, batch_size: int = 1024) -> np.ndarray:
+    def compute_vae_latents(self, inputs=None, batch_size: int = 1024) -> np.ndarray:
         """Deterministic VAE mu's for every scene (exported to LatentCodes,
         ref: :1638-1659 compute_vae_latents). Point encoders consume the
-        surface point clouds (ref _select_vae_inputs)."""
+        surface point clouds (ref _select_vae_inputs). ``inputs`` overrides
+        the train-set default (e.g. reconstructed val/test latents)."""
         out = []
-        if self.vae_input_mode == "points":
+        if inputs is not None:
+            inputs = jnp.asarray(inputs, jnp.float32)
+        elif self.vae_input_mode == "points":
             inputs = jnp.asarray(self.dataset.surface_points, jnp.float32)
         else:
             inputs = jnp.asarray(self.teacher_latents)
-        for start in range(0, self.num_scenes, batch_size):
+        for start in range(0, inputs.shape[0], batch_size):
             chunk = inputs[start : start + batch_size]
             vae_out = self.vae.apply(self.state["vae"], chunk, rng=jax.random.PRNGKey(0), train=False)
             out.append(np.asarray(vae_out["mu"]))
@@ -662,6 +741,68 @@ class Stage2Trainer:
         ckpt.save_optimizer(self.experiment_directory, name + ".pth", self.opt_state, self.epoch)
         ckpt.save_latent_vectors(self.experiment_directory, name + ".pth", self.compute_vae_latents(), self.epoch)
 
+    # reference Logs.pth key -> train_epoch metric key
+    _LOG_FAMILIES = {
+        "loss_epoch": "total",
+        "sdf_loss_epoch": "sdf",
+        "sdf_reg_epoch": "sdf_reg",
+        "vae_recon_epoch": "vae_recon",
+        "vae_kl_epoch": "vae_kl",
+        "vae_latent_magnitude": "vae_lat_mag",
+        "snnl_epoch": "snnl",
+        "snnl_age_epoch": "snnl_age",
+        "attr_epoch": "attr",
+        "cov_epoch": "cov",
+        "corr_leak_epoch": "corr_leak",
+        "cross_cov_epoch": "cross_cov",
+        "rank_epoch": "rank",
+        "matchstd_epoch": "matchstd",
+        "matchstd_std0_epoch": "matchstd_std0",
+        "matchstd_stdref_epoch": "matchstd_stdref",
+        "sens_epoch": "sens",
+        "sens_delta_epoch": "sens_delta",
+    }
+
+    def _append_epoch_logs(self, mean: dict, lr: float, seconds: float):
+        if not hasattr(self, "logs_history"):
+            self.logs_history = {k: [] for k in self._LOG_FAMILIES}
+            self.logs_history["learning_rate"] = []
+            self.logs_history["timing"] = []
+        for log_key, metric_key in self._LOG_FAMILIES.items():
+            if metric_key in mean:
+                self.logs_history[log_key].append(float(mean[metric_key]))
+        self.logs_history["learning_rate"].append(lr)
+        self.logs_history["timing"].append(seconds)
+
+    def save_logs(self):
+        """Reference-format Stage-2 Logs.pth
+        (ref: train_MLP_VAE_deep_sdf.py:140-192)."""
+        import torch
+
+        hist = getattr(self, "logs_history", {})
+        torch.save(
+            dict(hist, epoch=self.epoch, loss=self.loss_log),
+            os.path.join(self.experiment_directory, ws.logs_filename),
+        )
+
+    def load_logs(self):
+        """Best-effort resume of the log histories, clipped to the resumed
+        epoch (ref load_logs/clip_logs, :194-288)."""
+        import torch
+
+        path = os.path.join(self.experiment_directory, ws.logs_filename)
+        if not os.path.isfile(path):
+            return
+        data = torch.load(path, map_location="cpu", weights_only=False)
+        self.logs_history = {
+            k: list(data.get(k, []))[: self.epoch]
+            for k in list(self._LOG_FAMILIES) + ["learning_rate", "timing"]
+        }
+        self.loss_log = list(data.get("loss", []))
+        self.loss_log_epoch = list(data.get("loss_epoch", []))[: self.epoch]
+        iters = len(self.loss_log) // max(1, len(data.get("loss_epoch", [1])))
+        self.loss_log = self.loss_log[: iters * self.epoch]
+
     def resume(self, continue_from: str) -> int:
         import torch
 
@@ -681,6 +822,10 @@ class Stage2Trainer:
             logging.warning("optimizer state not loaded; reinitializing")
             self.opt_state = adam_init(self.state)
         self.epoch = data["epoch"]
+        try:
+            self.load_logs()
+        except Exception as exc:
+            logging.warning("Logs.pth not restored: %s", exc)
         return data["epoch"] + 1
 
     # ------------------------------------------------------------------
@@ -764,14 +909,15 @@ class Stage2Trainer:
                     self.writer.add_scalar(f"Correlation/{split_label}_latent0_label", corr, epoch)
         return results
 
-    def train(self, start_epoch: int = 1, num_epochs: int | None = None):
+    def train(self, start_epoch: int = 1, num_epochs: int | None = None, batch_split: int = 1):
         num_epochs = num_epochs or self.num_epochs
         rng = np.random.default_rng(get_spec_with_default(self.specs, "Seed", 0) + start_epoch)
         for epoch in range(start_epoch, num_epochs + 1):
             t0 = time.time()
             self.epoch = epoch
-            mean = self.train_epoch(epoch, rng=rng)
+            mean = self.train_epoch(epoch, batch_split=batch_split, rng=rng)
             seconds = time.time() - t0
+            self._append_epoch_logs(mean, getattr(self, "_last_lr_vae", 0.0), seconds)
             logging.info(
                 "epoch %d total=%.6f vae_recon=%.6f sdf=%.6f time=%.2fs",
                 epoch, mean["total"], mean["vae_recon"], mean["sdf"], seconds,
@@ -791,34 +937,90 @@ class Stage2Trainer:
                 self.save_checkpoint(str(epoch))
             if epoch % self.log_frequency == 0:
                 self.save_checkpoint("latest")
+                self.save_logs()
             self._run_evals(epoch)
             w.flush()
         self.save_checkpoint("latest")
+        self.save_logs()
+
+    def _eval_scene_selection(self, key: str, pool, default: int = 0):
+        """Stable random subset of a scene pool, sized by a *SceneNumber spec
+        (0/absent = the whole pool; ref select_indices_from_pool /
+        select_mesh_indices, :1306-1317). Selected once and cached so the
+        same scenes are tracked across epochs, like the reference."""
+        from msd_tpu.config import get_spec_with_default as g
+
+        if not hasattr(self, "_eval_selections"):
+            self._eval_selections = {}
+        pool = np.asarray(pool)
+        cache_key = (key, len(pool))
+        if cache_key not in self._eval_selections:
+            n = int(g(self.specs, key, default) or 0)
+            if n <= 0 or n >= len(pool):
+                sel = pool
+            else:
+                rng = np.random.default_rng(g(self.specs, "Seed", 0))
+                sel = np.sort(rng.choice(pool, size=n, replace=False))
+            self._eval_selections[cache_key] = sel
+        return self._eval_selections[cache_key]
 
     def _run_evals(self, epoch):
-        """Periodic eval blocks: SAP/correlation/tables on train + holdout
-        splits and mesh+chamfer eval (ref: train_MLP_VAE_deep_sdf.py
-        :3319-3826 eval orchestration)."""
+        """Periodic eval blocks: per-split losses (run_eval), SAP /
+        correlation / diagnosis+age tables, and mesh+Chamfer eval on train,
+        holdout, val and test splits (ref: train_MLP_VAE_deep_sdf.py
+        :3319-3913 eval orchestration)."""
         from msd_tpu.config import get_spec_with_default as g
         from msd_tpu.train import stage2_eval as ev
 
-        eval_train_frequency = g(self.specs, "EvalTrainFrequency", 0)
-        mesh_train_scene_num = g(self.specs, "EvalMeshTrainSceneNumber", 10)
-        if eval_train_frequency and epoch % eval_train_frequency == 0:
-            ev.compute_disentanglement_metrics(self, epoch, "train", self.train_indices, self.writer)
-            ev.compute_latent_label_correlation(self, epoch, "train", self.train_indices, self.writer)
-            if self.compute_sap_age:
-                ev.write_age_table(self, epoch, "train", self.train_indices)
-            if len(self.holdout_indices):
-                ev.compute_disentanglement_metrics(self, epoch, "holdout", self.holdout_indices, self.writer)
-                ev.compute_latent_label_correlation(self, epoch, "holdout", self.holdout_indices, self.writer)
-                if self.compute_sap_age:
-                    ev.write_age_table(self, epoch, "holdout", self.holdout_indices)
-            if g(self.specs, "EvalGTMeshDir", None) and mesh_train_scene_num > 0:
-                sel = self.train_indices[:mesh_train_scene_num]
-                ev.generate_eval_meshes(self, epoch, "train", sel, writer=self.writer)
+        kl_weight = getattr(self, "_last_kl_weight", 0.0)
+        code_reg_weight = getattr(self, "_last_code_reg_weight", 0.0)
+        # mesh generation is opt-in (EvalGridResolution or a GT mesh dir in
+        # specs) — deviation from the reference's always-on 256^3 meshing,
+        # which would dominate eval time for configs that never read them
+        mesh_gate = ("EvalGridResolution" in self.specs) or bool(
+            g(self.specs, "EvalGTMeshDir", None)
+        )
 
-        # val/test latent re-optimization evals (ref: :415-473, :3640-3826)
+        eval_train_frequency = g(self.specs, "EvalTrainFrequency", 0)
+        if eval_train_frequency and epoch % eval_train_frequency == 0:
+            loss_idx = self._eval_scene_selection("EvalTrainSceneNumber", self.train_indices)
+            em = ev.run_eval(
+                self, epoch, "eval_train", scene_indices=loss_idx,
+                kl_weight=kl_weight, code_reg_weight=code_reg_weight, writer=self.writer,
+            )
+            if em is not None:
+                self.last_eval_metrics = dict(em, split="eval_train", epoch=epoch)
+
+            def _label_metrics(split_label, indices):
+                m = ev.compute_disentanglement_metrics(self, epoch, split_label, indices, self.writer)
+                ev.compute_latent_label_correlation(self, epoch, split_label, indices, self.writer)
+                ev.write_diagnosis_table(self, epoch, split_label, indices)
+                if self.compute_sap_age:
+                    ev.write_age_table(self, epoch, split_label, indices)
+                return m
+
+            tm = _label_metrics("train", self.train_indices)
+            if tm and tm.get("sap") is not None:
+                self.last_train_sap = tm["sap"]
+            if len(self.holdout_indices):
+                hm = _label_metrics("train_holdout", self.holdout_indices)
+                if hm and hm.get("sap") is not None:
+                    self.last_holdout_sap = hm["sap"]
+                hold_em = ev.run_eval(
+                    self, epoch, "eval_train_holdout",
+                    scene_indices=self._eval_scene_selection("EvalTestSceneNumber", self.holdout_indices),
+                    kl_weight=kl_weight, code_reg_weight=code_reg_weight, writer=self.writer,
+                )
+                if hold_em is not None:
+                    self.last_holdout_eval_metrics = dict(hold_em, epoch=epoch)
+            mesh_idx = self._eval_scene_selection("EvalMeshTrainSceneNumber", self.train_indices, 10)
+            if mesh_gate and len(mesh_idx):
+                ev.generate_eval_meshes(self, epoch, "train", mesh_idx, writer=self.writer)
+                cd = ev.compute_chamfer_for_scenes(self, epoch, "train", mesh_idx, writer=self.writer)
+                if cd is not None:
+                    logging.info("Epoch %d train chamfer: %.6f (mesh_count=%d)", epoch, cd, len(mesh_idx))
+
+        # val/test latent re-optimization evals (ref: :415-473, :3583-3913)
         eval_test_frequency = g(self.specs, "EvalTestFrequency", 0)
         eval_val_frequency = g(self.specs, "EvalValFrequency", eval_test_frequency)
         for split_label, freq, gate_key, start_key, latent_key in (
@@ -850,8 +1052,40 @@ class Stage2Trainer:
                         latent_key, teacher.shape[0], split_label, dataset.num_scenes,
                     )
                     continue
+            scene_num_key = "EvalTestSceneNumber" if split_label == "test" else "EvalValSceneNumber"
+            loss_idx = self._eval_scene_selection(scene_num_key, np.arange(dataset.num_scenes))
+            ev.run_eval(
+                self, epoch, f"eval_{split_label}", dataset=dataset, eval_latents=teacher,
+                scene_indices=loss_idx, kl_weight=kl_weight,
+                code_reg_weight=code_reg_weight, writer=self.writer,
+            )
+            ev.compute_latent_label_correlation(
+                self, epoch, split_label, loss_idx, self.writer,
+                dataset=dataset, eval_latents=teacher,
+            )
+            ev.write_diagnosis_table(
+                self, epoch, split_label, loss_idx, dataset=dataset, eval_latents=teacher
+            )
+            if self.compute_sap_age:
+                ev.write_age_table(
+                    self, epoch, f"{split_label}_age", loss_idx,
+                    dataset=dataset, eval_latents=teacher,
+                )
             results = self.eval_split(epoch, split_label, teacher, dataset)
             logging.info("epoch %d %s eval: %s", epoch, split_label, results)
+            mesh_key = "EvalMeshTestSceneNumber" if split_label == "test" else "EvalMeshValSceneNumber"
+            mesh_idx = self._eval_scene_selection(mesh_key, np.arange(dataset.num_scenes), 10)
+            if mesh_gate and len(mesh_idx):
+                ev.generate_eval_meshes(
+                    self, epoch, split_label, mesh_idx, writer=self.writer,
+                    dataset=dataset, eval_latents=teacher,
+                )
+                cd = ev.compute_chamfer_for_scenes(
+                    self, epoch, split_label, mesh_idx, writer=self.writer,
+                    dataset=dataset, eval_latents=teacher,
+                )
+                if cd is not None:
+                    logging.info("Epoch %d %s chamfer: %.6f", epoch, split_label, cd)
 
 
 def main_function(experiment_directory: str, continue_from=None, batch_split: int = 1):
@@ -860,5 +1094,33 @@ def main_function(experiment_directory: str, continue_from=None, batch_split: in
     if continue_from is not None:
         logging.info('continuing from "%s"', continue_from)
         start_epoch = trainer.resume(continue_from)
-    trainer.train(start_epoch=start_epoch)
+    try:
+        trainer.train(start_epoch=start_epoch, batch_split=int(batch_split))
+    except KeyboardInterrupt:
+        # flush/close TensorBoard like the reference (ref:
+        # train_MLP_VAE_deep_sdf.py:3909-3913)
+        logging.error("Received KeyboardInterrupt. Cleaning up and ending training.")
+    finally:
+        if trainer._writer is not None:
+            # final hparams summary (stage-1 pattern, ref:
+            # train_deep_sdf.py:1053-1078)
+            try:
+                scalar_keys = (
+                    "CodeLength", "NumEpochs", "SamplesPerScene", "ScenesPerBatch",
+                    "ClampingDistance", "VAELatentDim", "VAEReconWeight", "VAEKLWeight",
+                    "SDFLossWeight", "SNNLWeight", "CorrLeakageLambda",
+                )
+                hparams = {k: trainer.specs[k] for k in scalar_keys if k in trainer.specs}
+                final = {
+                    "final_loss": trainer.loss_log_epoch[-1] if trainer.loss_log_epoch else float("nan")
+                }
+                if getattr(trainer, "last_holdout_sap", None) is not None:
+                    final["final_holdout_sap"] = trainer.last_holdout_sap
+                if getattr(trainer, "last_train_sap", None) is not None:
+                    final["final_train_sap"] = trainer.last_train_sap
+                trainer.writer.add_hparams(hparams, final)
+            except Exception:
+                pass
+            trainer.writer.flush()
+            trainer.writer.close()
     return trainer

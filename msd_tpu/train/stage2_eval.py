@@ -22,19 +22,178 @@ def _valid_mask(labels_np):
     return np.isfinite(labels_np) & (labels_np != -1)
 
 
+def _eval_inputs(trainer, dataset=None, eval_latents=None):
+    """The VAE input array for a split: surface points in points mode,
+    else the split's (teacher/reconstructed) latents. None when unavailable
+    (ref _select_vae_inputs, train_MLP_VAE_deep_sdf.py:1554-1580)."""
+    if dataset is None or dataset is trainer.dataset:
+        if trainer.vae_input_mode == "points":
+            return trainer.dataset.surface_points
+        return eval_latents if eval_latents is not None else trainer.teacher_latents
+    if trainer.vae_input_mode == "points":
+        return dataset.surface_points
+    return eval_latents
+
+
+def _codes_for(trainer, dataset=None, eval_latents=None, scene_indices=None):
+    """VAE mu's for a split, optionally restricted to scene_indices."""
+    inputs = _eval_inputs(trainer, dataset, eval_latents)
+    if inputs is None:
+        return None
+    mu = trainer.compute_vae_latents(inputs=inputs)
+    if scene_indices is not None:
+        mu = mu[np.asarray(scene_indices)]
+    return mu
+
+
+def _labels_for(trainer, dataset, label_index, scene_indices=None):
+    ds = dataset if dataset is not None else trainer.dataset
+    if ds.labels is None:
+        return None
+    labels_np = ds.labels[:, int(label_index)].astype(float)
+    if scene_indices is not None:
+        labels_np = labels_np[np.asarray(scene_indices)]
+    return labels_np
+
+
+def run_eval(
+    trainer, epoch: int, split_label: str, dataset=None, eval_latents=None,
+    scene_indices=None, kl_weight: float = 0.0, code_reg_weight: float = 0.0,
+    writer=None,
+):
+    """Per-split VAE+SDF loss evaluation (ref: train_MLP_VAE_deep_sdf.py
+    :1684-1847). Computes the plain VAE objective (recon+KL — the reference
+    always uses vae_loss here, regardless of the training objective) plus
+    the SDF-consistency loss on the split's sample points, averaged per
+    batch, and logs the reference's scalar families. Returns the
+    eval_metrics dict or None."""
+    import jax
+    import jax.numpy as jnp
+
+    from msd_tpu.data.sdf_samples import sample_sdf_batch
+    from msd_tpu.losses import vae as vl
+    from msd_tpu.losses.sdf import deep_sdf_loss
+    from msd_tpu.models.residual_mlp_vae import expand_latent_to_points
+
+    ds = dataset if dataset is not None else trainer.dataset
+    if ds is None:
+        return None
+    inputs = _eval_inputs(trainer, dataset, eval_latents)
+    points_mode = trainer.vae_input_mode == "points"
+    teacher = None
+    if not points_mode:
+        teacher = inputs
+        if teacher is None:
+            raise RuntimeError("Latent inputs required for latent encoder.")
+    else:
+        teacher = eval_latents if dataset is not None and dataset is not trainer.dataset else trainer.teacher_latents
+    if inputs is None:
+        return None
+    has_teacher = teacher is not None
+
+    if scene_indices is None:
+        scene_indices = np.arange(ds.num_scenes)
+    scene_indices = np.asarray(scene_indices)
+    if len(scene_indices) == 0:
+        return None
+
+    cache = getattr(trainer, "_run_eval_fns", None)
+    if cache is None:
+        cache = trainer._run_eval_fns = {}
+    if has_teacher not in cache:
+        vae = trainer.vae
+        sdf_decoder = trainer.sdf_decoder
+        P = trainer.num_samp_per_scene
+        clamp = trainer.clamp_dist
+        _ht = has_teacher
+
+        def eval_batch(vae_params, sdf_params, vae_in_b, teacher_b, pos, pc, neg, nc, idx, key, klw, crw):
+            batch = sample_sdf_batch(pos, pc, neg, nc, idx, P, key)
+            xyz = batch[..., :3]
+            gt = jnp.clip(batch[..., 3:4], -clamp, clamp).reshape(-1, 1)
+            vae_out = vae.apply(vae_params, vae_in_b, rng=key, train=False)
+            mu, logvar, z_hat = vae_out["mu"], vae_out["logvar"], vae_out["z_hat"]
+            if _ht:
+                vae_total, recon, kl = vl.vae_loss(
+                    z_hat, teacher_b, mu, logvar,
+                    recon_weight=trainer.vae_recon_weight, kl_weight=klw,
+                    recon_loss=trainer.recon_loss_type,
+                )
+            else:
+                vae_total = jnp.float32(0.0)
+                recon = kl = jnp.float32(jnp.nan)
+            lat_pts, xyz_flat = expand_latent_to_points(z_hat, xyz)
+            pred = sdf_decoder.apply(sdf_params, jnp.concatenate([lat_pts, xyz_flat], axis=1))
+            pred = jnp.clip(pred, -clamp, clamp)
+            _, sdf_l, sdf_reg = deep_sdf_loss(
+                pred, gt, lat_pts,
+                code_reg_lambda=trainer.code_reg_lambda, code_reg_weight=crw,
+            )
+            total = trainer.sdf_loss_weight * (sdf_l + sdf_reg) + vae_total
+            lat_mag = jnp.mean(jnp.linalg.norm(mu, axis=1))
+            return total, sdf_l, sdf_reg, recon, kl, lat_mag
+
+        cache[has_teacher] = jax.jit(eval_batch)
+    eval_batch = cache[has_teacher]
+
+    pos, pc, neg, nc = ds.device_arrays()
+    inputs_dev = jnp.asarray(inputs, jnp.float32)
+    teacher_dev = jnp.asarray(teacher, jnp.float32) if has_teacher else jnp.zeros((1, 1))
+    vae_params = trainer.state["vae"]
+    sdf_params = trainer.sdf_params()
+
+    B = min(trainer.scene_per_batch, len(scene_indices))
+    rows = []
+    for start in range(0, len(scene_indices), B):
+        sel = scene_indices[start : start + B]
+        key = jax.random.fold_in(trainer.base_key, 777000 + epoch * 1000 + start)
+        out = eval_batch(
+            vae_params, sdf_params, inputs_dev[sel],
+            teacher_dev[sel] if has_teacher else teacher_dev,
+            pos, pc, neg, nc, jnp.asarray(sel), key,
+            jnp.float32(kl_weight), jnp.float32(code_reg_weight),
+        )
+        rows.append([float(x) for x in jax.device_get(out)])
+    m = np.asarray(rows)  # per-batch means, averaged equally like the ref
+    eval_metrics = {
+        "eval_loss": float(np.mean(m[:, 0])),
+        "eval_sdf_loss": float(np.mean(m[:, 1])),
+        "eval_sdf_reg": float(np.mean(m[:, 2])),
+        "eval_vae_recon": float(np.mean(m[:, 3])),
+        "eval_vae_kl": float(np.mean(m[:, 4])),
+        "eval_vae_lat_mag": float(np.mean(m[:, 5])),
+    }
+    logging.info(
+        "%s eval loss: %.6f | sdf: %.6f | sdf_reg: %.6f | vae_recon: %.6f | vae_kl: %.6f",
+        split_label, eval_metrics["eval_loss"], eval_metrics["eval_sdf_loss"],
+        eval_metrics["eval_sdf_reg"], eval_metrics["eval_vae_recon"],
+        eval_metrics["eval_vae_kl"],
+    )
+    w = writer if writer is not None else trainer.writer
+    w.add_scalar(f"Loss/{split_label}", eval_metrics["eval_loss"], epoch)
+    w.add_scalar(f"Loss/{split_label}_sdf", eval_metrics["eval_sdf_loss"], epoch)
+    w.add_scalar(f"Loss/{split_label}_reg", eval_metrics["eval_sdf_reg"], epoch)
+    w.add_scalar(f"Loss/{split_label}_vae_recon", eval_metrics["eval_vae_recon"], epoch)
+    w.add_scalar(f"Loss/{split_label}_vae_kl", eval_metrics["eval_vae_kl"], epoch)
+    w.add_scalar(f"Mean Latent Magnitude/{split_label}", eval_metrics["eval_vae_lat_mag"], epoch)
+    return eval_metrics
+
+
 def compute_disentanglement_metrics(
-    trainer, epoch: int, split_label: str, scene_indices=None, writer=None
+    trainer, epoch: int, split_label: str, scene_indices=None, writer=None,
+    dataset=None, eval_latents=None,
 ):
     """SAP (+ Locatello) on the diagnosis label and SAP-age on the age
     label over the VAE mu's. Returns {sap, sap_locatello, sap_age}."""
     specs = trainer.specs
     from msd_tpu.config import get_spec_with_default as g
 
+    ds = dataset if dataset is not None else trainer.dataset
     compute_sap = g(specs, "ComputeSAP", False)
     compute_sap_age = g(specs, "ComputeSAPAge", False)
     if not compute_sap and not compute_sap_age:
         return {}
-    if trainer.dataset.labels is None:
+    if ds.labels is None:
         return {}
 
     label_task_type = trainer.label_task_type
@@ -57,8 +216,11 @@ def compute_disentanglement_metrics(
     sap_nb_bins = g(specs, "SAPNumBins", 10)
     sap_label_indices = g(specs, "SAPLabelIndices", None) or [trainer.label_index]
 
-    codes = trainer.eval_latents(scene_indices)
-    labels = trainer.dataset.labels
+    codes = _codes_for(trainer, dataset, eval_latents, scene_indices)
+    if codes is None:
+        logging.warning("SAP skipped (%s): VAE inputs unavailable.", split_label)
+        return {}
+    labels = ds.labels
     if scene_indices is not None:
         labels = labels[np.asarray(scene_indices)]
 
@@ -102,14 +264,15 @@ def compute_disentanglement_metrics(
     return out
 
 
-def compute_latent_label_correlation(trainer, epoch, split_label, scene_indices=None, writer=None):
+def compute_latent_label_correlation(
+    trainer, epoch, split_label, scene_indices=None, writer=None,
+    dataset=None, eval_latents=None,
+):
     """corr(latent0, diagnosis label) (ref: :2114-2170)."""
-    if trainer.dataset.labels is None:
+    labels_np = _labels_for(trainer, dataset, trainer.label_index, scene_indices)
+    codes = _codes_for(trainer, dataset, eval_latents, scene_indices)
+    if labels_np is None or codes is None:
         return None
-    labels_np = trainer.dataset.labels[:, trainer.label_index].astype(float)
-    codes = trainer.eval_latents(scene_indices)
-    if scene_indices is not None:
-        labels_np = labels_np[np.asarray(scene_indices)]
     mask = _valid_mask(labels_np)
     if mask.sum() < 2:
         return None
@@ -128,14 +291,15 @@ def compute_latent_label_correlation(trainer, epoch, split_label, scene_indices=
     return corr
 
 
-def latent_label_table(trainer, epoch, split_label, label_index, scene_indices=None, regression=True, nb_bins=10):
+def latent_label_table(
+    trainer, epoch, split_label, label_index, scene_indices=None,
+    regression=True, nb_bins=10, dataset=None, eval_latents=None,
+):
     """Per-dim (corr, sap) rows (ref diagnosis table :2172-2434)."""
-    if trainer.dataset.labels is None:
+    labels_np = _labels_for(trainer, dataset, label_index, scene_indices)
+    codes = _codes_for(trainer, dataset, eval_latents, scene_indices)
+    if labels_np is None or codes is None:
         return []
-    labels_np = trainer.dataset.labels[:, label_index].astype(float)
-    codes = trainer.eval_latents(scene_indices)
-    if scene_indices is not None:
-        labels_np = labels_np[np.asarray(scene_indices)]
     mask = _valid_mask(labels_np)
     if mask.sum() < 2:
         return []
@@ -160,7 +324,7 @@ def latent_label_table(trainer, epoch, split_label, label_index, scene_indices=N
     return rows
 
 
-def write_age_table(trainer, epoch, split_label, scene_indices=None):
+def write_age_table(trainer, epoch, split_label, scene_indices=None, dataset=None, eval_latents=None):
     """AgeTables CSV: dim,corr,sap_r2,pred_mean,pred_std
     (ref: :2436-2581)."""
     from msd_tpu.config import get_spec_with_default as g
@@ -173,16 +337,15 @@ def write_age_table(trainer, epoch, split_label, scene_indices=None):
         trainer, epoch, split_label, age_idx, scene_indices,
         regression=g(trainer.specs, "SAPAgeRegression", True),
         nb_bins=g(trainer.specs, "SAPAgeNumBins", 10),
+        dataset=dataset, eval_latents=eval_latents,
     )
     if not rows3:
         return None
     # linear-regression prediction stats per dim
-    if trainer.dataset.labels is None:
+    labels_np = _labels_for(trainer, dataset, age_idx, scene_indices)
+    codes = _codes_for(trainer, dataset, eval_latents, scene_indices)
+    if labels_np is None or codes is None:
         return None
-    labels_np = trainer.dataset.labels[:, age_idx].astype(float)
-    codes = trainer.eval_latents(scene_indices)
-    if scene_indices is not None:
-        labels_np = labels_np[np.asarray(scene_indices)]
     mask = _valid_mask(labels_np)
     labels_v = labels_np[mask]
     latents = codes[mask]
@@ -208,48 +371,220 @@ def write_age_table(trainer, epoch, split_label, scene_indices=None):
     return table_path
 
 
-def generate_eval_meshes(trainer, epoch, split_label, scene_indices, resolution=None, writer=None):
-    """Decode selected scenes' VAE-reconstructed latents to meshes and
-    Chamfer them against GT meshes when EvalGTMeshDir is set
-    (ref: :1997-2112)."""
+def write_diagnosis_table(trainer, epoch, split_label, scene_indices=None, dataset=None, eval_latents=None):
+    """Per-dim latent-vs-diagnosis tables (ref print_latent_diagnosis_table,
+    train_MLP_VAE_deep_sdf.py:2171-2434). Regression labels log
+    dim|corr|sap_r2; classification labels log tables A (corr, SAP acc/err,
+    Kumar-holdout acc) and B (holdout err, Locatello acc/err). Returns the
+    row list (A-rows for classification)."""
+    from msd_tpu.config import get_spec_with_default as g
+
+    specs = trainer.specs
+    labels_np = _labels_for(trainer, dataset, trainer.label_index, scene_indices)
+    codes = _codes_for(trainer, dataset, eval_latents, scene_indices)
+    if labels_np is None or codes is None:
+        logging.warning("Latent table skipped (%s): inputs unavailable.", split_label)
+        return []
+    mask = _valid_mask(labels_np)
+    if mask.sum() < 2:
+        logging.warning("Latent table skipped (%s): insufficient valid labels.", split_label)
+        return []
+    labels_np = labels_np[mask].astype(float)
+    latents = codes[mask]
+
+    label_task_type = trainer.label_task_type
+    sap_regression = g(specs, "SAPRegression", label_task_type in ("regression", "reg", "continuous"))
+    sap_continuous = g(specs, "SAPContinuousFactors", label_task_type not in ("classification", "class", "cls", "binary"))
+    sap_nb_bins = g(specs, "SAPNumBins", 10)
+    is_regression = bool(sap_regression or sap_continuous)
+
+    sap_scores = None
+    if g(specs, "ComputeSAP", False):
+        try:
+            sap_matrix = sap_metric.sap_score_matrix(
+                labels_np.reshape(-1, 1), latents,
+                continuous_factors=sap_continuous, nb_bins=sap_nb_bins,
+                regression=sap_regression,
+            )
+            if sap_matrix.shape[0] > 0:
+                sap_scores = sap_matrix[0]
+        except Exception as exc:
+            logging.warning("SAP per-latent scores unavailable (%s): %s", split_label, exc)
+
+    def _corr(dim):
+        x = latents[:, dim]
+        if np.std(x) == 0 or np.std(labels_np) == 0:
+            return float("nan")
+        return float(np.corrcoef(x, labels_np)[0, 1])
+
+    if is_regression:
+        logging.info("Epoch %d latent vs label table (%s):", epoch, split_label)
+        logging.info("  dim | corr | sap_r2")
+        rows = []
+        for dim in range(latents.shape[1]):
+            sap_val = float(sap_scores[dim]) if sap_scores is not None else float("nan")
+            rows.append((dim, _corr(dim), sap_val))
+            logging.info("  %3d | %6.3f | %6.3f", dim, rows[-1][1], sap_val)
+        return rows
+
+    labels_int = labels_np.astype(int)
+    unique_labels, unique_counts = np.unique(labels_int, return_counts=True)
+    logging.info(
+        "  label balance (%s): %s", split_label,
+        {int(k): int(v) for k, v in zip(unique_labels, unique_counts)},
+    )
+    loc_err_matrix = None
+    try:
+        _, loc_err_matrix = sap_metric.sap_binary_classification_locatello(
+            labels_int.reshape(-1, 1), latents
+        )
+    except Exception as exc:
+        logging.warning("Locatello SAP per-latent scores unavailable (%s): %s", split_label, exc)
+    sap_holdout_test_acc = None
+    if g(specs, "SAPKumarHoldout", False):
+        try:
+            _, sap_holdout_test_acc = sap_metric.sap_classification_holdout(
+                labels_int.reshape(-1, 1), latents,
+                continuous_factors=sap_continuous, nb_bins=sap_nb_bins,
+                train_frac=float(g(specs, "SAPKumarHoldoutFrac", 0.8)),
+                random_state=g(specs, "SAPKumarHoldoutSeed", 0),
+            )
+        except Exception as exc:
+            logging.warning("Kumar holdout SAP unavailable (%s): %s", split_label, exc)
+
+    logging.info("Epoch %d latent vs diagnosis tables (%s):", epoch, split_label)
+    logging.info("  table A: dim | corr | sap_acc | sap_err | sap_hold_acc")
+    logging.info("  table B: dim | sap_hold_err | loc_acc | loc_err")
+    rows_a, rows_b = [], []
+    for dim in range(latents.shape[1]):
+        corr = _corr(dim)
+        sap_val = float(sap_scores[dim]) if sap_scores is not None else float("nan")
+        sap_err = 1.0 - sap_val if np.isfinite(sap_val) else float("nan")
+        hold_val = hold_err = float("nan")
+        if sap_holdout_test_acc is not None:
+            hold_val = float(sap_holdout_test_acc[0][dim])
+            if np.isfinite(hold_val):
+                hold_err = 1.0 - hold_val
+        loc_err = loc_val = float("nan")
+        if loc_err_matrix is not None and loc_err_matrix.shape[0] > 0:
+            loc_err = float(loc_err_matrix[0][dim])
+            if np.isfinite(loc_err):
+                loc_val = 1.0 - loc_err
+        rows_a.append((dim, corr, sap_val, sap_err, hold_val))
+        rows_b.append((dim, hold_err, loc_val, loc_err))
+    for dim, corr, sap_val, sap_err, hold_val in rows_a:
+        logging.info("  A %3d | %6.3f | %7.3f | %7.3f | %12.3f", dim, corr, sap_val, sap_err, hold_val)
+    for dim, hold_err, loc_val, loc_err in rows_b:
+        logging.info("  B %3d | %12.3f | %7.3f | %7.3f", dim, hold_err, loc_val, loc_err)
+    if sap_holdout_test_acc is not None:
+        vals = sap_holdout_test_acc[0]
+        vals = np.sort(vals[np.isfinite(vals)])
+        if vals.size >= 2:
+            logging.info(
+                "Epoch %d Kumar SAP holdout gap (%s): %.6f",
+                epoch, split_label, float(vals[-1] - vals[-2]),
+            )
+    return rows_a
+
+
+def _zhat_for_scenes(trainer, scene_indices, dataset=None, eval_latents=None):
+    """z_hat (VAE-reconstructed latents) for selected scenes of a split.
+    Returns (ds, z_hat [len(idx), L]) or (ds, None) if inputs missing."""
+    import jax
+
+    ds = dataset if dataset is not None else trainer.dataset
+    inputs = _eval_inputs(trainer, dataset, eval_latents)
+    if inputs is None:
+        return ds, None
+    sel = np.asarray(scene_indices)
+    vae_out = trainer.vae.apply(
+        trainer.state["vae"], np.asarray(inputs, np.float32)[sel],
+        rng=jax.random.PRNGKey(0), train=False,
+    )
+    return ds, np.asarray(vae_out["z_hat"])
+
+
+def generate_eval_meshes(
+    trainer, epoch, split_label, scene_indices, resolution=None, writer=None,
+    dataset=None, eval_latents=None,
+):
+    """Decode selected scenes' z_hat to meshes under the TensorBoard
+    reconstruction dirs (ref generate_eval_meshes, :1997-2047)."""
+    from msd_tpu.config import get_spec_with_default as g
+    from msd_tpu import mesh as mesh_mod
+
+    if scene_indices is None or len(scene_indices) == 0:
+        return []
+    specs = trainer.specs
+    resolution = resolution or g(specs, "EvalGridResolution", 256)
+    max_batch = g(specs, "EvalMaxBatch", 2**18)
+    ds, z_hat = _zhat_for_scenes(trainer, scene_indices, dataset, eval_latents)
+    if z_hat is None:
+        logging.error("%s latents missing; skipping %s mesh generation.", split_label, split_label)
+        return []
+    recon_dir = (
+        ws.tb_logs_train_reconstructions if split_label == "train"
+        else ws.tb_logs_test_reconstructions
+    )
+    written = []
+    sdf_params = trainer.sdf_params()
+    for j, idx in enumerate(scene_indices):
+        iid = ds.instance_ids[idx]
+        out_dir = os.path.join(trainer.experiment_directory, ws.tb_logs_dir, recon_dir, iid)
+        os.makedirs(out_dir, exist_ok=True)
+        res = mesh_mod.create_mesh(
+            trainer.sdf_decoder, sdf_params, z_hat[j],
+            filename=os.path.join(out_dir, f"epoch={epoch}"),
+            N=resolution, max_batch=max_batch, return_mesh=True,
+        )
+        if res is not None and res is not False:
+            written.append(iid)
+    return written
+
+
+def compute_chamfer_for_scenes(
+    trainer, epoch, split_label, scene_indices, writer=None,
+    dataset=None, eval_latents=None,
+):
+    """Mean Chamfer of selected scenes' decoded meshes vs EvalGTMeshDir
+    ground truth; logs Chamfer/{split} (ref compute_chamfer_for_scenes,
+    :2049-2112). Returns the mean CD or None."""
     from msd_tpu.config import get_spec_with_default as g
     from msd_tpu import mesh as mesh_mod
     from msd_tpu.metrics.chamfer import compute_mesh_chamfer
 
     specs = trainer.specs
-    resolution = resolution or g(specs, "EvalGridResolution", 256)
-    max_batch = g(specs, "EvalMaxBatch", 2**18)
     gt_dir = g(specs, "EvalGTMeshDir", None)
+    if gt_dir is None or scene_indices is None or len(scene_indices) == 0:
+        return None
     gt_ext = g(specs, "EvalGTMeshExt", ".obj")
-
-    import jax
-
-    # z_hat = decoder(mu): the VAE-reconstructed teacher latents
-    mu = trainer.eval_latents()
-    z_hat = np.asarray(
-        trainer.vae.decode(trainer.state["vae"], np.asarray(mu, np.float32))
-    )
+    resolution = g(specs, "EvalGridResolution", 256)
+    max_batch = g(specs, "EvalMaxBatch", 2**18)
+    ds, z_hat = _zhat_for_scenes(trainer, scene_indices, dataset, eval_latents)
+    if z_hat is None:
+        logging.error("%s latents missing; skipping %s Chamfer.", split_label, split_label)
+        return None
     sdf_params = trainer.sdf_params()
     cds = []
-    for idx in scene_indices:
-        iid = trainer.dataset.instance_ids[idx]
-        out_dir = os.path.join(
-            trainer.experiment_directory, ws.tb_logs_dir,
-            f"Reconstructions{split_label.capitalize()}", iid,
-        )
-        os.makedirs(out_dir, exist_ok=True)
+    for j, idx in enumerate(scene_indices):
+        iid = ds.instance_ids[idx]
+        gt_path = os.path.join(str(gt_dir), iid + gt_ext)
+        if not os.path.isfile(gt_path):
+            logging.warning("GT mesh missing for chamfer: %s", gt_path)
+            continue
         res = mesh_mod.create_mesh(
-            trainer.sdf_decoder, sdf_params, z_hat[idx],
-            filename=os.path.join(out_dir, f"epoch={epoch}"),
+            trainer.sdf_decoder, sdf_params, z_hat[j],
             N=resolution, max_batch=max_batch, return_mesh=True,
         )
         if res is None or res is False:
             continue
-        if gt_dir:
-            gt_path = os.path.join(str(gt_dir), iid + gt_ext)
-            if os.path.exists(gt_path):
-                cd, _ = compute_mesh_chamfer(gt_path, res, num_mesh_samples=g(specs, "EvalGTMeshSamples", 30000))
-                cds.append(cd)
-    if cds and writer is not None:
-        writer.add_scalar(f"Mean Chamfer Dist/{split_label}", float(np.mean(cds)), epoch)
-    return cds
+        cd, _ = compute_mesh_chamfer(
+            gt_path, res, num_mesh_samples=g(specs, "EvalGTMeshSamples", 30000)
+        )
+        cds.append(cd)
+    if not cds:
+        return None
+    mean_cd = float(np.mean(cds))
+    w = writer if writer is not None else trainer.writer
+    w.add_scalar(f"Chamfer/{split_label}", mean_cd, epoch)
+    return mean_cd

@@ -61,6 +61,74 @@ def test_mesh_eval_runs(trained, tmp_path):
     assert os.path.isdir(recon_dir)
 
 
+def test_run_eval_losses(trained):
+    """run_eval computes per-split VAE+SDF losses and logs the reference's
+    scalar families (ref: train_MLP_VAE_deep_sdf.py:1684-1847)."""
+    em = ev.run_eval(
+        trained, 9, "eval_train", scene_indices=trained.train_indices,
+        kl_weight=1.0, code_reg_weight=1.0,
+    )
+    for k in ("eval_loss", "eval_sdf_loss", "eval_sdf_reg", "eval_vae_recon",
+              "eval_vae_kl", "eval_vae_lat_mag"):
+        assert k in em and np.isfinite(em[k]), (k, em)
+    # holdout split: fewer scenes, still finite
+    em_h = ev.run_eval(
+        trained, 9, "eval_train_holdout", scene_indices=trained.holdout_indices,
+        kl_weight=1.0, code_reg_weight=1.0,
+    )
+    assert np.isfinite(em_h["eval_loss"])
+    # eval is deterministic: same epoch -> same numbers
+    em2 = ev.run_eval(
+        trained, 9, "eval_train", scene_indices=trained.train_indices,
+        kl_weight=1.0, code_reg_weight=1.0,
+    )
+    assert em2["eval_loss"] == em["eval_loss"]
+
+
+def test_run_eval_external_dataset(trained):
+    """val/test path: a separate dataset + reconstructed latents."""
+    ds = trained.dataset  # reuse the arrays as a stand-in "val" dataset
+    lat = trained.teacher_latents + 0.01
+    em = ev.run_eval(
+        trained, 9, "eval_val", dataset=ds, eval_latents=lat,
+        scene_indices=np.arange(4), kl_weight=0.5, code_reg_weight=1.0,
+    )
+    assert np.isfinite(em["eval_loss"])
+    corr = ev.compute_latent_label_correlation(
+        trained, 9, "val", np.arange(ds.num_scenes), dataset=ds, eval_latents=lat
+    )
+    assert corr is None or isinstance(corr, float)
+
+
+def test_diagnosis_table(trained):
+    """Classification labels -> tables A/B with SAP/Locatello columns
+    (ref: :2171-2434)."""
+    rows = ev.write_diagnosis_table(trained, 9, "train", trained.train_indices)
+    assert len(rows) == trained.vae_latent_dim
+    dims, corrs, sap_accs = zip(*[(r[0], r[1], r[2]) for r in rows])
+    assert list(dims) == list(range(trained.vae_latent_dim))
+    finite_sap = [s for s in sap_accs if np.isfinite(s)]
+    assert finite_sap and all(0 <= s <= 1 for s in finite_sap)
+
+
+def test_diagnosis_table_regression(tmp_path):
+    exp_dir, specs, teacher = _setup(
+        tmp_path, num_scenes=16, ComputeSAP=True, LabelTaskType="regression",
+        LabelIndex=1,
+    )
+    tr = Stage2Trainer(exp_dir)
+    tr.train_epoch(1)
+    rows = ev.write_diagnosis_table(tr, 1, "train", tr.train_indices)
+    assert len(rows) == tr.vae_latent_dim
+    assert all(len(r) == 3 for r in rows)  # dim | corr | sap_r2
+
+
+def test_chamfer_for_scenes_requires_gt(trained):
+    # no EvalGTMeshDir -> None, no crash
+    cd = ev.compute_chamfer_for_scenes(trained, 9, "train", trained.train_indices[:1])
+    assert cd is None
+
+
 def test_eval_integrated_in_train(tmp_path):
     exp_dir, specs, teacher = _setup(
         tmp_path,

@@ -174,6 +174,79 @@ def test_label_mixing(tmp_path):
     assert "snnl" in m and np.isfinite(m["snnl"])
 
 
+def test_stage2_multichip_mesh(tmp_path):
+    """Stage-2 over a virtual 8-device mesh: batch-sharded scenes,
+    replicated VAE+SDF params, loss parity with single-device training
+    (SURVEY §2.6 DataParallel contract)."""
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    # ScenesPerBatch=8 divides the 8-device mesh
+    exp_dir, specs, teacher = _setup(
+        tmp_path, GuidedContrastiveLoss=True, LabelTaskType="classification"
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    tr_mesh = Stage2Trainer(exp_dir, mesh=mesh)
+    tr_single = Stage2Trainer(exp_dir)
+    for e in range(1, 3):
+        mm = tr_mesh.train_epoch(e, rng=np.random.default_rng(e))
+        ms = tr_single.train_epoch(e, rng=np.random.default_rng(e))
+    assert np.isfinite(mm["total"])
+    assert ms["total"] == pytest.approx(mm["total"], rel=1e-4)
+    assert ms["snnl"] == pytest.approx(mm["snnl"], rel=1e-3, abs=1e-6)
+
+
+def test_stage2_logs_pth(tmp_path):
+    """Stage-2 writes a reference-format Logs.pth and restores it on resume
+    (ref: train_MLP_VAE_deep_sdf.py:140-288)."""
+    import torch
+
+    exp_dir, specs, teacher = _setup(tmp_path, NumEpochs=3, LogFrequency=1)
+    tr = Stage2Trainer(exp_dir)
+    tr.train(num_epochs=3)
+    logs_path = os.path.join(exp_dir, "Logs.pth")
+    assert os.path.isfile(logs_path)
+    data = torch.load(logs_path, weights_only=False)
+    assert data["epoch"] == 3
+    for k in ("loss", "loss_epoch", "sdf_loss_epoch", "vae_recon_epoch",
+              "vae_kl_epoch", "vae_latent_magnitude", "learning_rate", "timing"):
+        assert k in data, k
+    assert len(data["loss_epoch"]) == 3 and len(data["timing"]) == 3
+
+    tr2 = Stage2Trainer(exp_dir)
+    start = tr2.resume("3")
+    assert start == 4
+    assert len(tr2.loss_log_epoch) == 3
+
+
+def test_batch_split_parity(tmp_path):
+    """batch_split=2 chunks the SDF-consistency term with scan+remat; the
+    loss and resulting params must match batch_split=1 up to float reorder
+    (ref: train_MLP_VAE_deep_sdf.py:3104-3138 gradient accumulation)."""
+    exp_dir, specs, teacher = _setup(tmp_path)
+    tr1 = Stage2Trainer(exp_dir)
+    tr2 = Stage2Trainer(exp_dir)
+    # identical init (same seed) — verify before training
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(tr1.state)[0]), np.asarray(jax.tree.leaves(tr2.state)[0])
+    )
+    for e in range(1, 4):
+        m1 = tr1.train_epoch(e, batch_split=1, rng=np.random.default_rng(e))
+        m2 = tr2.train_epoch(e, batch_split=2, rng=np.random.default_rng(e))
+    assert np.isclose(m1["total"], m2["total"], rtol=1e-4), (m1["total"], m2["total"])
+    assert np.isclose(m1["sdf"], m2["sdf"], rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(tr1.state), jax.tree.leaves(tr2.state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6)
+
+
+def test_batch_split_must_divide(tmp_path):
+    exp_dir, specs, teacher = _setup(tmp_path)
+    tr = Stage2Trainer(exp_dir)
+    with pytest.raises(ValueError):
+        tr.train_epoch(1, batch_split=3)  # 8*256 % 3 != 0
+
+
 def test_teacher_latent_loader_formats(tmp_path):
     import torch
 
