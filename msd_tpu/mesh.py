@@ -78,21 +78,37 @@ class PointEvaluator:
     plain XLA path on CPU or for unsupported decoder configs.
     """
 
-    def __init__(self, decoder, params, dtype=None, tile: int = 2048):
+    def __init__(self, decoder, params, dtype=None, tile: int = 2048, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with a "data" axis — point
+        batches shard over it via shard_map (each device runs the fused
+        kernel / XLA eval on its slice), so eval_points and the refinement
+        stages of create_mesh scale with chips (SURVEY §5.7: query points
+        are embarrassingly parallel under a replicated decoder)."""
         self.decoder = decoder
         self.params = params
         self.tile = tile
+        self.mesh = mesh
+        if mesh is not None:
+            from msd_tpu.parallel import mesh_size
+
+            self._ndev = mesh_size(mesh)
+        else:
+            self._ndev = 1
+        self._sharded_eval = None
         self._fused = None
         self._block_fns = {}
         self._corner_fns = {}
         if jax.default_backend() == "tpu":
+            # Only unsupported-config errors fall back (xyz_in_all, VMEM
+            # overflow, missing Pallas support); a genuine kernel regression
+            # should raise, not silently degrade to the slow XLA path.
             try:
                 from msd_tpu.ops.fused_mlp import build_fused_eval
 
                 if dtype is None:
                     dtype = jnp.bfloat16
                 self._fused = build_fused_eval(decoder, params, dtype=dtype, tile=tile)
-            except Exception as e:  # pragma: no cover - defensive fallback
+            except (ImportError, ValueError, NotImplementedError) as e:
                 logging.warning("fused kernel unavailable, using XLA path: %s", e)
 
     @property
@@ -105,19 +121,39 @@ class PointEvaluator:
             return self._fused(latent, xyz_t)
         return _eval_points(self.decoder, self.params, latent, xyz_t.T)
 
+    def _get_sharded_eval(self):
+        if self._sharded_eval is None:
+            from jax.sharding import PartitionSpec as P
+
+            self._sharded_eval = jax.jit(
+                jax.shard_map(
+                    lambda lat, x: self._eval_t(lat, x),
+                    mesh=self.mesh,
+                    in_specs=(P(), P(None, "data")),
+                    out_specs=P("data"),
+                    check_vma=False,
+                )
+            )
+        return self._sharded_eval
+
     def eval_points(self, latent, pts):
         """pts [N, 3] (device or host) -> sdf [N] device array.
 
         Pads to a pow2 multiple of the tile so only O(log N) kernel shapes
         ever compile (remote compiles are expensive through the relay).
+        With a device mesh, pads to a tile multiple PER DEVICE and runs the
+        evaluation shard_mapped over the point axis.
         """
         latent = jnp.asarray(latent).reshape(-1)
         pts = jnp.asarray(pts)
         n = pts.shape[0]
-        n_pad = self.tile
+        unit = self.tile * self._ndev
+        n_pad = unit
         while n_pad < n:
             n_pad *= 2
         xyz_t = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(pts.T)
+        if self.mesh is not None:
+            return self._get_sharded_eval()(latent, xyz_t)[:n]
         return self._eval_t(latent, xyz_t)[:n]
 
     # ------------------------------------------------------------------
@@ -529,14 +565,14 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
 _EVAL_CACHE: dict = {}
 
 
-def _cached_evaluator(decoder, params) -> "PointEvaluator":
+def _cached_evaluator(decoder, params, dtype=None) -> "PointEvaluator":
     """Reuse PointEvaluators (and their compiled fused kernels) across
     create_mesh calls with the same decoder+params objects."""
-    key = (id(decoder), id(params))
+    key = (id(decoder), id(params), None if dtype is None else jnp.dtype(dtype).name)
     if key not in _EVAL_CACHE:
         if len(_EVAL_CACHE) > 8:
             _EVAL_CACHE.clear()
-        _EVAL_CACHE[key] = PointEvaluator(decoder, params)
+        _EVAL_CACHE[key] = PointEvaluator(decoder, params, dtype=dtype)
     return _EVAL_CACHE[key]
 
 
@@ -759,14 +795,19 @@ def create_mesh(
     sparse_safety: float = 1.3,
     evaluator: Optional[PointEvaluator] = None,
     value_codec: str = "int8",
+    eval_dtype=None,
 ):
     """Latent -> SDF grid -> marching tetrahedra -> .ply
     (ref: deep_sdf/mesh.py:21-93). Returns (verts, faces) when
     ``return_mesh`` and extraction succeeded, else None; returns False-y on
-    empty-surface failure like the reference (:118-124)."""
+    empty-surface failure like the reference (:118-124).
+
+    ``eval_dtype`` selects the fused-kernel matmul dtype (default bfloat16;
+    pass jnp.float32 with ``value_codec="f16"`` for Chamfer-sensitive evals
+    that need the full-precision field)."""
     start = time.time()
     if evaluator is None and jax.default_backend() == "tpu":
-        evaluator = _cached_evaluator(decoder, params)
+        evaluator = _cached_evaluator(decoder, params, dtype=eval_dtype)
     latent_vec = jnp.asarray(latent_vec).reshape(-1)
     if sparse:
         # the sparse path needs (N-1) % SPARSE_BLOCK == 0; snap up (equal or

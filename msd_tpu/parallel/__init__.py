@@ -1,6 +1,8 @@
 from msd_tpu.parallel.mesh_utils import (  # noqa: F401
-    make_mesh,
     batch_sharding,
+    leading_axis_or_replicated,
+    make_mesh,
+    mesh_size,
     replicated_sharding,
     shard_leading_axis,
 )

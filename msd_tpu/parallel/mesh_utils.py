@@ -43,3 +43,25 @@ def shard_leading_axis(x, mesh: Mesh, axis_name: str = "data"):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def mesh_size(mesh: Mesh) -> int:
+    """Total device count of a mesh."""
+    return int(np.prod(list(mesh.shape.values())))
+
+
+def leading_axis_or_replicated(
+    mesh: Mesh, n: int, what: str = "array", axis_name: str = "data"
+) -> NamedSharding:
+    """Shard the leading axis of an n-row array over the mesh when n divides
+    evenly; otherwise replicate (correctness-preserving fallback — XLA still
+    psums gradients over sharded batches; replication only loses speedup)."""
+    import logging
+
+    if n % mesh_size(mesh) == 0:
+        return NamedSharding(mesh, P(axis_name))
+    logging.info(
+        "%s (%d rows) not divisible by %d devices; replicating",
+        what, n, mesh_size(mesh),
+    )
+    return NamedSharding(mesh, P())

@@ -158,7 +158,32 @@ class Stage1Trainer:
             jax.random.normal(k_lat, (self.num_scenes, self.latent_size))
             * (code_init_std / math.sqrt(self.latent_size))
         )
-        state = {"net": self.decoder.init(k_dec), "lat": latents}
+        net_params = self.decoder.init(k_dec)
+
+        # pretrained-decoder warm start (ref: train_deep_sdf.py:115-132,
+        # :355-374). When training later resumes from a checkpoint, resume()
+        # overwrites these weights — the same net effect as the reference's
+        # skip-on-continue.
+        if get_spec_with_default(specs, "UsePretrainedSDFDecoder", False):
+            pretrained_dir = get_spec_with_default(specs, "PretrainedSDFDecoderDir", None)
+            if pretrained_dir is None:
+                raise RuntimeError(
+                    "UsePretrainedSDFDecoder=true but PretrainedSDFDecoderDir is not set."
+                )
+            pretrained_ckpt = get_spec_with_default(specs, "PretrainedSDFDecoderCheckpoint", "latest")
+            filename = os.path.join(pretrained_dir, ws.model_params_subdir, pretrained_ckpt + ".pth")
+            if not os.path.isfile(filename):
+                raise RuntimeError(f'pretrained model state dict "{filename}" does not exist')
+            import torch
+
+            data = torch.load(filename, map_location="cpu", weights_only=False)
+            net_params = self.decoder.params_from_torch_state_dict(data["model_state_dict"])
+            logging.info(
+                "Loaded pretrained SDF decoder from %s (checkpoint %s, epoch %s).",
+                pretrained_dir, pretrained_ckpt, data.get("epoch"),
+            )
+
+        state = {"net": net_params, "lat": latents}
         if self.use_gmm_prior:
             state["gmm"] = gmm_prior_init(k_gmm, self.gmm_k, self.latent_size, self.gmm_init_sigma)
         self.state = state
@@ -190,20 +215,12 @@ class Stage1Trainer:
         """Shard the latent table (+ its Adam moments) over the mesh's scene
         axis; replicate decoder params. Batches are sharded per step in
         train_epoch."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from msd_tpu.parallel import leading_axis_or_replicated, replicated_sharding
 
-        replicated = NamedSharding(self.mesh, P())
-        n_dev = int(np.prod(list(self.mesh.shape.values())))
-        if self.num_scenes % n_dev == 0:
-            scene_shard = NamedSharding(self.mesh, P("data", None))
-        else:
-            # scene axis not divisible by the mesh -> replicate the (small)
-            # latent table; gradients still psum over the sharded batch
-            logging.info(
-                "latent table (%d scenes) not divisible by %d devices; replicating",
-                self.num_scenes, n_dev,
-            )
-            scene_shard = replicated
+        replicated = replicated_sharding(self.mesh)
+        # scene axis not divisible by the mesh -> replicate the (small)
+        # latent table; gradients still psum over the sharded batch
+        scene_shard = leading_axis_or_replicated(self.mesh, self.num_scenes, "latent table")
 
         def place(tree):
             out = dict(tree)
@@ -219,7 +236,9 @@ class Stage1Trainer:
             mu=place(self.opt_state.mu),
             nu=place(self.opt_state.nu),
         )
-        self._batch_sharding = NamedSharding(self.mesh, P("data"))
+        from msd_tpu.parallel import leading_axis_or_replicated as _lar
+
+        self._batch_sharding = _lar(self.mesh, self.scene_per_batch, "scene batch")
         self._replicated = replicated
 
     # ------------------------------------------------------------------
@@ -691,7 +710,7 @@ class Stage1Trainer:
         specs = self.specs
         eval_grid_res = get_spec_with_default(specs, "EvalGridResolution", 256)
         n_eval = min(get_spec_with_default(specs, "EvalTrainSceneNumber", 10), self.num_scenes)
-        dists = []
+        dists, all_dists, compare_rows = [], [], []
         for index in range(n_eval):
             save_name = os.path.basename(self.dataset.npyfiles[index]).split(".npz")[0]
             out_dir = os.path.join(
@@ -704,11 +723,28 @@ class Stage1Trainer:
                 N=eval_grid_res, return_mesh=True,
             )
             gt_path = os.path.join(str(torus_path), save_name + ".obj")
-            if tri is not None and os.path.exists(gt_path):
-                cd, _ = compute_mesh_chamfer(gt_path, tri)
+            if tri is not None and tri is not False and os.path.exists(gt_path):
+                cd, per_point = compute_mesh_chamfer(gt_path, tri)
                 dists.append(cd)
+                all_dists.append(np.asarray(per_point))
+                if len(compare_rows) < 3:
+                    from msd_tpu.data.mesh_io import load_mesh
+
+                    compare_rows.append((save_name, [load_mesh(gt_path), tri]))
         if dists:
             self.writer.add_scalar("Mean Chamfer Dist/train", float(np.mean(dists)), epoch)
+            # CD-percentile violin + GT-vs-reconstruction comparison figures
+            # (ref: train_deep_sdf.py:947-954 add_figure pattern)
+            try:
+                from msd_tpu import plotting
+
+                fig, _ = plotting.plot_dist_violin(np.concatenate(all_dists))
+                self.writer.add_figure("CD Percentiles/train dists", fig, global_step=epoch)
+                if compare_rows:
+                    fig = plotting.plot_mesh_comparison(compare_rows)
+                    self.writer.add_figure("Reconstructions/train comparison", fig, global_step=epoch)
+            except Exception as exc:
+                logging.warning("eval figures skipped: %s", exc)
 
     def _eval_test(self, epoch):
         """Test-set eval: optimize a latent per test shape from its GT SDF
@@ -732,7 +768,7 @@ class Stage1Trainer:
         n_eval = min(get_spec_with_default(specs, "EvalTestSceneNumber", 10), len(filenames))
         steps = get_spec_with_default(specs, "EvalTestOptimizationSteps", 1000)
         eval_grid_res = get_spec_with_default(specs, "EvalGridResolution", 256)
-        test_errs, dists, lat_mags = [], [], []
+        test_errs, dists, lat_mags, all_dists = [], [], [], []
         t0 = time.time()
         # all test latents fit in ONE vmapped device program (sharded over
         # self.mesh when training multi-chip); meshing stays per shape
@@ -765,13 +801,22 @@ class Stage1Trainer:
             if torus_path and os.path.exists(str(torus_path)):
                 gt_path = os.path.join(str(torus_path), save_name + ".obj")
                 if tri is not None and tri is not False and os.path.exists(gt_path):
-                    cd, _ = compute_mesh_chamfer(gt_path, tri)
+                    cd, per_point = compute_mesh_chamfer(gt_path, tri)
                     dists.append(cd)
+                    all_dists.append(np.asarray(per_point))
         if test_errs:
             self.writer.add_scalar("Loss/test", float(np.mean(test_errs)), epoch)
             self.writer.add_scalar("Mean Latent Magnitude/test", float(np.mean(lat_mags)), epoch)
         if dists:
             self.writer.add_scalar("Mean Chamfer Dist/test", float(np.mean(dists)), epoch)
+            # CD-percentile violin figure (ref: train_deep_sdf.py:1026-1027)
+            try:
+                from msd_tpu import plotting
+
+                fig, _ = plotting.plot_dist_violin(np.concatenate(all_dists))
+                self.writer.add_figure("CD Percentiles/test dists", fig, global_step=epoch)
+            except Exception as exc:
+                logging.warning("test eval figures skipped: %s", exc)
         self.writer.add_scalar(
             "Time/test eval per shape (sec)", (time.time() - t0) / max(1, n_eval), epoch
         )

@@ -172,6 +172,66 @@ def test_code_bound_projection(tmp_path):
     assert np.median(norms) < 0.2
 
 
+def test_pretrained_decoder_warm_start(tmp_path):
+    """UsePretrainedSDFDecoder/PretrainedSDFDecoderDir warm start
+    (ref: train_deep_sdf.py:115-132, :355-374)."""
+    exp_dir, specs = _specs(tmp_path)
+    donor = Stage1Trainer(exp_dir)
+    donor.train_epoch(1)
+    donor.epoch = 1
+    donor.save_checkpoint("latest")
+
+    exp2 = str(tmp_path / "exp_warm")
+    specs2 = dict(specs, UsePretrainedSDFDecoder=True, PretrainedSDFDecoderDir=exp_dir)
+    ws.save_experiment_specifications(exp2, specs2)
+    warm = Stage1Trainer(exp2)
+    # decoder weights match the donor checkpoint; latents are fresh
+    for a, b in zip(
+        jax.tree.leaves(warm.state["net"]), jax.tree.leaves(donor.state["net"])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    m = warm.train_epoch(1)
+    assert np.isfinite(m["total"])
+
+    # missing dir must raise (ref: :365-368)
+    exp3 = str(tmp_path / "exp_bad")
+    ws.save_experiment_specifications(exp3, dict(specs, UsePretrainedSDFDecoder=True))
+    with pytest.raises(RuntimeError):
+        Stage1Trainer(exp3)
+
+
+def test_multichip_mesh_training_8dev(tmp_path):
+    """Full 8-virtual-device mesh: scene-sharded latent table and
+    8-device vs 1-device loss parity under the same seed."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    data_dir = str(tmp_path / "data8")
+    names = make_sphere_dataset(data_dir, list(np.linspace(0.3, 0.8, 8)))
+    split_path = str(tmp_path / "split8.json")
+    with open(split_path, "w") as f:
+        json.dump(names, f)
+    specs = dict(BASE_SPECS, DataSource=data_dir, TrainSplit=split_path,
+                 TestSplit=split_path, ScenesPerBatch=8, NumEpochs=2)
+    exp_dir = str(tmp_path / "exp8")
+    ws.save_experiment_specifications(exp_dir, specs)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    trainer = Stage1Trainer(exp_dir, mesh=mesh)
+    m1 = trainer.train_epoch(1)
+    m2 = trainer.train_epoch(2)
+    assert np.isfinite(m2["total"])
+    assert "data" in str(trainer.state["lat"].sharding.spec)
+
+    t_single = Stage1Trainer(exp_dir)
+    s1 = t_single.train_epoch(1)
+    s2 = t_single.train_epoch(2)
+    assert s1["total"] == pytest.approx(m1["total"], rel=1e-4)
+    assert s2["total"] == pytest.approx(m2["total"], rel=1e-4)
+
+
 def test_multichip_mesh_training(tmp_path):
     """Training over a virtual 8-device mesh: sharded batch + scene-sharded
     latent table, loss finite, shardings preserved across steps."""
