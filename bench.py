@@ -26,13 +26,86 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def make_sphere_data(num_scenes=32, n_half=30000, seed=0):
+TORUS_R, TORUS_r = 0.45, 0.2
+UNION_C = 0.28  # two spheres r=0.32 centered at +-UNION_C on x
+
+
+def torus_sdf(pts):
+    q = np.sqrt(pts[:, 0] ** 2 + pts[:, 1] ** 2) - TORUS_R
+    return np.sqrt(q**2 + pts[:, 2] ** 2) - TORUS_r
+
+
+def union_sdf(pts):
+    a = np.linalg.norm(pts - np.array([UNION_C, 0, 0]), axis=1) - 0.32
+    b = np.linalg.norm(pts + np.array([UNION_C, 0, 0]), axis=1) - 0.32
+    return np.minimum(a, b)
+
+
+def make_torus_mesh(nu=96, nv=48):
+    u = np.linspace(0, 2 * np.pi, nu, endpoint=False)
+    v = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    x = (TORUS_R + TORUS_r * np.cos(vv)) * np.cos(uu)
+    y = (TORUS_R + TORUS_r * np.cos(vv)) * np.sin(uu)
+    z = TORUS_r * np.sin(vv)
+    verts = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
+    faces = []
+    for i in range(nu):
+        for j in range(nv):
+            a = i * nv + j
+            b = ((i + 1) % nu) * nv + j
+            c = ((i + 1) % nu) * nv + (j + 1) % nv
+            d = i * nv + (j + 1) % nv
+            faces.append((a, b, c))
+            faces.append((a, c, d))
+    return verts, np.asarray(faces, np.int32)
+
+
+def make_shape_data(num_scenes=32, n_half=30000, seed=0):
+    """Sphere scenes plus a torus (scene 1) and a two-sphere union (scene 2)
+    — non-convex quality guards for the bench Chamfer check.
+
+    Sample distribution mirrors the real preprocessing output
+    (PreprocessMesh.cpp:291-319): ~94% near-surface at two Gaussian jitter
+    scales (sigma^2 = 0.005 and 0.0005), the rest uniform in the cube."""
     rng = np.random.default_rng(seed)
     pos_all, neg_all = [], []
     radii = rng.uniform(0.3, 0.8, size=num_scenes)
-    for r in radii:
-        pts = rng.uniform(-1, 1, size=(int(n_half * 3.2), 3)).astype(np.float32)
-        sdf = (np.linalg.norm(pts, axis=1) - r).astype(np.float32)
+
+    def sphere_surf(n, r):
+        d = rng.normal(size=(n, 3))
+        return r * d / np.linalg.norm(d, axis=1, keepdims=True)
+
+    def torus_surf(n):
+        u = rng.uniform(0, 2 * np.pi, n)
+        v = rng.uniform(0, 2 * np.pi, n)
+        return np.stack([
+            (TORUS_R + TORUS_r * np.cos(v)) * np.cos(u),
+            (TORUS_R + TORUS_r * np.cos(v)) * np.sin(u),
+            TORUS_r * np.sin(v),
+        ], axis=1)
+
+    def union_surf(n):
+        pts = sphere_surf(n, 0.32)
+        side = np.where(rng.random(n) < 0.5, 1.0, -1.0)
+        pts[:, 0] += side * UNION_C
+        return pts
+
+    for i, r in enumerate(radii):
+        if i == 1:
+            sdf_fn, surf = torus_sdf, torus_surf
+        elif i == 2:
+            sdf_fn, surf = union_sdf, union_surf
+        else:
+            sdf_fn = lambda p, _r=r: np.linalg.norm(p, axis=1) - _r
+            surf = lambda n, _r=r: sphere_surf(n, _r)
+        n_base = int(1.6 * n_half)  # oversample, then trim to n_half/sign
+        base = surf(n_base)
+        s1 = base + rng.normal(0, np.sqrt(0.005), base.shape)
+        s2 = base + rng.normal(0, np.sqrt(0.0005), base.shape)
+        uni = rng.uniform(-1, 1, size=(int(0.13 * n_base), 3))
+        pts = np.concatenate([s1, s2, uni]).astype(np.float32)
+        sdf = sdf_fn(pts).astype(np.float32)
         pos = np.concatenate([pts[sdf >= 0][:n_half], sdf[sdf >= 0][:n_half, None]], axis=1)
         neg = np.concatenate([pts[sdf < 0][:n_half], sdf[sdf < 0][:n_half, None]], axis=1)
         pos_all.append(pos)
@@ -95,7 +168,7 @@ def main():
         "GradientClipNorm": 1.0,
     }
 
-    pos_all, neg_all, radii = make_sphere_data(num_scenes)
+    pos_all, neg_all, radii = make_shape_data(num_scenes)
     pos, pos_counts = _pad_stack(pos_all)
     neg, neg_counts = _pad_stack(neg_all)
     dataset = SdfDataset(
@@ -118,10 +191,12 @@ def main():
     t_train = time.time() - t0
     train_qps = train_steps * points_per_step / t_train
 
-    # shape the field a little more so the mesh is meaningful (longer
-    # training does NOT shrink the active-block set — the shell width is
-    # set by the Lipschitz refinement threshold, not by field noise)
-    for e in range(12, 25):
+    # shape the field so the meshes are meaningful — the non-convex guard
+    # shapes (torus/union) need more epochs than the spheres to fit; ~100
+    # epochs is ~30 s at 73 ms/step. (Longer training does NOT shrink the
+    # active-block set — the shell width is set by the Lipschitz refinement
+    # threshold, not by field noise.)
+    for e in range(12, 101):
         m = trainer.train_epoch(e)
 
     latent = trainer.state["lat"][0]
@@ -175,8 +250,9 @@ def main():
     )
     t_mesh256 = time.time() - t0
 
-    # quality guard: chamfer vs the analytic sphere it was trained on
-    chamfer = None
+    # quality guards: chamfer vs the analytic shapes trained on — a sphere
+    # plus two non-convex shapes (torus scene 1, two-sphere union scene 2)
+    chamfer = chamfer_torus = chamfer_union = None
     if res is not None and res is not False:
         import sys as _sys
 
@@ -185,6 +261,31 @@ def main():
 
         gt_v, gt_f = make_sphere_mesh(radius=float(radii[0]))
         chamfer, _ = compute_mesh_chamfer((gt_v, gt_f), res, num_mesh_samples=10000)
+
+        res_t = mesh_mod.create_mesh(
+            trainer.decoder, trainer.state["net"], trainer.state["lat"][1],
+            N=256, return_mesh=True, evaluator=evaluator,
+        )
+        if res_t is not None and res_t is not False:
+            chamfer_torus, _ = compute_mesh_chamfer(make_torus_mesh(), res_t, num_mesh_samples=10000)
+
+        res_u = mesh_mod.create_mesh(
+            trainer.decoder, trainer.state["net"], trainer.state["lat"][2],
+            N=256, return_mesh=True, evaluator=evaluator,
+        )
+        if res_u is not None and res_u is not False:
+            # union GT: marching tets over the analytic field
+            from msd_tpu.ops.marching_cubes import marching_tetrahedra
+
+            Ng = 129
+            axis = np.linspace(-1, 1, Ng, dtype=np.float32)
+            gx, gy, gz = np.meshgrid(axis, axis, axis, indexing="ij")
+            grid_pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+            sdf_grid = union_sdf(grid_pts).reshape(Ng, Ng, Ng)
+            gt_u = marching_tetrahedra(
+                sdf_grid, level=0.0, spacing=(2.0 / (Ng - 1),) * 3, origin=(-1.0, -1.0, -1.0)
+            )
+            chamfer_union, _ = compute_mesh_chamfer(gt_u, res_u, num_mesh_samples=10000)
 
     baseline_grid_qps = 1.34e7  # ref GPU: 512^3 in ~10 s (deep_sdf/mesh.py:27)
     value = grid_qps_effective
@@ -223,6 +324,8 @@ def main():
             "reference_torch_measured": torch_meas or None,
             "train_loss_sdf": round(float(m["sdf"]), 5),
             "chamfer_sphere": None if chamfer is None else float(chamfer),
+            "chamfer_torus": None if chamfer_torus is None else float(chamfer_torus),
+            "chamfer_union": None if chamfer_union is None else float(chamfer_union),
             "fused_kernel": evaluator.fused,
             "baseline_anchor": "ref GPU 512^3 dense eval ~10s = 1.34e7 q/s (deep_sdf/mesh.py:27)",
         },

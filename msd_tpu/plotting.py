@@ -127,6 +127,214 @@ def plot_sdf_cross_section(
     return fig
 
 
+def plot_mesh_comparison(rows, angles=None, annotate=None):
+    """Grid of rendered meshes: one row per (name, [(verts, faces) | None,
+    ...]) entry, one column per mesh, rendered from ``angles[0]``.
+    The lightweight building block behind plot_reconstruction_comparison,
+    also used by the trainer eval hooks (GT vs reconstruction)."""
+    angles = angles or [(-np.pi / 7, np.pi / 4, 0)]
+    nrows = len(rows) * len(angles)
+    ncols = max(len(meshes) for _, meshes in rows)
+    fig = plt.figure(figsize=(2.2 * ncols, 2.2 * nrows))
+    for r, (name, meshes) in enumerate(rows):
+        for a, ang in enumerate(angles):
+            for c, m in enumerate(meshes):
+                ax = fig.add_subplot(
+                    nrows, ncols, (r * len(angles) + a) * ncols + c + 1, projection="3d"
+                )
+                if m is not None and m is not False:
+                    render_mesh(np.asarray(m[0]), np.asarray(m[1]), cam_angles=ang, ax=ax)
+                ax.set_axis_off()
+                if a == 0 and c == 0:
+                    ax.set_title(name, fontsize=9)
+                if annotate and a == 0:
+                    note = annotate.get((name, c))
+                    if note:
+                        ax.text2D(0.0, 0.0, note, transform=ax.transAxes, fontsize=7)
+    return fig
+
+
+def plot_reconstruction_comparison(
+    experiment_dirs,
+    shape_ids,
+    chckpt=2000,
+    dataset_name="dataset",
+    class_name="",
+    gt_mesh_dir=None,
+    gt_ext=".obj",
+    angle_num=3,
+    suffix="",
+    save=True,
+):
+    """Reconstructions of the same shapes across experiments, plus GT, with
+    per-mesh Chamfer annotations (ref: plotting.py:148-277; rendering via
+    matplotlib trisurf instead of pyrender/EGL).
+
+    ``experiment_dirs``: {name: exp_dir} whose
+    Reconstructions/<ckpt>/Meshes/<dataset>/<class>/<id>.ply exist.
+    """
+    import msd_tpu.workspace as ws
+    from msd_tpu.data.mesh_io import load_mesh
+    from msd_tpu.metrics.chamfer import compute_mesh_chamfer
+
+    angles = [
+        (-np.pi / 2, 0, 0),               # birds-eye view
+        (-np.pi / 4, 3 * np.pi / 4, 0),   # upper-left
+        (0, 3 * np.pi / 4, 0),            # center-left
+    ][: max(1, angle_num)]
+
+    rows, annotate = [], {}
+    for shape_id in shape_ids:
+        meshes = []
+        gt = None
+        if gt_mesh_dir:
+            gt_path = _first_existing(
+                [f"{gt_mesh_dir}/{shape_id}{ext}" for ext in (gt_ext, ".obj", ".ply")]
+            )
+            if gt_path:
+                gt = load_mesh(gt_path)
+        meshes.append(gt)
+        for c, (name, exp_dir) in enumerate(experiment_dirs.items()):
+            path = _first_existing([
+                ws.get_reconstructed_mesh_filename(exp_dir, chckpt, dataset_name, class_name, shape_id),
+                f"{exp_dir}/{class_name}/{shape_id}.ply" if class_name else f"{exp_dir}/{shape_id}.ply",
+            ])
+            if path is None:
+                logging.error("reconstruction missing for %s in %s", shape_id, exp_dir)
+                meshes.append(None)
+                continue
+            m = load_mesh(path)
+            meshes.append(m)
+            if gt is not None:
+                try:
+                    cd, _ = compute_mesh_chamfer(gt, m)
+                    annotate[(shape_id, c + 1)] = f"CD={cd:.6f}"
+                except Exception as exc:
+                    logging.warning("chamfer failed for %s: %s", shape_id, exc)
+        rows.append((shape_id, meshes))
+
+    fig = plot_mesh_comparison(rows, angles=angles, annotate=annotate)
+    # column titles: GT + experiment names (ref layout)
+    for c, title in enumerate(["GT"] + list(experiment_dirs.keys())):
+        fig.axes[c].set_title(title, fontsize=9)
+    if save:
+        savepath = f"reconstruction_comparison{'_' + suffix if suffix else ''}.pdf"
+        fig.savefig(savepath, bbox_inches="tight")
+        logging.info("saved %s", savepath)
+    return fig
+
+
+def _first_existing(paths):
+    import os
+
+    for p in paths:
+        if p and os.path.exists(p):
+            return p
+    return None
+
+
+def render_sdf_vid(points: np.ndarray, sdf: np.ndarray, fps=2, n_seconds=5, save_filepath=""):
+    """SDF scatter rotated a quarter turn over the video
+    (ref: plotting.py:337-357). Saves .mp4 when ffmpeg is available, else
+    .gif via Pillow; returns the animation object."""
+    from matplotlib import animation
+
+    fig = plt.figure(figsize=(8, 8))
+
+    frames = []
+    n_frames = n_seconds * fps
+    for i in range(n_frames):
+        rot = (np.pi / 2 * i) / n_frames
+        frames.append((-np.pi / 7, np.pi / 4 + rot, 0))
+
+    ax = fig.add_subplot(111, projection="3d")
+
+    def animate_func(i):
+        ax.clear()
+        inside = sdf < 0
+        ax.scatter(*points[~inside].T, c=sdf[~inside], cmap="Reds_r", s=1, alpha=0.4)
+        ax.scatter(*points[inside].T, c=sdf[inside], cmap="Blues", s=1, alpha=0.6)
+        ax.view_init(elev=np.degrees(frames[i][0]), azim=np.degrees(frames[i][1]))
+        return []
+
+    anim = animation.FuncAnimation(fig, animate_func, frames=n_frames, interval=1000 / fps)
+    if save_filepath:
+        try:
+            anim.save(save_filepath + ".mp4", fps=fps, extra_args=["-vcodec", "libx264"])
+        except Exception:
+            anim.save(save_filepath + ".gif", fps=fps, writer="pillow")
+    return anim
+
+
+def plot_binary_vs_continuous(df, binary: str, continuous: str):
+    """Loss vs a categorical variable (ref: plotting.py:278-283)."""
+    fig, ax = plt.subplots(1, 2, figsize=(12, 4))
+    df.plot(x=binary, y=continuous, kind="bar", ax=ax[0])
+    df.groupby(binary)[continuous].mean().plot(kind="bar", ax=ax[1])
+    return fig
+
+
+def plot_capacity_vs_chamfer_dist(
+    exp_dirs_net_capacity=None,
+    exp_dirs_lat_capacity=None,
+    checkpoint: int = 2000,
+    plot_means: bool = False,
+    add_title: bool = True,
+):
+    """Model capacity (decoder parameter count / latent size) vs Chamfer
+    distance across experiments (ref: plotting.py:393-671). Reads each
+    experiment's specs.json for the capacity axis and its
+    Evaluation/<ckpt>/chamfer.csv (semicolon CSV, ``chamfer_dist`` column)
+    for the quality axis."""
+    import csv
+    import os
+
+    import msd_tpu.workspace as ws
+    from msd_tpu.models import build_decoder
+
+    def read_cd(exp_dir):
+        path = os.path.join(ws.get_evaluation_dir(exp_dir, str(checkpoint)), "chamfer.csv")
+        with open(path) as f:
+            rows = list(csv.DictReader(f, delimiter=";"))
+        vals = np.array([float(r["chamfer_dist"]) for r in rows])
+        return float(vals.mean()), float(np.median(vals))
+
+    groups = {}
+    for name, exp_dirs in (("net", exp_dirs_net_capacity), ("lat", exp_dirs_lat_capacity)):
+        if not exp_dirs:
+            continue
+        xs, means, medians = [], [], []
+        for exp_dir in exp_dirs:
+            specs = ws.load_experiment_specifications(exp_dir)
+            if name == "net":
+                decoder = build_decoder(specs["NetworkArch"], specs["CodeLength"], specs["NetworkSpecs"])
+                import jax
+
+                params = decoder.init(jax.random.PRNGKey(0))
+                xs.append(decoder.num_params(params))
+            else:
+                xs.append(specs["CodeLength"])
+            cd_mean, cd_median = read_cd(exp_dir)
+            means.append(cd_mean)
+            medians.append(cd_median)
+        order = np.argsort(xs)
+        groups[name] = (np.asarray(xs)[order], np.asarray(means)[order], np.asarray(medians)[order])
+
+    if not groups:
+        raise ValueError("NO EXPERIMENT DIRS GIVEN")
+    fig, axes = plt.subplots(1, len(groups), figsize=(7 * len(groups), 5), sharey=True, squeeze=False)
+    labels = {"net": "No. of Network Parameters", "lat": "Latent Code Length"}
+    for ax, (name, (xs, means, medians)) in zip(axes[0], groups.items()):
+        ax.plot(xs, means if plot_means else medians, marker="o")
+        ax.set_xlabel(labels[name])
+        ax.set_xscale("log")
+        ax.set_yscale("log")
+        if add_title:
+            ax.set_title(f"{labels[name]} vs. Reconstruction Quality")
+    axes[0][0].set_ylabel("Chamfer Distance" + (" (mean)" if plot_means else " (median)"))
+    return fig
+
+
 def plot_manifold_tsne(latents: np.ndarray, labels=None, perplexity: float = 30.0, seed: int = 0):
     """2-D t-SNE of latent codes (ref: plotting.py:672-751)."""
     from sklearn.manifold import TSNE

@@ -51,6 +51,118 @@ def signed_volume(verts, faces) -> float:
     return float(np.sum(np.einsum("ij,ij->i", a, np.cross(b, c))) / 6.0)
 
 
+def mesh_quality(verts, faces) -> dict:
+    """Per-mesh quality ratios — the render-free analog of the reference's
+    observation-ratio rejection test (ref: src/PreprocessMesh.cpp:496-512,
+    thresholds 0.02 wrong-normal obs / 0.03 double-sided triangles):
+
+    * ``inconsistent_winding_ratio``: interior edges whose two adjacent
+      faces traverse them in the SAME direction (the geometric cause of the
+      reference's wrong-normal observations).
+    * ``boundary_edge_ratio``: edges with exactly one face (holes —
+      non-watertight, the reference's unobservable/double-sided source).
+    * ``nonmanifold_edge_ratio``: edges with >2 faces.
+    * ``rejected``: reference-like thresholds applied to the analogous
+      defect classes.
+    """
+    f = np.asarray(faces, np.int64)
+    de = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])  # directed
+    ue = np.sort(de, axis=1)
+    uniq, inv, counts = np.unique(ue, axis=0, return_inverse=True, return_counts=True)
+    n_edges = uniq.shape[0]
+    boundary_ratio = float(np.mean(counts == 1)) if n_edges else 1.0
+    nonmanifold_ratio = float(np.mean(counts > 2)) if n_edges else 0.0
+    # direction bit of each directed occurrence; a consistently wound
+    # interior edge is traversed once in each direction -> bit sum == 1
+    bit = (de[:, 0] < de[:, 1]).astype(np.int64)
+    bit_sum = np.bincount(inv, weights=bit, minlength=n_edges)
+    interior = counts == 2
+    inconsistent = interior & (bit_sum != 1)
+    inconsistent_ratio = (
+        float(inconsistent.sum() / max(1, interior.sum())) if n_edges else 0.0
+    )
+    rejected = inconsistent_ratio > 0.02 or (boundary_ratio + nonmanifold_ratio) > 0.03
+    return {
+        "inconsistent_winding_ratio": inconsistent_ratio,
+        "boundary_edge_ratio": boundary_ratio,
+        "nonmanifold_edge_ratio": nonmanifold_ratio,
+        "rejected": bool(rejected),
+    }
+
+
+def repair_mesh_winding(verts, faces):
+    """Consistently orient faces (BFS over edge adjacency, flipping faces
+    that traverse a shared edge in the same direction as their neighbor),
+    then flip whole components to outward via per-component signed volume.
+
+    The reference never needs this — its multi-view render pass observes
+    outward normals directly regardless of winding (ref:
+    src/PreprocessMesh.cpp:443-494); this is the geometric equivalent for
+    the render-free pipeline. Returns (faces, num_flipped)."""
+    f = np.asarray(faces, np.int64).copy()
+    nf = f.shape[0]
+    # undirected edge id per face slot
+    de = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    ue = np.sort(de, axis=1)
+    uniq, inv = np.unique(ue, axis=0, return_inverse=True)
+    # adjacency: faces sharing each undirected edge
+    edge_faces = {}
+    for slot in range(3 * nf):
+        edge_faces.setdefault(inv[slot], []).append(slot % nf)
+
+    flipped = np.zeros(nf, bool)
+    visited = np.zeros(nf, bool)
+    total_flipped = 0
+
+    def edge_dir(face_idx, eid):
+        """+1 / -1 direction of edge eid in face face_idx (with its current
+        flip state applied); 0 if absent."""
+        tri = f[face_idx]
+        if flipped[face_idx]:
+            tri = tri[::-1]
+        a, b = uniq[eid]
+        for i in range(3):
+            u, v = tri[i], tri[(i + 1) % 3]
+            if u == a and v == b:
+                return 1
+            if u == b and v == a:
+                return -1
+        return 0
+
+    comp_label = np.full(nf, -1, np.int64)
+    n_comp = 0
+    for seed_face in range(nf):
+        if visited[seed_face]:
+            continue
+        stack = [seed_face]
+        visited[seed_face] = True
+        comp_label[seed_face] = n_comp
+        while stack:
+            cur = stack.pop()
+            for slot_eid in inv[[cur, cur + nf, cur + 2 * nf]]:
+                for nb in edge_faces[slot_eid]:
+                    if nb == cur or visited[nb]:
+                        continue
+                    # consistent orientation = opposite traversal directions
+                    if edge_dir(cur, slot_eid) == edge_dir(nb, slot_eid):
+                        flipped[nb] = True
+                        total_flipped += 1
+                    visited[nb] = True
+                    comp_label[nb] = n_comp
+                    stack.append(nb)
+        n_comp += 1
+
+    f[flipped] = f[flipped][:, ::-1]
+    # outward orientation per component
+    v = np.asarray(verts, np.float64)
+    for c in range(n_comp):
+        sel = comp_label == c
+        if signed_volume(v, f[sel]) < 0:
+            f[sel] = f[sel][:, ::-1]
+            total_flipped += int(sel.sum())
+    return f.astype(faces.dtype, copy=False), total_flipped
+
+
 def sample_surface_points(verts, faces, num_points, rng=None, orient_outward=True):
     """Area-weighted surface samples with face normals (host).
 
@@ -172,11 +284,18 @@ def preprocess_mesh(
     surface_vote_points: int = 200000,
     seed: int = 0,
     center: bool = True,
+    repair: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, dict]:
     """Full mesh -> {pos, neg} sample generation
     (ref: src/PreprocessMesh.cpp:282-565).
 
     Returns (pos [N,4], neg [M,4], info) with float32 (x, y, z, sdf) rows.
+    info carries the per-mesh ``quality`` ratios and ``rejected`` flag
+    (render-free analog of the reference's observation-ratio test,
+    ref: :496-512 — which logs "mesh rejected" but proceeds; we do the
+    same, surfacing the flag to callers). ``repair=True`` additionally
+    re-winds inconsistently oriented faces before sampling so the normal
+    vote sees coherent outward normals.
     """
     if test:
         variance = 0.05
@@ -194,6 +313,20 @@ def preprocess_mesh(
         vmin = verts.min(axis=0)
         vmax = verts.max(axis=0)
         verts = verts - (vmin + vmax) / 2.0
+
+    quality = mesh_quality(verts, faces)
+    if quality["rejected"]:
+        # ref logs "mesh rejected" but proceeds (PreprocessMesh.cpp:509-512,
+        # early return commented out); callers read info["rejected"]
+        logging.warning(
+            "mesh rejected (winding=%.4f boundary=%.4f nonmanifold=%.4f)",
+            quality["inconsistent_winding_ratio"], quality["boundary_edge_ratio"],
+            quality["nonmanifold_edge_ratio"],
+        )
+    if repair and quality["inconsistent_winding_ratio"] > 0:
+        faces, n_flipped = repair_mesh_winding(verts, faces)
+        logging.info("repaired mesh winding: flipped %d faces", n_flipped)
+        quality = dict(quality, repaired_faces=n_flipped)
 
     rng = np.random.default_rng(seed)
     num_near = int(near_ratio * num_samples)
@@ -220,6 +353,8 @@ def preprocess_mesh(
         "num_queries": int(queries.shape[0]),
         "num_kept": int(xyz.shape[0]),
         "rejected_fraction": float(1.0 - xyz.shape[0] / queries.shape[0]),
+        "quality": quality,
+        "rejected": quality["rejected"],
     }
     if info["rejected_fraction"] > 0.5:
         logging.warning(

@@ -128,5 +128,15 @@ if __name__ == "__main__":
                     "%s: %d pos / %d neg (rejected %.2f%%)",
                     base, len(pos), len(neg), 100 * info["rejected_fraction"],
                 )
+                if info.get("rejected"):
+                    # quality gate tripped (ref "mesh rejected" print,
+                    # PreprocessMesh.cpp:509-512) — output was still written
+                    q = info["quality"]
+                    logging.warning(
+                        "%s: mesh rejected (winding=%.4f boundary=%.4f); "
+                        "winding auto-repaired=%s",
+                        base, q["inconsistent_winding_ratio"],
+                        q["boundary_edge_ratio"], q.get("repaired_faces", 0),
+                    )
         except Exception as e:
             logging.error("failed to process %s: %s", obj_file, e)

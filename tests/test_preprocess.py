@@ -110,3 +110,63 @@ def test_trainable_from_preprocessed(tmp_path):
     for e in range(2, 25):
         last = tr.train_epoch(e)
     assert last["sdf"] < first["sdf"] * 0.7
+
+
+def test_mesh_quality_and_repair(rng):
+    """Broken meshes are flagged by the quality gate (ref rejection ratios,
+    PreprocessMesh.cpp:496-512) and winding repair recovers correct signs."""
+    from msd_tpu.preprocess.mesh_to_sdf import (
+        mesh_quality,
+        preprocess_mesh,
+        repair_mesh_winding,
+        signed_volume,
+    )
+
+    r = 0.5
+    v, f = make_sphere_mesh(radius=r)
+    q = mesh_quality(v, f)
+    assert not q["rejected"]
+    assert q["inconsistent_winding_ratio"] == 0.0
+    # the UV-sphere fixture has a small unstitched seam — below threshold
+    assert q["boundary_edge_ratio"] < 0.02
+
+    # flip 20% of faces -> inconsistent winding must be flagged
+    f_broken = f.copy()
+    flip = rng.random(len(f)) < 0.2
+    f_broken[flip] = f_broken[flip][:, ::-1]
+    qb = mesh_quality(v, f_broken)
+    assert qb["inconsistent_winding_ratio"] > 0.02
+    assert qb["rejected"]
+
+    # repair restores consistent outward winding
+    f_fixed, n_flipped = repair_mesh_winding(v, f_broken)
+    assert n_flipped > 0
+    qf = mesh_quality(v, f_fixed)
+    assert qf["inconsistent_winding_ratio"] == 0.0
+    assert signed_volume(v, f_fixed) > 0
+
+    # end-to-end: broken mesh is flagged AND (thanks to repair) the signs
+    # are still correct against the analytic sphere
+    pos, neg, info = preprocess_mesh(
+        v, f_broken, num_samples=20000, surface_vote_points=20000, seed=3
+    )
+    assert info["rejected"] is True
+    assert info["quality"]["repaired_faces"] > 0
+    for arr, sgn in ((pos, 1), (neg, -1)):
+        d = np.linalg.norm(arr[:, :3], axis=1) - r
+        agree = ((d > 0) == (sgn > 0)).mean()
+        assert agree > 0.95, (sgn, agree)
+
+
+def test_mesh_quality_hole(rng):
+    """A mesh with a hole (non-watertight) is reported via the
+    boundary-edge ratio."""
+    from msd_tpu.preprocess.mesh_to_sdf import mesh_quality
+
+    v, f = make_sphere_mesh(radius=0.5)
+    base = mesh_quality(v, f)["boundary_edge_ratio"]
+    # delete 5% of faces -> boundary edges appear beyond the fixture's seam
+    keep = rng.random(len(f)) > 0.05
+    q = mesh_quality(v, f[keep])
+    assert q["boundary_edge_ratio"] > base + 0.02
+    assert q["rejected"]

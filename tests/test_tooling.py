@@ -29,6 +29,70 @@ def test_plotting_functions(tmp_path):
     assert plotting.plot_manifold_tsne(lat, labels=lat[:, 0] > 0) is not None
 
 
+def test_plotting_round2_functions(tmp_path, monkeypatch):
+    """plot_mesh_comparison / plot_reconstruction_comparison /
+    render_sdf_vid / plot_binary_vs_continuous / plot_capacity_vs_chamfer
+    (ref: plotting.py:148, :278, :337, :393)."""
+    import msd_tpu.workspace as ws
+    from msd_tpu import plotting
+    from msd_tpu.data.mesh_io import save_obj, save_ply
+    from conftest import make_sphere_mesh
+
+    v, f = make_sphere_mesh(12, 24)
+    fig = plotting.plot_mesh_comparison([("a", [(v, f), None]), ("b", [(v, f), (v, f)])])
+    assert fig is not None
+
+    # reconstruction comparison: fabricate GT + one experiment's recon mesh
+    gt_dir = tmp_path / "gt"
+    gt_dir.mkdir()
+    save_obj(str(gt_dir / "shape0.obj"), v, f)
+    exp = tmp_path / "expA"
+    recon = ws.get_reconstructed_mesh_filename(str(exp), 5, "ds", "cls", "shape0")
+    os.makedirs(os.path.dirname(recon), exist_ok=True)
+    save_ply(recon, v * 0.98, f)
+    monkeypatch.chdir(tmp_path)
+    fig = plotting.plot_reconstruction_comparison(
+        {"expA": str(exp)}, ["shape0"], chckpt=5, dataset_name="ds",
+        class_name="cls", gt_mesh_dir=str(gt_dir), angle_num=1,
+    )
+    assert fig is not None
+    assert os.path.isfile(tmp_path / "reconstruction_comparison.pdf")
+
+    # sdf video (tiny: 2 frames, gif via pillow)
+    pts = np.random.default_rng(0).uniform(-1, 1, (200, 3))
+    sdf = np.linalg.norm(pts, axis=1) - 0.5
+    anim = plotting.render_sdf_vid(pts, sdf, fps=2, n_seconds=1, save_filepath=str(tmp_path / "vid"))
+    assert anim is not None
+    assert os.path.isfile(tmp_path / "vid.mp4") or os.path.isfile(tmp_path / "vid.gif")
+
+    import pandas as pd
+
+    df = pd.DataFrame({"diag": [0, 1, 0, 1], "loss": [0.5, 0.7, 0.4, 0.9]})
+    assert plotting.plot_binary_vs_continuous(df, "diag", "loss") is not None
+
+    # capacity-vs-CD: two fabricated experiments with eval CSVs
+    exp_dirs = []
+    for i, width in enumerate((8, 16)):
+        d = str(tmp_path / f"cap{i}")
+        specs = {
+            "Description": "cap", "DataSource": "x", "TrainSplit": "x",
+            "NetworkArch": "deep_sdf_decoder", "CodeLength": 4,
+            "NetworkSpecs": {
+                "dims": [width, width], "dropout": [], "dropout_prob": 0.0,
+                "norm_layers": [], "latent_in": [1], "xyz_in_all": False,
+                "use_tanh": False, "latent_dropout": False, "weight_norm": True,
+            },
+        }
+        ws.save_experiment_specifications(d, specs)
+        ev_dir = ws.get_evaluation_dir(d, "5", True)
+        with open(os.path.join(ev_dir, "chamfer.csv"), "w") as fh:
+            fh.write("shape;chamfer_dist;90th_percentile;95th_percentile;normal_consistency\n")
+            fh.write(f"s0;{0.01 / (i + 1)};0.02;0.03;0.9\n")
+        exp_dirs.append(d)
+    fig = plotting.plot_capacity_vs_chamfer_dist(exp_dirs_net_capacity=exp_dirs, checkpoint=5)
+    assert fig is not None
+
+
 def test_plot_log_cli(tmp_path):
     from msd_tpu.utils.checkpoint import save_logs
 
