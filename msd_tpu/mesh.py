@@ -462,7 +462,8 @@ def _streaming_available() -> bool:
     return load_native() is not None
 
 
-def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size, value_codec="int8"):
+def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size, value_codec="int8",
+                           ply_path=None):
     """Hierarchical active-block discovery + streamed C++ marching
     tetrahedra. The active set is evaluated ONCE on device (values stay
     device-resident), the crossing mask crosses the relay as 1 bit/block,
@@ -510,6 +511,19 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
         flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int64(abi_x.shape[0]),
     )
+    spill_ply = False
+    if ply_path is not None:
+        # incremental PLY spill: vertex/face payloads written by the C++
+        # mesher as blocks complete (overlapped with relay transfers); the
+        # final write is header + two page-cache file copies
+        rc = lib.mt_ply_stream_begin(
+            ctypes.c_void_p(handle),
+            (ply_path + ".verts.tmp").encode(), (ply_path + ".faces.tmp").encode(),
+            ctypes.c_float(voxel_size), ctypes.c_float(-1.0),
+        )
+        spill_ply = rc == 0
+        if not spill_ply:
+            logging.warning("PLY spill unavailable; falling back to post-hoc write")
     b = SPARSE_BLOCK
 
     def mesh_chunk(vals, bases):
@@ -541,6 +555,7 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
     out_faces = ctypes.POINTER(ctypes.c_int32)()
     nv = ctypes.c_int64()
     nf = ctypes.c_int64()
+    ply_written = False
     try:
         # zero-copy views into the builder's buffers; the scale/shift below
         # materializes the final arrays, so no intermediate copy is needed
@@ -554,12 +569,23 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
         verts_view = np.ctypeslib.as_array(out_verts, shape=(nv.value, 3))
         verts = verts_view * np.float32(voxel_size) - np.float32(1.0)
         faces = np.ctypeslib.as_array(out_faces, shape=(nf.value, 3)).copy()
+        if spill_ply:
+            t_ply = time.time()
+            ply_written = (
+                lib.mt_ply_stream_finish(ctypes.c_void_p(handle), ply_path.encode()) == 0
+            )
+            LAST_STREAMING_STATS["t_ply"] = round(time.time() - t_ply, 3)
+            for tmp in (ply_path + ".verts.tmp", ply_path + ".faces.tmp"):
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
     finally:
         lib.mt_destroy(ctypes.c_void_p(handle))
     LAST_STREAMING_STATS["t_finish"] = round(time.time() - t0, 3)
     LAST_STREAMING_STATS["num_verts"] = int(nv.value)
     LAST_STREAMING_STATS["num_faces"] = int(nf.value)
-    return verts.astype(np.float32, copy=False), faces
+    return verts.astype(np.float32, copy=False), faces, ply_written
 
 
 _EVAL_CACHE: dict = {}
@@ -816,13 +842,19 @@ def create_mesh(
         N = _snap_n(N)
     voxel_size = 2.0 / (N - 1)
     b = _pick_block(N, clamp_dist, sparse_safety) if sparse else 1
+    ply_done = False
     try:
         if b > 2 and evaluator is not None and _streaming_available():
             # fastest path: hierarchical refinement + streamed C++ meshing
-            # overlapped with device evaluation
-            verts, faces = _create_mesh_streaming(
+            # overlapped with device evaluation; when no offset/scale
+            # post-transform is needed the PLY payload spills incrementally
+            spill_path = None
+            if filename and scale is None and offset is None:
+                os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
+                spill_path = filename + ".ply"
+            verts, faces, ply_done = _create_mesh_streaming(
                 latent_vec, N, evaluator, sparse_safety, clamp_dist, voxel_size,
-                value_codec=value_codec,
+                value_codec=value_codec, ply_path=spill_path,
             )
             logging.debug("[create_mesh] streaming mesh takes: %f", time.time() - start)
         elif b > 2:
@@ -856,7 +888,7 @@ def create_mesh(
             pts = pts - offset
         verts = pts.astype(np.float32)
 
-    if filename:
+    if filename and not ply_done:
         t0 = time.time()
         os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
         save_ply(filename + ".ply", verts, faces)

@@ -94,6 +94,13 @@ def load_native():
             lib.mt_finish_view.argtypes = lib.mt_finish.argtypes
             lib.mt_destroy.restype = None
             lib.mt_destroy.argtypes = [ctypes.c_void_p]
+            lib.mt_ply_stream_begin.restype = ctypes.c_int
+            lib.mt_ply_stream_begin.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_float, ctypes.c_float,
+            ]
+            lib.mt_ply_stream_finish.restype = ctypes.c_int
+            lib.mt_ply_stream_finish.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
             _LIB = lib
         except Exception as e:  # toolchain missing / compile error
             logging.warning("native library unavailable, using numpy path: %s", e)

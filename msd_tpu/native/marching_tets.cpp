@@ -11,6 +11,7 @@
 // tests/test_native_mt.py.
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
@@ -99,6 +100,20 @@ struct Builder {
   std::vector<int32_t> local_stamp;
   int32_t stamp = 0;
   int local_bp = 0;
+
+  // Incremental PLY spill: vertex/face data written to temp files as blocks
+  // are meshed (on the caller's worker thread, overlapped with device
+  // transfers), so the final .ply write is just header + two file copies.
+  FILE* spill_fv = nullptr;
+  FILE* spill_ff = nullptr;
+  size_t spilled_v = 0;  // floats already spilled from verts
+  size_t spilled_f = 0;  // int32s already spilled from faces
+  float spill_scale = 1.0f;
+  float spill_off = 0.0f;
+  ~Builder() {
+    if (spill_fv) fclose(spill_fv);
+    if (spill_ff) fclose(spill_ff);
+  }
 
   Builder(size_t expected_edges, int64_t n, const uint8_t* flip)
       : edges(expected_edges), N(n), flips(flip) {
@@ -321,11 +336,99 @@ void* mt_create(int64_t N, const uint8_t* flips, int64_t expected_blocks) {
   return new Builder((size_t)expected_blocks * 16 + 1024, N, flips);
 }
 
+static void spill_new_geometry(Builder& b) {
+  if (b.spill_fv) {
+    size_t n = b.verts.size();
+    if (n > b.spilled_v) {
+      float buf[3072];
+      size_t i = b.spilled_v;
+      while (i < n) {
+        size_t c = n - i < 3072 ? n - i : 3072;
+        for (size_t j = 0; j < c; j++) buf[j] = b.verts[i + j] * b.spill_scale + b.spill_off;
+        fwrite(buf, sizeof(float), c, b.spill_fv);
+        i += c;
+      }
+      b.spilled_v = n;
+    }
+  }
+  if (b.spill_ff) {
+    size_t n = b.faces.size();
+    if (n > b.spilled_f) {
+      // PLY face row: uchar 3 + 3x int32 = 13 bytes
+      unsigned char buf[13 * 256];
+      size_t i = b.spilled_f;
+      while (i < n) {
+        size_t c = (n - i) / 3 < 256 ? (n - i) / 3 : 256;
+        for (size_t j = 0; j < c; j++) {
+          unsigned char* p = buf + 13 * j;
+          p[0] = 3;
+          memcpy(p + 1, &b.faces[i + 3 * j], 12);
+        }
+        fwrite(buf, 13, c, b.spill_ff);
+        i += 3 * c;
+      }
+      b.spilled_f = i;
+    }
+  }
+}
+
 void mt_add_blocks(
     void* handle, const float* block_vals, const int32_t* bases,
     int64_t num_blocks, int32_t b) {
   Builder* builder = (Builder*)handle;
   add_blocks_impl(*builder, block_vals, bases, num_blocks, b, builder->N);
+  spill_new_geometry(*builder);
+}
+
+// Begin streaming PLY output: vertex/face payloads spill to the two temp
+// paths during mt_add_blocks; mt_ply_stream_finish assembles the final file.
+int mt_ply_stream_begin(
+    void* handle, const char* vert_path, const char* face_path,
+    float scale, float offset) {
+  Builder* builder = (Builder*)handle;
+  builder->spill_fv = fopen(vert_path, "w+b");
+  builder->spill_ff = fopen(face_path, "w+b");
+  if (!builder->spill_fv || !builder->spill_ff) return -1;
+  setvbuf(builder->spill_fv, nullptr, _IOFBF, 1 << 20);
+  setvbuf(builder->spill_ff, nullptr, _IOFBF, 1 << 20);
+  builder->spill_scale = scale;
+  builder->spill_off = offset;
+  return 0;
+}
+
+// Write header + concatenate the spilled payloads into final_path.
+// Does NOT destroy the builder (callers still read the in-memory mesh).
+int mt_ply_stream_finish(void* handle, const char* final_path) {
+  Builder* builder = (Builder*)handle;
+  if (!builder->spill_fv || !builder->spill_ff) return -1;
+  spill_new_geometry(*builder);
+  FILE* out = fopen(final_path, "wb");
+  if (!out) return -1;
+  setvbuf(out, nullptr, _IOFBF, 1 << 20);
+  char header[256];
+  int hn = snprintf(
+      header, sizeof(header),
+      "ply\nformat binary_little_endian 1.0\n"
+      "element vertex %lld\nproperty float x\nproperty float y\nproperty float z\n"
+      "element face %lld\nproperty list uchar int vertex_indices\nend_header\n",
+      (long long)(builder->verts.size() / 3), (long long)(builder->faces.size() / 3));
+  fwrite(header, 1, (size_t)hn, out);
+  static thread_local std::vector<char> buf(1 << 20);
+  FILE* parts[2] = {builder->spill_fv, builder->spill_ff};
+  int rc = 0;
+  for (int p = 0; p < 2; p++) {
+    fflush(parts[p]);
+    rewind(parts[p]);
+    size_t n;
+    while ((n = fread(buf.data(), 1, buf.size(), parts[p])) > 0) {
+      if (fwrite(buf.data(), 1, n, out) != n) { rc = -1; break; }
+    }
+    fclose(parts[p]);
+  }
+  builder->spill_fv = nullptr;
+  builder->spill_ff = nullptr;
+  if (fclose(out) != 0) rc = -1;
+  return rc;
 }
 
 // Zero-copy variant: returns views of the builder's internal buffers.

@@ -1,5 +1,7 @@
 """Streaming (two-level + C++) mesh path vs the plain sparse path."""
 
+import os
+
 import numpy as np
 import pytest
 from scipy.spatial import cKDTree
@@ -130,3 +132,32 @@ def test_sharded_point_evaluator(trained):  # noqa: F811
         return_mesh=True, evaluator=ev_mesh,
     )
     assert res is not None and res is not False
+
+
+@needs_native
+def test_streaming_ply_spill_matches_memory(trained, tmp_path):  # noqa: F811
+    """The incrementally-spilled .ply must byte-equal the in-memory mesh
+    written by save_ply (same header, same f32 payload)."""
+    from msd_tpu.data.mesh_io import load_ply, save_ply
+
+    trainer, _ = trained
+    latent = trainer.state["lat"][2]
+    ev = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    out = str(tmp_path / "spilled")
+    res = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=129,
+        filename=out, return_mesh=True, evaluator=ev, value_codec="f16",
+    )
+    assert res is not None and res is not False
+    verts, faces = res
+    assert os.path.isfile(out + ".ply")
+    # temp spill files cleaned up
+    assert not os.path.exists(out + ".ply.verts.tmp")
+    assert not os.path.exists(out + ".ply.faces.tmp")
+    v2, f2 = load_ply(out + ".ply")
+    np.testing.assert_array_equal(np.asarray(v2, np.float32), verts)
+    np.testing.assert_array_equal(f2, faces)
+    # byte-identical to the post-hoc writer
+    ref = str(tmp_path / "posthoc.ply")
+    save_ply(ref, verts, faces)
+    assert open(ref, "rb").read() == open(out + ".ply", "rb").read()
