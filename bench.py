@@ -27,17 +27,17 @@ import numpy as np
 
 
 TORUS_R, TORUS_r = 0.45, 0.2
-UNION_C = 0.28  # two spheres r=0.32 centered at +-UNION_C on x
+UNION_C, UNION_r = 0.28, 0.32  # two spheres r centered at +-UNION_C on x
 
 
-def torus_sdf(pts):
-    q = np.sqrt(pts[:, 0] ** 2 + pts[:, 1] ** 2) - TORUS_R
-    return np.sqrt(q**2 + pts[:, 2] ** 2) - TORUS_r
+def torus_sdf(pts, R=TORUS_R, r=TORUS_r):
+    q = np.sqrt(pts[:, 0] ** 2 + pts[:, 1] ** 2) - R
+    return np.sqrt(q**2 + pts[:, 2] ** 2) - r
 
 
-def union_sdf(pts):
-    a = np.linalg.norm(pts - np.array([UNION_C, 0, 0]), axis=1) - 0.32
-    b = np.linalg.norm(pts + np.array([UNION_C, 0, 0]), axis=1) - 0.32
+def union_sdf(pts, c=UNION_C, r=UNION_r):
+    a = np.linalg.norm(pts - np.array([c, 0, 0]), axis=1) - r
+    b = np.linalg.norm(pts + np.array([c, 0, 0]), axis=1) - r
     return np.minimum(a, b)
 
 
@@ -62,8 +62,13 @@ def make_torus_mesh(nu=96, nv=48):
 
 
 def make_shape_data(num_scenes=32, n_half=30000, seed=0):
-    """Sphere scenes plus a torus (scene 1) and a two-sphere union (scene 2)
-    — non-convex quality guards for the bench Chamfer check.
+    """Balanced mixed-family dataset: spheres, tori and two-sphere unions in
+    roughly equal numbers (scene i family = i % 3; scenes 0/1/2 carry the
+    canonical guard parameters). A lone non-convex shape among a sphere
+    population collapses — the shared decoder specializes to the dominant
+    family — so the bench population is balanced, which also makes the
+    Chamfer guards representative of multi-family training (ADNI/OAI mix
+    anatomy variation the same way).
 
     Sample distribution mirrors the real preprocessing output
     (PreprocessMesh.cpp:291-319): ~94% near-surface at two Gaussian jitter
@@ -76,29 +81,37 @@ def make_shape_data(num_scenes=32, n_half=30000, seed=0):
         d = rng.normal(size=(n, 3))
         return r * d / np.linalg.norm(d, axis=1, keepdims=True)
 
-    def torus_surf(n):
+    def torus_surf(n, R, r):
         u = rng.uniform(0, 2 * np.pi, n)
         v = rng.uniform(0, 2 * np.pi, n)
         return np.stack([
-            (TORUS_R + TORUS_r * np.cos(v)) * np.cos(u),
-            (TORUS_R + TORUS_r * np.cos(v)) * np.sin(u),
-            TORUS_r * np.sin(v),
+            (R + r * np.cos(v)) * np.cos(u),
+            (R + r * np.cos(v)) * np.sin(u),
+            r * np.sin(v),
         ], axis=1)
 
-    def union_surf(n):
-        pts = sphere_surf(n, 0.32)
+    def union_surf(n, c, r):
+        pts = sphere_surf(n, r)
         side = np.where(rng.random(n) < 0.5, 1.0, -1.0)
-        pts[:, 0] += side * UNION_C
+        pts[:, 0] += side * c
         return pts
 
-    for i, r in enumerate(radii):
-        if i == 1:
-            sdf_fn, surf = torus_sdf, torus_surf
-        elif i == 2:
-            sdf_fn, surf = union_sdf, union_surf
+    for i, rad in enumerate(radii):
+        fam = i % 3
+        if fam == 1:
+            # canonical guard params at scene 1, varied elsewhere
+            R = TORUS_R if i == 1 else float(rng.uniform(0.35, 0.55))
+            r = TORUS_r if i == 1 else float(rng.uniform(0.12, 0.25))
+            sdf_fn = lambda p, _R=R, _r=r: torus_sdf(p, _R, _r)
+            surf = lambda n, _R=R, _r=r: torus_surf(n, _R, _r)
+        elif fam == 2:
+            c = UNION_C if i == 2 else float(rng.uniform(0.18, 0.35))
+            r = UNION_r if i == 2 else float(rng.uniform(0.22, 0.38))
+            sdf_fn = lambda p, _c=c, _r=r: union_sdf(p, _c, _r)
+            surf = lambda n, _c=c, _r=r: union_surf(n, _c, _r)
         else:
-            sdf_fn = lambda p, _r=r: np.linalg.norm(p, axis=1) - _r
-            surf = lambda n, _r=r: sphere_surf(n, _r)
+            sdf_fn = lambda p, _r=rad: np.linalg.norm(p, axis=1) - _r
+            surf = lambda n, _r=rad: sphere_surf(n, _r)
         n_base = int(1.6 * n_half)  # oversample, then trim to n_half/sign
         base = surf(n_base)
         s1 = base + rng.normal(0, np.sqrt(0.005), base.shape)
@@ -316,6 +329,9 @@ def main():
             "raw_fused_kernel_queries_per_sec": None if raw_qps is None else round(raw_qps),
             "grid512_seconds": round(t_grid, 3),
             "grid512_evaluated_fraction": round(stats["evaluated"] / stats["total"], 4),
+            "grid512_stage_seconds": {
+                k: stats.get(k) for k in ("t_refine", "t_crossing", "t_stream", "t_finish", "t_ply")
+            },
             "create_mesh256_seconds": round(t_mesh256, 3),
             "train_vs_reference_cpu_measured": (
                 None if not ref_train_cpu else round(train_qps / ref_train_cpu, 1)
