@@ -46,6 +46,32 @@ def test_points_mode_training(tmp_path, enc):
     assert np.isfinite(m2["total"])
 
 
+def test_points_mode_run_eval(tmp_path):
+    """run_eval in points mode: VAE inputs are surface clouds; with teacher
+    latents present the recon/KL terms compute, and the SDF-consistency
+    loss always does (ref run_eval points branch, :1708-1719)."""
+    from msd_tpu.train import stage2_eval as ev
+
+    exp_dir, specs, teacher = _setup(tmp_path, num_scenes=8)
+    mesh_dir = tmp_path / "meshes"
+    mesh_dir.mkdir()
+    for i in range(8):
+        v, f = make_sphere_mesh(12, 24, radius=0.4 + 0.04 * i)
+        save_obj(str(mesh_dir / f"sphere_{i}.obj"), v, f)
+    specs.update(
+        EncoderType="resnet_pointnet",
+        DataSourceMesh=str(mesh_dir),
+        SurfacePointCount=128,
+        NumEpochs=1,
+    )
+    ws.save_experiment_specifications(exp_dir, specs)
+    tr = Stage2Trainer(exp_dir)
+    tr.train_epoch(1)
+    em = ev.run_eval(tr, 1, "eval_train", kl_weight=1.0, code_reg_weight=1.0)
+    assert np.isfinite(em["eval_loss"]) and np.isfinite(em["eval_sdf_loss"])
+    assert np.isfinite(em["eval_vae_recon"])  # teacher latents exist
+
+
 def test_points_mode_requires_meshes(tmp_path):
     exp_dir, specs, teacher = _setup(tmp_path, num_scenes=8)
     specs.update(EncoderType="pointnet2")
