@@ -31,6 +31,14 @@ def get_bin_index(x, nb_bins):
     return np.digitize(x, bins[:-1], right=False).astype(int)
 
 
+def _value_counts(values):
+    """{value: count} summary of a prediction vector (ref: sap.py:39-43)."""
+    if values is None:
+        return {}
+    vals, counts = np.unique(values, return_counts=True)
+    return {float(v): int(n) for v, n in zip(vals, counts)}
+
+
 def _minmax_scale(x):
     x = np.asarray(x, np.float64)
     lo = np.nanmin(x, axis=0, keepdims=True)
@@ -137,11 +145,64 @@ def sap_score_matrix(factors, codes, continuous_factors=True, nb_bins=10, regres
     return _sap_classification_matrix(factors, codes)
 
 
-def sap_classification_holdout(
-    factors, codes, continuous_factors=True, nb_bins=10, train_frac=0.8, random_state=0
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Train/test accuracy matrices with an 80/20 holdout
-    (ref: sap.py:285-393)."""
+def sap_classification_predictions(
+    factors, codes, continuous_factors=True, nb_bins=10, pred_sample_n=0
+):
+    """Prediction summaries ({pred,true}_counts per (factor, latent) cell)
+    from the whole-data Kumar decision trees (ref: sap.py:177-282)."""
+    factors = _as_2d(factors)
+    codes = _as_2d(codes)
+    if continuous_factors:
+        factors = get_bin_index(_minmax_scale(factors), nb_bins)
+    codes = _minmax_scale(codes)
+    nf, nc = factors.shape[1], codes.shape[1]
+    pred_info = [[None for _ in range(nc)] for _ in range(nf)]
+    for f in range(nf):
+        for c in range(nc):
+            clf = _best_tree(codes[:, c].reshape(-1, 1), factors[:, f].reshape(-1))
+            y_pred = clf.predict(codes[:, c].reshape(-1, 1))
+            info = {
+                "pred_counts": _value_counts(y_pred),
+                "true_counts": _value_counts(factors[:, f]),
+            }
+            if pred_sample_n and pred_sample_n > 0:
+                info["pred_sample"] = y_pred[:pred_sample_n].tolist()
+            pred_info[f][c] = info
+    return pred_info
+
+
+def sap_regression_predictions(factors, codes, pred_sample_n=0):
+    """Per-cell linear-regression prediction summaries (mean/std[/sample])
+    (ref: sap.py:396-420)."""
+    factors = _as_2d(factors)
+    codes = _as_2d(codes)
+    nf, nc = factors.shape[1], codes.shape[1]
+    pred_info = [[None for _ in range(nc)] for _ in range(nf)]
+    for f in range(nf):
+        y = factors[:, f].reshape(-1).astype(np.float64)
+        ym = y.mean()
+        for c in range(nc):
+            x = codes[:, c].reshape(-1).astype(np.float64)
+            xm = x.mean()
+            vx = np.sum((x - xm) ** 2)
+            a = 0.0 if vx <= 0 else np.sum((x - xm) * (y - ym)) / vx
+            y_pred = a * (x - xm) + ym
+            info = {
+                "pred_mean": float(np.mean(y_pred)) if y_pred.size else float("nan"),
+                "pred_std": float(np.std(y_pred)) if y_pred.size else float("nan"),
+            }
+            if pred_sample_n and pred_sample_n > 0:
+                info["pred_sample"] = y_pred[:pred_sample_n].tolist()
+            pred_info[f][c] = info
+    return pred_info
+
+
+def sap_classification_holdout_predictions(
+    factors, codes, continuous_factors=True, nb_bins=10, train_frac=0.8,
+    random_state=0, pred_sample_n=0,
+):
+    """Train/test accuracy matrices + per-cell prediction summaries with an
+    80/20 holdout (ref: sap.py:285-393)."""
     from sklearn.metrics import accuracy_score
     from sklearn.model_selection import train_test_split
 
@@ -150,8 +211,9 @@ def sap_classification_holdout(
     nf, nc = factors.shape[1], codes.shape[1]
     train_acc = np.full((nf, nc), np.nan)
     test_acc = np.full((nf, nc), np.nan)
+    pred_info = [[None for _ in range(nc)] for _ in range(nf)]
     if factors.shape[0] < 4:
-        return train_acc, test_acc
+        return train_acc, test_acc, pred_info
     if continuous_factors:
         factors = get_bin_index(_minmax_scale(factors), nb_bins)
     codes = _minmax_scale(codes)
@@ -179,16 +241,43 @@ def sap_classification_holdout(
                     random_state=random_state, stratify=None,
                 )
             clf = _best_tree(xt, yt)
-            train_acc[f, c] = accuracy_score(yt, clf.predict(xt))
-            test_acc[f, c] = accuracy_score(ys, clf.predict(xs))
+            yp_t, yp_s = clf.predict(xt), clf.predict(xs)
+            train_acc[f, c] = accuracy_score(yt, yp_t)
+            test_acc[f, c] = accuracy_score(ys, yp_s)
+            info = {
+                "train_pred_counts": _value_counts(yp_t),
+                "train_true_counts": _value_counts(yt),
+                "test_pred_counts": _value_counts(yp_s),
+                "test_true_counts": _value_counts(ys),
+            }
+            if pred_sample_n and pred_sample_n > 0:
+                info["train_pred_sample"] = yp_t[:pred_sample_n].tolist()
+                info["test_pred_sample"] = yp_s[:pred_sample_n].tolist()
+            pred_info[f][c] = info
+    return train_acc, test_acc, pred_info
+
+
+def sap_classification_holdout(
+    factors, codes, continuous_factors=True, nb_bins=10, train_frac=0.8, random_state=0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Train/test accuracy matrices with an 80/20 holdout
+    (ref: sap.py:285-393)."""
+    train_acc, test_acc, _ = sap_classification_holdout_predictions(
+        factors, codes, continuous_factors=continuous_factors, nb_bins=nb_bins,
+        train_frac=train_frac, random_state=random_state,
+    )
     return train_acc, test_acc
 
 
 def sap_binary_classification_locatello(
-    factors, codes, train_frac=0.8, C=0.01, random_state=0
-) -> Tuple[float, np.ndarray]:
+    factors, codes, train_frac=0.8, C=0.01, random_state=0,
+    return_predictions=False, pred_sample_n=0,
+):
     """Locatello-protocol SAP: per-cell linear-SVM test errors; score =
-    mean gap between the two lowest errors per factor (ref: sap.py:423-525)."""
+    mean gap between the two lowest errors per factor (ref: sap.py:423-525).
+
+    With ``return_predictions`` also returns per-cell prediction summaries
+    ({pred,true}_counts[, samples]) for debug logging (ref: :503-511)."""
     from sklearn.metrics import accuracy_score
     from sklearn.model_selection import train_test_split
     from sklearn.preprocessing import StandardScaler
@@ -199,12 +288,19 @@ def sap_binary_classification_locatello(
     n = factors.shape[0]
     nf, nc = factors.shape[1], codes.shape[1]
     error_matrix = np.full((nf, nc), np.nan)
-    if n < 4:
+    pred_info = [[None for _ in range(nc)] for _ in range(nf)] if return_predictions else None
+
+    def _early():
+        if return_predictions:
+            return float("nan"), error_matrix, pred_info
         return float("nan"), error_matrix
+
+    if n < 4:
+        return _early()
     test_size = max(1, int(round((1.0 - train_frac) * n)))
     train_size = n - test_size
     if train_size < 2:
-        return float("nan"), error_matrix
+        return _early()
 
     for f in range(nf):
         y_all = factors[:, f].reshape(-1)
@@ -229,7 +325,17 @@ def sap_binary_classification_locatello(
             xs = scaler.transform(xs)
             clf = LinearSVC(C=C, max_iter=5000)
             clf.fit(xt, yt)
-            error_matrix[f, c] = 1.0 - accuracy_score(ys, clf.predict(xs))
+            y_pred = clf.predict(xs)
+            error_matrix[f, c] = 1.0 - accuracy_score(ys, y_pred)
+            if return_predictions:
+                info = {
+                    "pred_counts": _value_counts(y_pred),
+                    "true_counts": _value_counts(ys),
+                }
+                if pred_sample_n and pred_sample_n > 0:
+                    info["pred_sample"] = y_pred[:pred_sample_n].tolist()
+                    info["true_sample"] = ys[:pred_sample_n].tolist()
+                pred_info[f][c] = info
 
     gaps = []
     for f in range(nf):
@@ -237,4 +343,7 @@ def sap_binary_classification_locatello(
         vals = np.sort(vals[np.isfinite(vals)])
         if vals.size >= 2:
             gaps.append(vals[1] - vals[0])
-    return (float(np.mean(gaps)) if gaps else float("nan")), error_matrix
+    score = float(np.mean(gaps)) if gaps else float("nan")
+    if return_predictions:
+        return score, error_matrix, pred_info
+    return score, error_matrix

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import msd_tpu.workspace as ws
-from msd_tpu.config import get_spec_with_default
+from msd_tpu.config import get_spec_with_default, note_noop_keys
 from msd_tpu.data.sdf_samples import SdfDataset, sample_sdf_batch
 from msd_tpu.data.splits import load_split
 from msd_tpu.losses.sdf import code_regularization, eikonal_loss
@@ -84,6 +84,7 @@ class Stage1Trainer:
         self.mesh = mesh
         self.experiment_directory = experiment_directory
         self.specs = specs if specs is not None else ws.load_experiment_specifications(experiment_directory)
+        note_noop_keys(self.specs)
         specs = self.specs
 
         self.data_source = specs["DataSource"]
@@ -120,6 +121,8 @@ class Stage1Trainer:
         self.iso_num_points = get_spec_with_default(specs, "IsometryNumPoints", 256)
         self.iso_num_probes = get_spec_with_default(specs, "IsometryNumProbes", 1)
         self.iso_compute_frequency = get_spec_with_default(specs, "IsometryComputeFrequency", 1)
+        _iso_cap = get_spec_with_default(specs, "IsometryScenesPerBatch", None)
+        self.iso_scenes_per_batch = int(_iso_cap) if _iso_cap else None
         self.use_isometry_mixup = get_spec_with_default(specs, "UseIsometryMixup", False)
         self.iso_mixup_alpha = get_spec_with_default(specs, "IsometryMixupAlpha", 0.2)
         self.iso_mixup_prob = get_spec_with_default(specs, "IsometryMixupProb", 0.0)
@@ -389,8 +392,18 @@ class Stage1Trainer:
                         out.update(a)
                     return out
 
-                scene_keys = jax.vmap(lambda i: jax.random.fold_in(iso_key, i))(jnp.arange(b))
-                per = jax.vmap(per_scene)(jnp.arange(b), scene_keys)
+                # IsometryScenesPerBatch: random static-size scene subsample
+                # (ref: train_deep_sdf.py:629-638 randperm over unique indices)
+                iso_cap = self.iso_scenes_per_batch
+                if iso_cap is not None and 0 < iso_cap < b:
+                    # fold_in(b): scene folds use 0..b-1, so b is unused
+                    iso_rows = jax.random.permutation(
+                        jax.random.fold_in(iso_key, b), b
+                    )[:iso_cap]
+                else:
+                    iso_rows = jnp.arange(b)
+                scene_keys = jax.vmap(lambda i: jax.random.fold_in(iso_key, i))(iso_rows)
+                per = jax.vmap(per_scene)(iso_rows, scene_keys)
                 if use_iso:
                     iso_mean = jnp.mean(per["iso"]) * self.lambda_iso
                     total = total + iso_mean

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import msd_tpu.workspace as ws
-from msd_tpu.config import get_spec_with_default, resolve_spec_path
+from msd_tpu.config import get_spec_with_default, note_noop_keys, resolve_spec_path
 from msd_tpu.data.labels import load_labels
 from msd_tpu.data.sdf_samples import SdfDataset, sample_sdf_batch
 from msd_tpu.data.splits import load_split
@@ -80,6 +80,7 @@ class Stage2Trainer:
         self.mesh = mesh
         self.experiment_directory = experiment_directory
         self.specs = specs if specs is not None else ws.load_experiment_specifications(experiment_directory)
+        note_noop_keys(self.specs)
         specs = self.specs
         g = lambda k, d: get_spec_with_default(specs, k, d)
 
@@ -1086,6 +1087,35 @@ class Stage2Trainer:
                 )
                 if cd is not None:
                     logging.info("Epoch %d %s chamfer: %.6f", epoch, split_label, cd)
+
+        # lightweight extra SAP/corr + eval-loss pass between full evals
+        # (SAPCORRExtraFrequency, ref: train_MLP_VAE_deep_sdf.py:3499-3560)
+        extra_freq = int(g(self.specs, "SAPCORRExtraFrequency", 0) or 0)
+        if extra_freq > 0 and epoch % extra_freq == 0:
+            full_eval_epoch = bool(eval_train_frequency and epoch % eval_train_frequency == 0)
+            if self.compute_sap and not full_eval_epoch:
+                tm = ev.compute_disentanglement_metrics(
+                    self, epoch, "train_extra", self.train_indices, self.writer
+                )
+                if tm and tm.get("sap") is not None:
+                    self.last_train_sap = tm["sap"]
+            if not full_eval_epoch:
+                em = ev.run_eval(
+                    self, epoch, "eval_train_extra",
+                    scene_indices=self._eval_scene_selection("EvalTrainSceneNumber", self.train_indices),
+                    kl_weight=kl_weight, code_reg_weight=code_reg_weight, writer=self.writer,
+                )
+                if em is not None:
+                    self.last_eval_metrics = dict(em, split="eval_train_extra", epoch=epoch)
+            last = self.last_eval_metrics or {}
+
+            def _fmt(v):
+                return "n/a" if v is None else "%.6f" % v
+
+            logging.info(
+                "Epoch %d extra summary: train_sdf_loss=%s train_sap=%s",
+                epoch, _fmt(last.get("eval_sdf_loss")), _fmt(getattr(self, "last_train_sap", None)),
+            )
 
 
 def main_function(experiment_directory: str, continue_from=None, batch_split: int = 1):

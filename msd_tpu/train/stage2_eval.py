@@ -417,6 +417,25 @@ def write_diagnosis_table(trainer, epoch, split_label, scene_indices=None, datas
             return float("nan")
         return float(np.corrcoef(x, labels_np)[0, 1])
 
+    # prediction-debug summaries (ref: train_MLP_VAE_deep_sdf.py:2233-2246)
+    debug_preds = bool(g(specs, "SAPDebugPredictions", False))
+    debug_pred_n = int(g(specs, "SAPDebugPredSamples", 0))
+    sap_pred_info = None
+    if debug_preds:
+        try:
+            factors = labels_np.reshape(-1, 1)
+            if is_regression:
+                sap_pred_info = sap_metric.sap_regression_predictions(
+                    factors, latents, pred_sample_n=debug_pred_n
+                )
+            else:
+                sap_pred_info = sap_metric.sap_classification_predictions(
+                    factors, latents, continuous_factors=sap_continuous,
+                    nb_bins=sap_nb_bins, pred_sample_n=debug_pred_n,
+                )
+        except Exception as exc:
+            logging.warning("SAP prediction debug unavailable (%s): %s", split_label, exc)
+
     if is_regression:
         logging.info("Epoch %d latent vs label table (%s):", epoch, split_label)
         logging.info("  dim | corr | sap_r2")
@@ -425,6 +444,17 @@ def write_diagnosis_table(trainer, epoch, split_label, scene_indices=None, datas
             sap_val = float(sap_scores[dim]) if sap_scores is not None else float("nan")
             rows.append((dim, _corr(dim), sap_val))
             logging.info("  %3d | %6.3f | %6.3f", dim, rows[-1][1], sap_val)
+        if debug_preds and sap_pred_info is not None:
+            # ref: :2268-2283
+            logging.info("  dim | sap_pred_mean | sap_pred_std | sap_pred_sample")
+            for dim in range(latents.shape[1]):
+                info = sap_pred_info[0][dim] if sap_pred_info else None
+                logging.info(
+                    "  %3d | %12s | %12s | %s", dim,
+                    "n/a" if not info else "%.4f" % info.get("pred_mean", float("nan")),
+                    "n/a" if not info else "%.4f" % info.get("pred_std", float("nan")),
+                    "n/a" if not info or info.get("pred_sample") is None else info["pred_sample"],
+                )
         return rows
 
     labels_int = labels_np.astype(int)
@@ -434,20 +464,32 @@ def write_diagnosis_table(trainer, epoch, split_label, scene_indices=None, datas
         {int(k): int(v) for k, v in zip(unique_labels, unique_counts)},
     )
     loc_err_matrix = None
+    loc_pred_info = None
     try:
-        _, loc_err_matrix = sap_metric.sap_binary_classification_locatello(
-            labels_int.reshape(-1, 1), latents
-        )
+        if debug_preds:
+            _, loc_err_matrix, loc_pred_info = sap_metric.sap_binary_classification_locatello(
+                labels_int.reshape(-1, 1), latents,
+                return_predictions=True, pred_sample_n=debug_pred_n,
+            )
+        else:
+            _, loc_err_matrix = sap_metric.sap_binary_classification_locatello(
+                labels_int.reshape(-1, 1), latents
+            )
     except Exception as exc:
         logging.warning("Locatello SAP per-latent scores unavailable (%s): %s", split_label, exc)
     sap_holdout_test_acc = None
-    if g(specs, "SAPKumarHoldout", False):
+    sap_holdout_pred_info = None
+    sap_kumar_holdout = bool(g(specs, "SAPKumarHoldout", False))
+    if sap_kumar_holdout:
         try:
-            _, sap_holdout_test_acc = sap_metric.sap_classification_holdout(
-                labels_int.reshape(-1, 1), latents,
-                continuous_factors=sap_continuous, nb_bins=sap_nb_bins,
-                train_frac=float(g(specs, "SAPKumarHoldoutFrac", 0.8)),
-                random_state=g(specs, "SAPKumarHoldoutSeed", 0),
+            _, sap_holdout_test_acc, sap_holdout_pred_info = (
+                sap_metric.sap_classification_holdout_predictions(
+                    labels_int.reshape(-1, 1), latents,
+                    continuous_factors=sap_continuous, nb_bins=sap_nb_bins,
+                    train_frac=float(g(specs, "SAPKumarHoldoutFrac", 0.8)),
+                    random_state=g(specs, "SAPKumarHoldoutSeed", 0),
+                    pred_sample_n=debug_pred_n if debug_preds else 0,
+                )
             )
         except Exception as exc:
             logging.warning("Kumar holdout SAP unavailable (%s): %s", split_label, exc)
@@ -483,6 +525,35 @@ def write_diagnosis_table(trainer, epoch, split_label, scene_indices=None, datas
             logging.info(
                 "Epoch %d Kumar SAP holdout gap (%s): %.6f",
                 epoch, split_label, float(vals[-1] - vals[-2]),
+            )
+    if debug_preds:
+        # per-dim prediction-count/sample table (ref: :2392-2434)
+        if sap_kumar_holdout:
+            logging.info(
+                "  dim | sap_pred_counts | sap_hold_pred_counts | loc_pred_counts"
+                " | sap_pred_sample | sap_hold_pred_sample | loc_pred_sample"
+            )
+        else:
+            logging.info("  dim | sap_pred_counts | loc_pred_counts | sap_pred_sample | loc_pred_sample")
+        for dim in range(latents.shape[1]):
+            sap_info = sap_pred_info[0][dim] if sap_pred_info else None
+            loc_info = loc_pred_info[0][dim] if loc_pred_info else None
+            hold_info = sap_holdout_pred_info[0][dim] if sap_holdout_pred_info else None
+            cells = [
+                sap_info.get("pred_counts") if sap_info else None,
+            ]
+            if sap_kumar_holdout:
+                cells.append(hold_info.get("test_pred_counts") if hold_info else None)
+            cells += [
+                loc_info.get("pred_counts") if loc_info else None,
+                sap_info.get("pred_sample") if sap_info else None,
+            ]
+            if sap_kumar_holdout:
+                cells.append(hold_info.get("test_pred_sample") if hold_info else None)
+            cells.append(loc_info.get("pred_sample") if loc_info else None)
+            logging.info(
+                "  %3d | " + " | ".join("%s" for _ in cells), dim,
+                *("n/a" if c is None else c for c in cells),
             )
     return rows_a
 

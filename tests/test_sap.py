@@ -88,3 +88,53 @@ def test_holdout_accuracies(data):
     # code 0 drives the binary factor -> its accuracy should beat noise dims
     assert np.nanmax(train_acc) == train_acc[0, 0]
     assert np.isfinite(test_acc[0, 0])
+
+
+@needs_reference
+def test_prediction_debug_parity(data):
+    """SAPDebugPredictions surface: regression/classification/holdout/
+    Locatello prediction summaries match the reference (sap.py:177-282,
+    :285-393, :396-420, :503-511)."""
+    factors, codes, binary = data
+    ref = _ref_sap()
+
+    want = ref.sap_regression_predictions(factors, codes, pred_sample_n=3)
+    got = msap.sap_regression_predictions(factors, codes, pred_sample_n=3)
+    for f in range(len(want)):
+        for c in range(len(want[0])):
+            assert got[f][c]["pred_mean"] == pytest.approx(want[f][c]["pred_mean"], abs=1e-8)
+            assert got[f][c]["pred_std"] == pytest.approx(want[f][c]["pred_std"], abs=1e-8)
+            np.testing.assert_allclose(got[f][c]["pred_sample"], want[f][c]["pred_sample"], atol=1e-8)
+
+    wantc = ref.sap_classification_predictions(binary, codes, continuous_factors=False, pred_sample_n=2)
+    gotc = msap.sap_classification_predictions(binary, codes, continuous_factors=False, pred_sample_n=2)
+    for c in range(codes.shape[1]):
+        assert gotc[0][c]["pred_counts"] == wantc[0][c]["pred_counts"]
+        assert gotc[0][c]["true_counts"] == wantc[0][c]["true_counts"]
+        assert gotc[0][c]["pred_sample"] == wantc[0][c]["pred_sample"]
+
+    wt, ws, wp = ref.sap_classification_holdout_predictions(
+        binary, codes, continuous_factors=False, pred_sample_n=2
+    )
+    gt_, gs, gp = msap.sap_classification_holdout_predictions(
+        binary, codes, continuous_factors=False, pred_sample_n=2
+    )
+    np.testing.assert_allclose(gt_, wt, atol=1e-8)
+    np.testing.assert_allclose(gs, ws, atol=1e-8)
+    for c in range(codes.shape[1]):
+        if wp[0][c] is None:
+            assert gp[0][c] is None
+            continue
+        assert gp[0][c]["test_pred_counts"] == wp[0][c]["test_pred_counts"]
+        assert gp[0][c]["test_pred_sample"] == wp[0][c]["test_pred_sample"]
+
+    wl = ref.sap_binary_classification_locatello(binary, codes, return_predictions=True, pred_sample_n=2)
+    gl = msap.sap_binary_classification_locatello(binary, codes, return_predictions=True, pred_sample_n=2)
+    assert gl[0] == pytest.approx(wl[0], abs=1e-8)
+    np.testing.assert_allclose(gl[1], wl[1], atol=1e-8)
+    for c in range(codes.shape[1]):
+        if wl[2][0][c] is None:
+            assert gl[2][0][c] is None
+            continue
+        assert gl[2][0][c]["pred_counts"] == wl[2][0][c]["pred_counts"]
+        assert gl[2][0][c]["pred_sample"] == wl[2][0][c]["pred_sample"]

@@ -252,3 +252,19 @@ def test_multichip_mesh_training(tmp_path):
     t_single = Stage1Trainer(exp_dir)
     s1 = t_single.train_epoch(1)
     assert s1["total"] == pytest.approx(m1["total"], rel=1e-4)
+
+
+def test_isometry_scenes_per_batch_cap(tmp_path):
+    """IsometryScenesPerBatch subsamples the scenes the isometry family
+    sees per step (ref: train_deep_sdf.py:629-638)."""
+    exp_dir, specs = _specs(
+        tmp_path,
+        UseIsometryLoss=True,
+        IsometryNumPoints=16,
+        IsometryScenesPerBatch=2,
+        NumEpochs=1,
+    )
+    trainer = Stage1Trainer(exp_dir)
+    assert trainer.iso_scenes_per_batch == 2
+    m = trainer.train_epoch(1)
+    assert np.isfinite(m["iso"]) and np.isfinite(m["total"])

@@ -140,3 +140,38 @@ def test_eval_integrated_in_train(tmp_path):
     )
     tr = Stage2Trainer(exp_dir)
     tr.train(num_epochs=2)  # must not crash with evals enabled
+
+
+def test_sap_corr_extra_frequency_and_debug_predictions(tmp_path, caplog):
+    """SAPCORRExtraFrequency runs the lightweight train_extra SAP/eval pass
+    between full evals (ref: train_MLP_VAE_deep_sdf.py:3499-3560);
+    SAPDebugPredictions adds prediction-count tables to the diagnosis logs
+    (ref: :2392-2434)."""
+    import logging as _logging
+
+    exp_dir, specs, teacher = _setup(
+        tmp_path,
+        num_scenes=16,
+        ComputeSAP=True,
+        LabelTaskType="classification",
+        EvalTrainFrequency=4,
+        SAPCORRExtraFrequency=1,
+        SAPDebugPredictions=True,
+        SAPDebugPredSamples=2,
+        SAPKumarHoldout=True,
+    )
+    tr = Stage2Trainer(exp_dir)
+    tr.train_epoch(1)
+    with caplog.at_level(_logging.INFO):
+        tr._run_evals(1)  # extra-only epoch (1 % 4 != 0)
+    text = caplog.text
+    assert "extra summary" in text
+    assert "train_extra" in text
+    caplog.clear()
+    for e in range(2, 5):
+        tr.train_epoch(e)
+    with caplog.at_level(_logging.INFO):
+        tr._run_evals(4)  # full eval epoch: diagnosis tables + debug preds
+    text = caplog.text
+    assert "sap_pred_counts" in text
+    assert "extra summary" in text
