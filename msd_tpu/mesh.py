@@ -253,62 +253,98 @@ class PointEvaluator:
             self._block_fns[key] = g
         return self._block_fns[key]
 
-    def stream_crossing_values(self, latent, abi: np.ndarray, N: int, codec: str = "int8"):
-        """One-pass streaming evaluation of the active set.
+    def stream_crossing_values(
+        self, latent, abi: np.ndarray, N: int, codec: str = "int8",
+        n_slabs: int | None = None, stats: dict | None = None,
+    ):
+        """Slab-pipelined streaming evaluation of the active set.
 
-        Dispatches the value evaluation of every ``abi`` chunk up front
-        (values stay on device), fetches the per-block crossing mask in ONE
-        transfer, then gathers only the crossing rows on device — encoded
-        per ``codec`` — and yields decoded (values f32 [n, 125],
-        abi_rows [n, 3]) chunks, dispatch-ahead so the host-side consumer
-        overlaps with device work and transfers.
+        The active set is processed in ``n_slabs`` slabs. Per slab: every
+        chunk's value evaluation is dispatched (values stay device-resident),
+        the per-block crossing mask is fetched in ONE transfer, and gathers
+        of the crossing rows are dispatched — then the NEXT slab's
+        evaluations are queued before the host starts fetching this slab's
+        rows, so the device computes slab s+1 while the host streams slab s
+        through the relay into the mesher.
 
-        Returns (abi_x, iterator).
+        Yields decoded (values f32 [n, 125], abi_rows [n, 3]) chunks.
+        ``stats`` (optional dict) receives ``crossing_blocks`` (accumulated)
+        and ``t_mask`` (total seconds blocked on mask fetches).
+
+        Returns (max_blocks upper bound, iterator).
         """
         A = abi.shape[0]
         fn = self._get_vals_mask_fn()
+        gather = self._get_gather_fn(codec)
         latent = jnp.asarray(latent).reshape(-1)
         h = 2.0 / (N - 1)
         h_d = jnp.float32(h)
         scale_d = jnp.int32(1)
-        vals_chunks, mask_chunks = [], []
-        for start in range(0, A, self.A_CHUNK):
-            chunk = np.zeros((self.A_CHUNK, 3), np.int32)
-            end = min(A, start + self.A_CHUNK)
-            chunk[: end - start] = abi[start:end]
-            v, m = fn(latent, jnp.asarray(chunk), h_d, scale_d)
-            vals_chunks.append(v)
-            mask_chunks.append(m)
-        if not vals_chunks:
-            return abi[:0], iter(())
-        mask = np.asarray(jnp.concatenate(mask_chunks))[:A]  # ONE fetch
-        abi_x = abi[mask]
-        idx_all = np.nonzero(mask)[0].astype(np.int32)
-        vals_all = jnp.concatenate(vals_chunks, axis=0)
-        gather = self._get_gather_fn(codec)
         q = np.float32(3.0 * h / 127.0)
         q_d = jnp.float32(q)
+        C = self.A_CHUNK
+        n_chunks = -(-A // C) if A else 0
+        if n_chunks == 0:
+            return 0, iter(())
+        if n_slabs is None:
+            # each extra slab costs one mask-fetch round trip (~20 ms on the
+            # relay) and buys overlap of ~1/n of the eval compute
+            n_slabs = min(3, n_chunks)
+        bounds = np.linspace(0, n_chunks, n_slabs + 1).astype(int) * C
+        bounds[-1] = A
+        slabs = [
+            (int(bounds[s]), int(min(A, bounds[s + 1])))
+            for s in range(n_slabs)
+            if bounds[s] < min(A, bounds[s + 1])
+        ]
 
-        C_CHUNK = self.A_CHUNK
-        pending = []
-        counts = []
-        for start in range(0, idx_all.shape[0], C_CHUNK):
-            end = min(idx_all.shape[0], start + C_CHUNK)
-            idx = np.zeros(C_CHUNK, np.int32)
-            idx[: end - start] = idx_all[start:end]
-            pending.append(gather(vals_all, jnp.asarray(idx), q_d))
-            counts.append(end - start)
+        def dispatch_evals(lo, hi):
+            vals_chunks, mask_chunks = [], []
+            for start in range(lo, hi, C):
+                chunk = np.zeros((C, 3), np.int32)
+                end = min(hi, start + C)
+                chunk[: end - start] = abi[start:end]
+                v, m = fn(latent, jnp.asarray(chunk), h_d, scale_d)
+                vals_chunks.append(v)
+                mask_chunks.append(m)
+            return vals_chunks, mask_chunks
 
         def it():
-            for i, (dev, n) in enumerate(zip(pending, counts)):
-                rows = np.asarray(dev[:n])
-                if codec == "int8":
-                    vals = rows.astype(np.float32) * q
-                else:
-                    vals = rows.astype(np.float32)
-                yield vals, abi_x[i * C_CHUNK : i * C_CHUNK + n]
+            evals = dispatch_evals(*slabs[0])
+            for s, (lo, hi) in enumerate(slabs):
+                vals_chunks, mask_chunks = evals
+                t0 = time.time()
+                mask = np.asarray(jnp.concatenate(mask_chunks))[: hi - lo]
+                if stats is not None:
+                    stats["t_mask"] = stats.get("t_mask", 0.0) + time.time() - t0
+                abi_x_s = abi[lo:hi][mask]
+                idx = np.nonzero(mask)[0].astype(np.int32)
+                vals_all = jnp.concatenate(vals_chunks, axis=0)
+                pend = []
+                for start in range(0, idx.shape[0], C):
+                    end = min(idx.shape[0], start + C)
+                    ibuf = np.zeros(C, np.int32)
+                    ibuf[: end - start] = idx[start:end]
+                    pend.append((gather(vals_all, jnp.asarray(ibuf), q_d), end - start))
+                # queue the next slab's device work BEFORE fetching rows:
+                # the device evaluates slab s+1 while the host streams slab s
+                if s + 1 < len(slabs):
+                    evals = dispatch_evals(*slabs[s + 1])
+                if stats is not None:
+                    stats["crossing_blocks"] = (
+                        stats.get("crossing_blocks", 0) + int(abi_x_s.shape[0])
+                    )
+                off = 0
+                for dev, n in pend:
+                    rows = np.asarray(dev[:n])
+                    if codec == "int8":
+                        vals = rows.astype(np.float32) * q
+                    else:
+                        vals = rows.astype(np.float32)
+                    yield vals, abi_x_s[off : off + n]
+                    off += n
 
-        return abi_x, it()
+        return A, it()
 
     def crossing_blocks(self, latent, abi: np.ndarray, N: int) -> np.ndarray:
         """Subset of ``abi`` whose blocks contain a sign change.
@@ -484,32 +520,29 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
     t_refine = time.time() - t0
     if abi4.shape[0] == 0:
         raise ValueError("Surface level must be within volume data range.")
-    # one-pass eval of the active set: values stay on device, the crossing
-    # mask comes back as 1 bit/block, and only crossing rows are gathered
-    # and streamed (only those produce marching-tets geometry)
-    t0 = time.time()
-    abi_x, value_iter = evaluator.stream_crossing_values(latent, abi4, N, codec=value_codec)
-    t_crossing = time.time() - t0
+    # slab-pipelined eval of the active set: values stay on device, crossing
+    # masks come back as 1 bit/block per slab, and only crossing rows are
+    # gathered and streamed (only those produce marching-tets geometry)
+    # while the device evaluates the next slab
+    stream_stats: dict = {}
+    max_blocks, value_iter = evaluator.stream_crossing_values(
+        latent, abi4, N, codec=value_codec, stats=stream_stats
+    )
     total_evals = evaluated + abi4.shape[0] * (SPARSE_BLOCK + 1) ** 3
     LAST_STREAMING_STATS.update(
         active_blocks=int(abi4.shape[0]),
-        crossing_blocks=int(abi_x.shape[0]),
         evaluated=int(total_evals),
         total=int(N**3),
         t_refine=round(t_refine, 3),
-        t_crossing=round(t_crossing, 3),
     )
-    logging.debug(
-        "[create_mesh] streaming: %d active blocks, %d crossing, %d prefilter evals",
-        abi4.shape[0], abi_x.shape[0], evaluated,
-    )
-    if abi_x.shape[0] == 0:
-        raise ValueError("Surface level must be within volume data range.")
     flips = np.ascontiguousarray(_FLIP_TABLE.astype(np.uint8))
+    # reserve for the active-set upper bound (crossing count isn't known
+    # until the last slab's mask lands) — oversizing only pads the global
+    # edge map, it never rehashes
     handle = lib.mt_create(
         ctypes.c_int64(N),
         flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.c_int64(abi_x.shape[0]),
+        ctypes.c_int64(max_blocks),
     )
     spill_ply = False
     if ply_path is not None:
@@ -549,6 +582,22 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
         if fut is not None:
             fut.result()
     LAST_STREAMING_STATS["t_stream"] = round(time.time() - t0, 3)
+    crossing = int(stream_stats.get("crossing_blocks", 0))
+    LAST_STREAMING_STATS["crossing_blocks"] = crossing
+    LAST_STREAMING_STATS["t_crossing"] = round(stream_stats.get("t_mask", 0.0), 3)
+    logging.debug(
+        "[create_mesh] streaming: %d active blocks, %d crossing, %d prefilter evals",
+        abi4.shape[0], crossing, evaluated,
+    )
+    if crossing == 0:
+        lib.mt_destroy(ctypes.c_void_p(handle))
+        if spill_ply:
+            for tmp in (ply_path + ".verts.tmp", ply_path + ".faces.tmp"):
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+        raise ValueError("Surface level must be within volume data range.")
 
     t0 = time.time()
     out_verts = ctypes.POINTER(ctypes.c_float)()
