@@ -86,6 +86,7 @@ class Stage1Trainer:
         self.specs = specs if specs is not None else ws.load_experiment_specifications(experiment_directory)
         note_noop_keys(self.specs)
         specs = self.specs
+        logging.info("Experiment description: \n%s", specs.get("Description", "(none)"))  # ref: train_deep_sdf.py:219
 
         self.data_source = specs["DataSource"]
         self.latent_size = specs["CodeLength"]

@@ -82,6 +82,7 @@ class Stage2Trainer:
         self.specs = specs if specs is not None else ws.load_experiment_specifications(experiment_directory)
         note_noop_keys(self.specs)
         specs = self.specs
+        logging.info("Experiment description: \n%s", specs.get("Description", "(none)"))  # ref: train_MLP_VAE_deep_sdf.py:650
         g = lambda k, d: get_spec_with_default(specs, k, d)
 
         self.num_samp_per_scene = specs["SamplesPerScene"]
@@ -324,6 +325,23 @@ class Stage2Trainer:
             self.pseudo_label_arr = _labels_for_instances(pseudo_map, dataset.instance_ids)
             self.real_label_arr = _labels_for_instances(real_map, dataset.instance_ids)
 
+        # metric-label maps: SAP/corr metrics may read a different labels
+        # file than training (SAPCORRLabelsFile / SAPAgeCORRLabelsFile,
+        # ref: train_MLP_VAE_deep_sdf.py:857-866, :1204-1217)
+        self.sap_corr_labels_file = g("SAPCORRLabelsFile", "labels.pt")
+        self.sap_age_corr_labels_file = g("SAPAgeCORRLabelsFile", self.sap_corr_labels_file)
+        self._sap_corr_label_map = None
+        self._sap_age_label_map = None
+        self._metric_label_cache = {}
+        sap_extra = int(g("SAPCORRExtraFrequency", 0) or 0)
+        if self.compute_sap or sap_extra > 0 or self.compute_sap_age:
+            self._sap_corr_label_map = self._load_metric_label_map(self.sap_corr_labels_file)
+        if self.compute_sap_age:
+            if self.sap_age_corr_labels_file == self.sap_corr_labels_file:
+                self._sap_age_label_map = self._sap_corr_label_map
+            else:
+                self._sap_age_label_map = self._load_metric_label_map(self.sap_age_corr_labels_file)
+
         # train-latent holdout (ref: :1014-1035)
         rng = np.random.default_rng(self.holdout_seed)
         perm = rng.permutation(self.num_scenes)
@@ -352,6 +370,51 @@ class Stage2Trainer:
         self.last_train_sap = None
         self.last_holdout_sap = None
         self.last_eval_metrics = None
+
+    # ------------------------------------------------------------------
+    def _load_metric_label_map(self, fname):
+        """Raw id->vector map for metric labels (ref: _resolve_labels_path
+        train_MLP_VAE_deep_sdf.py:491-496, _load_label_map :499-520).
+        ``None`` filename → metrics skipped (ref: :1854-1856); a file equal
+        to the training LabelsFile reuses its already-loaded map; a missing
+        file falls back to dataset-attached labels when present (injected
+        datasets), else raises like the reference."""
+        if fname is None:
+            return None
+        if fname == self.labels_filename and self._labels_map is not None:
+            return self._labels_map
+        path = fname if os.path.isabs(fname) else os.path.join(self.data_source, fname)
+        if not os.path.isfile(path):
+            if self.dataset.labels is not None:
+                logging.info(
+                    "metric labels file %s not found; using dataset-attached labels", path
+                )
+                return None
+            raise FileNotFoundError(f"labels file not found: {path}")
+        return load_labels(path)
+
+    def metric_label_matrix(self, dataset=None, age: bool = False):
+        """[num_scenes, L] label matrix for SAP/corr metrics on ``dataset``
+        (defaults to the train dataset), from the SAPCORRLabelsFile /
+        SAPAgeCORRLabelsFile map when configured (ref: :1849-1894
+        _collect_factors_codes looks metric labels up per instance), else
+        the dataset-attached training labels. ``None`` → metrics skipped."""
+        ds = dataset if dataset is not None else self.dataset
+        label_map = self._sap_age_label_map if age else self._sap_corr_label_map
+        if label_map is None:
+            fname = self.sap_age_corr_labels_file if age else self.sap_corr_labels_file
+            if fname is None:
+                logging.warning("Metrics skipped: SAPCORRLabelsFile is missing.")
+                return None
+            return ds.labels
+        key = (id(ds), bool(age))
+        if key not in self._metric_label_cache:
+            from msd_tpu.data.sdf_samples import _labels_for_instances
+
+            self._metric_label_cache[key] = _labels_for_instances(
+                label_map, ds.instance_ids, warn_missing=False
+            )
+        return self._metric_label_cache[key]
 
     # ------------------------------------------------------------------
     def _apply_mesh_placement(self):
@@ -891,8 +954,9 @@ class Stage2Trainer:
         )
         mu = np.asarray(vae_out["mu"])
         results = {}
-        if dataset.labels is not None:
-            labels = dataset.labels[:, self.label_index].astype(float)
+        label_matrix = self.metric_label_matrix(dataset)
+        if label_matrix is not None:
+            labels = label_matrix[:, self.label_index].astype(float)
             mask = np.isfinite(labels) & (labels != -1)
             if mask.sum() >= 4:
                 try:

@@ -46,11 +46,15 @@ def _codes_for(trainer, dataset=None, eval_latents=None, scene_indices=None):
     return mu
 
 
-def _labels_for(trainer, dataset, label_index, scene_indices=None):
+def _labels_for(trainer, dataset, label_index, scene_indices=None, age=False):
+    """Metric-label column for a split — reads the SAPCORRLabelsFile map via
+    the trainer when configured (ref: train_MLP_VAE_deep_sdf.py:1204-1217),
+    else the dataset-attached labels."""
     ds = dataset if dataset is not None else trainer.dataset
-    if ds.labels is None:
+    labels = trainer.metric_label_matrix(ds, age=age)
+    if labels is None:
         return None
-    labels_np = ds.labels[:, int(label_index)].astype(float)
+    labels_np = labels[:, int(label_index)].astype(float)
     if scene_indices is not None:
         labels_np = labels_np[np.asarray(scene_indices)]
     return labels_np
@@ -193,7 +197,7 @@ def compute_disentanglement_metrics(
     compute_sap_age = g(specs, "ComputeSAPAge", False)
     if not compute_sap and not compute_sap_age:
         return {}
-    if ds.labels is None:
+    if trainer.metric_label_matrix(ds) is None:
         return {}
 
     label_task_type = trainer.label_task_type
@@ -220,7 +224,7 @@ def compute_disentanglement_metrics(
     if codes is None:
         logging.warning("SAP skipped (%s): VAE inputs unavailable.", split_label)
         return {}
-    labels = ds.labels
+    labels = trainer.metric_label_matrix(ds)
     if scene_indices is not None:
         labels = labels[np.asarray(scene_indices)]
 
@@ -244,9 +248,15 @@ def compute_disentanglement_metrics(
                 if out["sap_locatello"] is not None:
                     writer.add_scalar(f"SAP/vae_locatello_{split_label}", out["sap_locatello"], epoch)
 
-    if compute_sap_age:
+    age_labels = labels
+    if compute_sap_age and trainer.sap_age_corr_labels_file != trainer.sap_corr_labels_file:
+        # SAP-age may read its own labels file (ref: :1958-1966)
+        age_labels = trainer.metric_label_matrix(ds, age=True)
+        if age_labels is not None and scene_indices is not None:
+            age_labels = age_labels[np.asarray(scene_indices)]
+    if compute_sap_age and age_labels is not None:
         age_idx = g(specs, "SAPAgeLabelIndices", None) or [trainer.age_snnl_reg_label_index]
-        factors = labels[:, [int(i) for i in age_idx]]
+        factors = age_labels[:, [int(i) for i in age_idx]]
         mask = _valid_mask(factors).all(axis=1)
         if mask.sum() >= 4:
             out["sap_age"] = sap_metric.sap(
@@ -293,10 +303,10 @@ def compute_latent_label_correlation(
 
 def latent_label_table(
     trainer, epoch, split_label, label_index, scene_indices=None,
-    regression=True, nb_bins=10, dataset=None, eval_latents=None,
+    regression=True, nb_bins=10, dataset=None, eval_latents=None, age=False,
 ):
     """Per-dim (corr, sap) rows (ref diagnosis table :2172-2434)."""
-    labels_np = _labels_for(trainer, dataset, label_index, scene_indices)
+    labels_np = _labels_for(trainer, dataset, label_index, scene_indices, age=age)
     codes = _codes_for(trainer, dataset, eval_latents, scene_indices)
     if labels_np is None or codes is None:
         return []
@@ -337,12 +347,12 @@ def write_age_table(trainer, epoch, split_label, scene_indices=None, dataset=Non
         trainer, epoch, split_label, age_idx, scene_indices,
         regression=g(trainer.specs, "SAPAgeRegression", True),
         nb_bins=g(trainer.specs, "SAPAgeNumBins", 10),
-        dataset=dataset, eval_latents=eval_latents,
+        dataset=dataset, eval_latents=eval_latents, age=True,
     )
     if not rows3:
         return None
     # linear-regression prediction stats per dim
-    labels_np = _labels_for(trainer, dataset, age_idx, scene_indices)
+    labels_np = _labels_for(trainer, dataset, age_idx, scene_indices, age=True)
     codes = _codes_for(trainer, dataset, eval_latents, scene_indices)
     if labels_np is None or codes is None:
         return None

@@ -175,3 +175,58 @@ def test_sap_corr_extra_frequency_and_debug_predictions(tmp_path, caplog):
     text = caplog.text
     assert "sap_pred_counts" in text
     assert "extra summary" in text
+
+
+def test_sap_corr_labels_file(tmp_path):
+    """SAP/corr metrics read SAPCORRLabelsFile (and SAP-age its own
+    SAPAgeCORRLabelsFile), which may differ from the training LabelsFile
+    (ref: train_MLP_VAE_deep_sdf.py:857-866, :1204-1217)."""
+    import torch
+
+    exp_dir, specs, teacher = _setup(
+        tmp_path,
+        num_scenes=16,
+        ComputeSAP=True,
+        ComputeSAPAge=True,
+        LabelTaskType="classification",
+        SAPCORRLabelsFile="metric_labels.pt",
+        SAPAgeCORRLabelsFile="age_labels.pt",
+    )
+    data_dir = specs["DataSource"]
+    base = torch.load(os.path.join(data_dir, "labels.pt"), weights_only=False)
+    flipped = {k: torch.tensor([1.0 - float(v[0]), float(v[1])]) for k, v in base.items()}
+    torch.save(flipped, os.path.join(data_dir, "metric_labels.pt"))
+    shifted = {k: torch.tensor([float(v[0]), float(v[1]) + 10.0]) for k, v in base.items()}
+    torch.save(shifted, os.path.join(data_dir, "age_labels.pt"))
+
+    tr = Stage2Trainer(exp_dir)
+    m = tr.metric_label_matrix()
+    base_mat = tr.dataset.labels
+    assert np.allclose(m[:, 0], 1.0 - base_mat[:, 0])
+    ma = tr.metric_label_matrix(age=True)
+    assert np.allclose(ma[:, 1], base_mat[:, 1] + 10.0)
+    # the metrics actually consume them: SAP on flipped diagnosis labels is
+    # identical to SAP on the originals (label swap is symmetric), and the
+    # pipeline runs end-to-end without touching dataset labels
+    tr.train_epoch(1)
+    out = ev.compute_disentanglement_metrics(tr, 1, "train", None)
+    assert out["sap"] is not None and out["sap_age"] is not None
+    # training-side labels (losses) still come from LabelsFile
+    assert np.allclose(tr.dataset.labels[:, 0], base_mat[:, 0])
+
+
+def test_sap_corr_labels_file_none_skips(tmp_path, caplog):
+    """Explicit SAPCORRLabelsFile=None skips metrics with the reference's
+    warning (ref: :1854-1856)."""
+    import logging as _logging
+
+    exp_dir, specs, teacher = _setup(
+        tmp_path, num_scenes=8, ComputeSAP=True,
+        LabelTaskType="classification", SAPCORRLabelsFile=None,
+    )
+    tr = Stage2Trainer(exp_dir)
+    tr.train_epoch(1)
+    with caplog.at_level(_logging.WARNING):
+        out = ev.compute_disentanglement_metrics(tr, 1, "train", None)
+    assert out == {}
+    assert "SAPCORRLabelsFile is missing" in caplog.text
