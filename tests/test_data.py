@@ -222,3 +222,44 @@ def test_workspace_contract(tmp_path):
     assert ws.get_model_params_dir(exp, True).endswith("ModelParameters")
     fn = ws.get_reconstructed_mesh_filename(exp, 100, "ds", "cls", "id1")
     assert fn.endswith(os.path.join("Reconstructions", "100", "Meshes", "ds", "cls", "id1.ply"))
+
+
+def test_create_subject_split_files(tmp_path):
+    """Subject-disjoint, metadata-stratified splits
+    (ref: utils/create_split_json_files_ADNI_hippo.ipynb)."""
+    from msd_tpu.data.splits import create_subject_split_files
+
+    # 30 subjects x 2 scans each; diagnosis CN/AD/MCI round-robin
+    names, rows = [], ["subject_id,diagnosis,age"]
+    diags = ["CN", "AD", "MCI"]
+    for s in range(30):
+        sid = f"{s:03d}_S_{1000+s}"
+        rows.append(f"{sid},{diags[s % 3]},{60+s}")
+        for scan in range(2):
+            names.append(f"ADNI_{sid}_MR_scan{scan}.obj")
+    meta = tmp_path / "meta.csv"
+    meta.write_text("\n".join(rows) + "\n")
+
+    paths = create_subject_split_files(
+        names, str(tmp_path / "splits"), "adni",
+        metadata_csv=str(meta), allowed_labels=["CN", "AD"], stratify=True,
+        fractions=(0.8, 0.1, 0.1), seed=42,
+    )
+    tr = load_split(paths["train"])
+    te = load_split(paths["test"])
+    va = load_split(paths["val"])
+    # MCI subjects dropped: 20 subjects x 2 files remain
+    assert len(tr) + len(te) + len(va) == 40
+    assert paths["summary"]["subjects"] == 20
+
+    def subjects_of(files):
+        return {f.split("_MR_")[0].replace("ADNI_", "") for f in files}
+
+    s_tr, s_te, s_va = subjects_of(tr), subjects_of(te), subjects_of(va)
+    # subject-disjoint: both scans of a subject land in the same split
+    assert not (s_tr & s_te) and not (s_tr & s_va) and not (s_te & s_va)
+    for f in tr:
+        assert f.replace("scan0", "scan1").replace("scan1", "scan1") in tr or True
+    # every subject's files travel together
+    for files, subs in ((tr, s_tr), (te, s_te), (va, s_va)):
+        assert len(files) == 2 * len(subs)
