@@ -221,6 +221,32 @@ class PointEvaluator:
             self._block_fns["vals_mask"] = vm
         return self._block_fns["vals_mask"]
 
+    def _get_slab_fn(self, n_blocks: int):
+        """Whole-slab variant of the vals+mask program: ONE dispatch (and one
+        coordinate upload) evaluates ``n_blocks`` blocks. Sizes are bucketed
+        to multiples of A_CHUNK by the caller so only a handful of programs
+        ever compile; on the axon relay every dispatch/upload costs a ~20 ms
+        round trip, which dominated the chunked streaming path."""
+        key = ("slab", n_blocks)
+        if key not in self._block_fns:
+            bsz = SPARSE_BLOCK
+            pts_per = (bsz + 1) ** 3
+            assert (n_blocks * pts_per) % self.tile == 0
+            local = np.arange(bsz + 1)
+            lx, ly, lz = np.meshgrid(local, local, local, indexing="ij")
+            offs = jnp.asarray(np.stack([lx, ly, lz], axis=-1).reshape(-1, 3).astype(np.int32))
+
+            @jax.jit
+            def f(latent, abi_slab, h, scale):
+                fine = (abi_slab * (bsz * scale))[:, None, :] + offs[None, :, :] * scale
+                xyz_t = fine.reshape(-1, 3).T.astype(jnp.float32) * h - 1.0
+                vals = self._eval_t(latent, xyz_t).reshape(n_blocks, pts_per).astype(jnp.float16)
+                neg = vals < 0
+                return vals, jnp.any(neg, axis=1) & ~jnp.all(neg, axis=1)
+
+            self._block_fns[key] = f
+        return self._block_fns[key]
+
     def _get_gather_fn(self, codec: str):
         """jit: (vals_all [M, 125] f16, idx [C_CHUNK], q) -> encoded rows.
 
@@ -274,8 +300,6 @@ class PointEvaluator:
         Returns (max_blocks upper bound, iterator).
         """
         A = abi.shape[0]
-        fn = self._get_vals_mask_fn()
-        gather = self._get_gather_fn(codec)
         latent = jnp.asarray(latent).reshape(-1)
         h = 2.0 / (N - 1)
         h_d = jnp.float32(h)
@@ -288,61 +312,66 @@ class PointEvaluator:
             return 0, iter(())
         if n_slabs is None:
             # each extra slab costs one mask-fetch round trip (~20 ms on the
-            # relay) and buys overlap of ~1/n of the eval compute
-            n_slabs = min(3, n_chunks)
-        bounds = np.linspace(0, n_chunks, n_slabs + 1).astype(int) * C
-        bounds[-1] = A
+            # relay) and buys overlap of ~1/n of the eval compute;
+            # MSD_STREAM_SLABS overrides for tuning/measurement
+            n_slabs = min(int(os.environ.get("MSD_STREAM_SLABS", 3)), n_chunks)
+        bounds = np.linspace(0, A, n_slabs + 1).astype(int)
         slabs = [
-            (int(bounds[s]), int(min(A, bounds[s + 1])))
+            (int(bounds[s]), int(bounds[s + 1]))
             for s in range(n_slabs)
-            if bounds[s] < min(A, bounds[s + 1])
+            if bounds[s] < bounds[s + 1]
         ]
+        # gather rows are padded to this granularity: coarse enough that only
+        # a handful of program shapes ever compile, fine enough that padding
+        # waste stays under ~0.5 MB of int8 on the relay
+        G = 4096
 
-        def dispatch_evals(lo, hi):
-            vals_chunks, mask_chunks = [], []
-            for start in range(lo, hi, C):
-                chunk = np.zeros((C, 3), np.int32)
-                end = min(hi, start + C)
-                chunk[: end - start] = abi[start:end]
-                v, m = fn(latent, jnp.asarray(chunk), h_d, scale_d)
-                vals_chunks.append(v)
-                mask_chunks.append(m)
-            return vals_chunks, mask_chunks
+        def dispatch_slab(lo, hi):
+            # ONE upload + ONE dispatch per slab (block count bucketed to a
+            # multiple of A_CHUNK so program shapes repeat across calls)
+            n = hi - lo
+            n_pad = -(-n // C) * C
+            buf = np.zeros((n_pad, 3), np.int32)
+            buf[:n] = abi[lo:hi]
+            vals, mask = self._get_slab_fn(n_pad)(latent, jnp.asarray(buf), h_d, scale_d)
+            return vals, mask, n
 
         def it():
-            evals = dispatch_evals(*slabs[0])
+            gather = self._get_gather_fn(codec)
+            pend_slab = dispatch_slab(*slabs[0])
             for s, (lo, hi) in enumerate(slabs):
-                vals_chunks, mask_chunks = evals
+                vals_dev, mask_dev, n = pend_slab
                 t0 = time.time()
-                mask = np.asarray(jnp.concatenate(mask_chunks))[: hi - lo]
+                mask = np.asarray(mask_dev)[:n]
                 if stats is not None:
                     stats["t_mask"] = stats.get("t_mask", 0.0) + time.time() - t0
                 abi_x_s = abi[lo:hi][mask]
                 idx = np.nonzero(mask)[0].astype(np.int32)
-                vals_all = jnp.concatenate(vals_chunks, axis=0)
-                pend = []
-                for start in range(0, idx.shape[0], C):
-                    end = min(idx.shape[0], start + C)
-                    ibuf = np.zeros(C, np.int32)
-                    ibuf[: end - start] = idx[start:end]
-                    pend.append((gather(vals_all, jnp.asarray(ibuf), q_d), end - start))
+                K = idx.shape[0]
+                packed = None
+                if K:
+                    K_pad = -(-K // G) * G
+                    ibuf = np.zeros(K_pad, np.int32)
+                    ibuf[:K] = idx
+                    # one upload + one dispatch gathers the slab's crossing rows
+                    packed = gather(vals_dev, jnp.asarray(ibuf), q_d)
                 # queue the next slab's device work BEFORE fetching rows:
                 # the device evaluates slab s+1 while the host streams slab s
                 if s + 1 < len(slabs):
-                    evals = dispatch_evals(*slabs[s + 1])
+                    pend_slab = dispatch_slab(*slabs[s + 1])
                 if stats is not None:
-                    stats["crossing_blocks"] = (
-                        stats.get("crossing_blocks", 0) + int(abi_x_s.shape[0])
-                    )
-                off = 0
-                for dev, n in pend:
-                    rows = np.asarray(dev[:n])
-                    if codec == "int8":
-                        vals = rows.astype(np.float32) * q
-                    else:
-                        vals = rows.astype(np.float32)
-                    yield vals, abi_x_s[off : off + n]
-                    off += n
+                    stats["crossing_blocks"] = stats.get("crossing_blocks", 0) + int(K)
+                if not K:
+                    continue
+                t0 = time.time()
+                rows = np.asarray(packed)[:K]
+                if stats is not None:
+                    stats["t_fetch"] = stats.get("t_fetch", 0.0) + time.time() - t0
+                if codec == "int8":
+                    vals = rows.astype(np.float32) * q
+                else:
+                    vals = rows.astype(np.float32)
+                yield vals, abi_x_s
 
         return A, it()
 
@@ -498,6 +527,18 @@ def _streaming_available() -> bool:
     return load_native() is not None
 
 
+def _spill_tmp_base(ply_path: str) -> str:
+    """Base path for the PLY spill temp files: tmpfs when available
+    (MSD_SPILL_TMP overrides), else next to the output file. Unique per
+    process so concurrent extractions never collide."""
+    scratch = os.environ.get("MSD_SPILL_TMP")
+    if scratch is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        scratch = "/dev/shm"
+    if scratch is None:
+        return ply_path
+    return os.path.join(scratch, f"msd_spill_{os.getpid()}_{os.path.basename(ply_path)}")
+
+
 def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size, value_codec="int8",
                            ply_path=None):
     """Hierarchical active-block discovery + streamed C++ marching
@@ -545,13 +586,17 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
         ctypes.c_int64(max_blocks),
     )
     spill_ply = False
+    spill_base = None
     if ply_path is not None:
         # incremental PLY spill: vertex/face payloads written by the C++
         # mesher as blocks complete (overlapped with relay transfers); the
-        # final write is header + two page-cache file copies
+        # final write is header + two page-cache file copies. Temps live on
+        # tmpfs when available: spilling ~50 MB/mesh to disk trips dirty-page
+        # throttling, stalling the finish phase by up to ~1 s.
+        spill_base = _spill_tmp_base(ply_path)
         rc = lib.mt_ply_stream_begin(
             ctypes.c_void_p(handle),
-            (ply_path + ".verts.tmp").encode(), (ply_path + ".faces.tmp").encode(),
+            (spill_base + ".verts.tmp").encode(), (spill_base + ".faces.tmp").encode(),
             ctypes.c_float(voxel_size), ctypes.c_float(-1.0),
         )
         spill_ply = rc == 0
@@ -585,6 +630,7 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
     crossing = int(stream_stats.get("crossing_blocks", 0))
     LAST_STREAMING_STATS["crossing_blocks"] = crossing
     LAST_STREAMING_STATS["t_crossing"] = round(stream_stats.get("t_mask", 0.0), 3)
+    LAST_STREAMING_STATS["t_fetch"] = round(stream_stats.get("t_fetch", 0.0), 3)
     logging.debug(
         "[create_mesh] streaming: %d active blocks, %d crossing, %d prefilter evals",
         abi4.shape[0], crossing, evaluated,
@@ -592,7 +638,7 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
     if crossing == 0:
         lib.mt_destroy(ctypes.c_void_p(handle))
         if spill_ply:
-            for tmp in (ply_path + ".verts.tmp", ply_path + ".faces.tmp"):
+            for tmp in (spill_base + ".verts.tmp", spill_base + ".faces.tmp"):
                 try:
                     os.remove(tmp)
                 except OSError:
@@ -624,7 +670,7 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
                 lib.mt_ply_stream_finish(ctypes.c_void_p(handle), ply_path.encode()) == 0
             )
             LAST_STREAMING_STATS["t_ply"] = round(time.time() - t_ply, 3)
-            for tmp in (ply_path + ".verts.tmp", ply_path + ".faces.tmp"):
+            for tmp in (spill_base + ".verts.tmp", spill_base + ".faces.tmp"):
                 try:
                     os.remove(tmp)
                 except OSError:
