@@ -163,6 +163,11 @@ class PointEvaluator:
     # runtime scalar. Remote compiles through the axon relay cost tens of
     # seconds, so shape-stable programs matter more than per-call waste.
     A_CHUNK = 8192  # blocks per dispatch: 8192 * 125 pts = 1,024,000 (= 500 tiles)
+    # device-side compaction cap: slabs under the min stream uncapped (bytes
+    # are cheap there); larger slabs cap at ratio * slab with exact fallback
+    # on overflow. Instance attrs so tests can force the overflow path.
+    compact_cap_min_blocks = 24576
+    compact_cap_ratio = 0.55
 
     def _get_block_fn(self):
         """One compiled program evaluates the (b+1)^3 lattice of stride-scale
@@ -247,6 +252,60 @@ class PointEvaluator:
             self._block_fns[key] = f
         return self._block_fns[key]
 
+    def _get_slab_compact_fn(self, n_blocks: int, cap: int, codec: str):
+        """Eval + crossing filter + ON-DEVICE compaction in one program.
+
+        Evaluates the (b+1)^3 lattice of ``n_blocks`` blocks, selects the
+        sign-crossing blocks, and scatters their encoded value rows into a
+        dense [cap, 125] buffer — so the host never sits in the dependency
+        chain (no mask fetch, no index upload): every slab is dispatched up
+        front and the device runs back-to-back while the host streams
+        results. Returns (idx_and_count [cap+1] i32, packed [cap, 125]):
+        idx_and_count[0] is the crossing count (> cap signals overflow; the
+        caller falls back to the exact two-phase path for that slab),
+        idx_and_count[1:1+count] are crossing-row positions within the slab.
+        """
+        key = ("slab_compact", n_blocks, cap, codec)
+        if key not in self._block_fns:
+            bsz = SPARSE_BLOCK
+            pts_per = (bsz + 1) ** 3
+            assert (n_blocks * pts_per) % self.tile == 0
+            local = np.arange(bsz + 1)
+            lx, ly, lz = np.meshgrid(local, local, local, indexing="ij")
+            offs = jnp.asarray(np.stack([lx, ly, lz], axis=-1).reshape(-1, 3).astype(np.int32))
+
+            @jax.jit
+            def f(latent, abi_slab, valid_n, h, scale, q):
+                fine = (abi_slab * (bsz * scale))[:, None, :] + offs[None, :, :] * scale
+                xyz_t = fine.reshape(-1, 3).T.astype(jnp.float32) * h - 1.0
+                vals = self._eval_t(latent, xyz_t).reshape(n_blocks, pts_per).astype(jnp.float16)
+                neg = vals < 0
+                mask = jnp.any(neg, axis=1) & ~jnp.all(neg, axis=1)
+                # bucket-padding rows repeat block (0,0,0) — exclude them
+                mask = mask & (jnp.arange(n_blocks) < valid_n)
+                count = jnp.sum(mask.astype(jnp.int32))
+                # crossing rows scatter to a contiguous prefix; everything
+                # else (and overflow beyond cap) drops into a slop row
+                dest = jnp.where(mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, cap)
+                dest = jnp.minimum(dest, cap)
+                if codec == "int8":
+                    rows = vals.astype(jnp.float32)
+                    mag = jnp.clip(jnp.round(jnp.abs(rows) / q), 1, 127)
+                    code = jnp.where(rows == 0, 0.0, jnp.sign(rows) * mag).astype(jnp.int8)
+                else:
+                    code = vals.view(jnp.int8).reshape(n_blocks, 2 * pts_per)
+                packed = jnp.zeros((cap + 1, code.shape[1]), jnp.int8).at[dest].set(
+                    code, mode="drop"
+                )
+                idx = jnp.zeros((cap + 1,), jnp.int32).at[dest].set(
+                    jnp.arange(n_blocks, dtype=jnp.int32), mode="drop"
+                )
+                idx_and_count = jnp.concatenate([count[None], idx[:cap]])
+                return idx_and_count, packed[:cap]
+
+            self._block_fns[key] = f
+        return self._block_fns[key]
+
     def _get_gather_fn(self, codec: str):
         """jit: (vals_all [M, 125] f16, idx [C_CHUNK], q) -> encoded rows.
 
@@ -321,56 +380,75 @@ class PointEvaluator:
             for s in range(n_slabs)
             if bounds[s] < bounds[s + 1]
         ]
-        # gather rows are padded to this granularity: coarse enough that only
-        # a handful of program shapes ever compile, fine enough that padding
-        # waste stays under ~0.5 MB of int8 on the relay
-        G = 4096
+        # compacted/gathered rows are padded to this granularity: coarse
+        # enough that only a handful of program shapes ever compile, fine
+        # enough that padding waste stays under ~0.25 MB of int8 on the relay
+        G = 2048
 
-        def dispatch_slab(lo, hi):
-            # ONE upload + ONE dispatch per slab (block count bucketed to a
-            # multiple of A_CHUNK so program shapes repeat across calls)
+        def exact_slab(lo, hi):
+            """Two-phase fallback for a cap overflow: eval + host mask fetch
+            + indexed gather (exact, no cap)."""
             n = hi - lo
             n_pad = -(-n // C) * C
             buf = np.zeros((n_pad, 3), np.int32)
             buf[:n] = abi[lo:hi]
-            vals, mask = self._get_slab_fn(n_pad)(latent, jnp.asarray(buf), h_d, scale_d)
-            return vals, mask, n
+            vals_dev, mask_dev = self._get_slab_fn(n_pad)(latent, jnp.asarray(buf), h_d, scale_d)
+            mask = np.asarray(mask_dev)[:n]
+            idx = np.nonzero(mask)[0].astype(np.int32)
+            K = idx.shape[0]
+            if not K:
+                return None, abi[lo:hi][mask]
+            K_pad = -(-K // G) * G
+            ibuf = np.zeros(K_pad, np.int32)
+            ibuf[:K] = idx
+            rows = np.asarray(self._get_gather_fn(codec)(vals_dev, jnp.asarray(ibuf), q_d))[:K]
+            return rows, abi[lo:hi][mask]
 
         def it():
-            gather = self._get_gather_fn(codec)
-            pend_slab = dispatch_slab(*slabs[0])
-            for s, (lo, hi) in enumerate(slabs):
-                vals_dev, mask_dev, n = pend_slab
+            # dispatch EVERY slab up front: compaction happens on device, so
+            # the host never gates the device queue — the chip runs slabs
+            # back-to-back while the host streams results in order
+            pend = []
+            for lo, hi in slabs:
+                n = hi - lo
+                n_pad = -(-n // C) * C
+                # crossing/active runs ~0.4 for large active sets; small sets
+                # skip the cap entirely (bytes are cheap, overflow impossible)
+                if n_pad < self.compact_cap_min_blocks:
+                    cap = n_pad
+                else:
+                    cap = -(-int(n_pad * self.compact_cap_ratio) // G) * G
+                buf = np.zeros((n_pad, 3), np.int32)
+                buf[:n] = abi[lo:hi]
+                ic, packed = self._get_slab_compact_fn(n_pad, cap, codec)(
+                    latent, jnp.asarray(buf), jnp.int32(n), h_d, scale_d, q_d
+                )
+                pend.append((lo, hi, cap, ic, packed))
+            for lo, hi, cap, ic, packed in pend:
                 t0 = time.time()
-                mask = np.asarray(mask_dev)[:n]
+                icn = np.asarray(ic)
                 if stats is not None:
                     stats["t_mask"] = stats.get("t_mask", 0.0) + time.time() - t0
-                abi_x_s = abi[lo:hi][mask]
-                idx = np.nonzero(mask)[0].astype(np.int32)
-                K = idx.shape[0]
-                packed = None
-                if K:
-                    K_pad = -(-K // G) * G
-                    ibuf = np.zeros(K_pad, np.int32)
-                    ibuf[:K] = idx
-                    # one upload + one dispatch gathers the slab's crossing rows
-                    packed = gather(vals_dev, jnp.asarray(ibuf), q_d)
-                # queue the next slab's device work BEFORE fetching rows:
-                # the device evaluates slab s+1 while the host streams slab s
-                if s + 1 < len(slabs):
-                    pend_slab = dispatch_slab(*slabs[s + 1])
+                K = int(icn[0])
+                if K > cap:
+                    # rare: crossing fraction above the cap — exact re-run
+                    logging.debug("slab crossing overflow (%d > %d); exact fallback", K, cap)
+                    rows, abi_x_s = exact_slab(lo, hi)
+                    K = 0 if rows is None else rows.shape[0]
+                else:
+                    abi_x_s = abi[lo:hi][icn[1 : 1 + K]]
+                    t0 = time.time()
+                    rows = np.asarray(packed)[:K]
+                    if stats is not None:
+                        stats["t_fetch"] = stats.get("t_fetch", 0.0) + time.time() - t0
                 if stats is not None:
                     stats["crossing_blocks"] = stats.get("crossing_blocks", 0) + int(K)
                 if not K:
                     continue
-                t0 = time.time()
-                rows = np.asarray(packed)[:K]
-                if stats is not None:
-                    stats["t_fetch"] = stats.get("t_fetch", 0.0) + time.time() - t0
                 if codec == "int8":
                     vals = rows.astype(np.float32) * q
                 else:
-                    vals = rows.astype(np.float32)
+                    vals = rows.view(np.float16).astype(np.float32)
                 yield vals, abi_x_s
 
         return A, it()

@@ -161,3 +161,28 @@ def test_streaming_ply_spill_matches_memory(trained, tmp_path):  # noqa: F811
     ref = str(tmp_path / "posthoc.ply")
     save_ply(ref, verts, faces)
     assert open(ref, "rb").read() == open(out + ".ply", "rb").read()
+
+
+@needs_native
+def test_compact_cap_overflow_fallback(trained):  # noqa: F811
+    """A slab whose crossing count exceeds the device-side compaction cap
+    falls back to the exact two-phase path — the mesh must be identical to
+    an uncapped run."""
+    trainer, _ = trained
+    latent = trainer.state["lat"][2]
+    ev = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    ref = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=129, return_mesh=True,
+        evaluator=ev, value_codec="f16",
+    )
+    ev_capped = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    # force the capped path at test resolution, with cap=0 so that every
+    # slab overflows into the exact fallback
+    ev_capped.compact_cap_min_blocks = 0
+    ev_capped.compact_cap_ratio = 0.0
+    got = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=129, return_mesh=True,
+        evaluator=ev_capped, value_codec="f16",
+    )
+    np.testing.assert_array_equal(ref[0], got[0])
+    np.testing.assert_array_equal(ref[1], got[1])
