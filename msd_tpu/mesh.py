@@ -514,6 +514,124 @@ class PointEvaluator:
             self._block_fns["submask"] = sm
         return self._block_fns["submask"]
 
+    def _get_refine_fn(self, nb16: int, cap16: int, cap4: int):
+        """Fused two-level refinement in ONE device program: stride-16
+        prefilter lattice (coords generated on device), Lipschitz-active
+        superblocks compacted on device, their stride-4 sub-lattices
+        evaluated, and the active stride-4 block coordinates compacted to a
+        dense [cap4, 3] buffer. Replaces ~4 host round trips + two host
+        nonzero passes with one dispatch + one tiny count fetch
+        (counts > caps signal overflow; caller falls back to the two-phase
+        host path)."""
+        key = ("refine", nb16, cap16, cap4)
+        if key not in self._block_fns:
+            b = SPARSE_BLOCK
+            n1 = nb16 + 1
+            M = n1**3
+            M_pad = -(-M // self.tile) * self.tile
+            pts_per = (b + 1) ** 3
+            M2 = cap16 * pts_per
+            M2_pad = -(-M2 // self.tile) * self.tile
+            # static coordinate tables
+            ci = np.arange(n1, dtype=np.int32)
+            gx, gy, gz = np.meshgrid(ci[:-1], ci[:-1], ci[:-1], indexing="ij")
+            cell_coords = jnp.asarray(
+                np.stack([gx, gy, gz], axis=-1).reshape(-1, 3).astype(np.int32)
+            )  # [nb16^3, 3] superblock indices, row-major like np.nonzero
+            lat_idx = np.stack(
+                np.meshgrid(ci, ci, ci, indexing="ij"), axis=-1
+            ).reshape(-1, 3).astype(np.float32)
+            lat_pts = jnp.asarray(lat_idx)  # corner lattice in units of 16h
+            local = np.arange(b + 1)
+            lx, ly, lz = np.meshgrid(local, local, local, indexing="ij")
+            offs = jnp.asarray(np.stack([lx, ly, lz], axis=-1).reshape(-1, 3).astype(np.int32))
+            si = np.arange(b, dtype=np.int32)
+            sx, sy, sz = np.meshgrid(si, si, si, indexing="ij")
+            sub_offs = jnp.asarray(np.stack([sx, sy, sz], axis=-1).reshape(-1, 3).astype(np.int32))
+
+            def corner_active(v, diag):
+                """8-corner min-|v| / sign-change cell criterion."""
+                n = v.shape[1] - 1
+                cmin = jnp.full(v.shape[:1] + (n, n, n), jnp.inf)
+                s_any = jnp.zeros(v.shape[:1] + (n, n, n), bool)
+                s_all = jnp.ones(v.shape[:1] + (n, n, n), bool)
+                for dx in (0, 1):
+                    for dy in (0, 1):
+                        for dz in (0, 1):
+                            sub = v[:, dx : n + dx, dy : n + dy, dz : n + dz]
+                            cmin = jnp.minimum(cmin, jnp.abs(sub))
+                            neg = sub < 0
+                            s_any = s_any | neg
+                            s_all = s_all & neg
+                return (cmin < diag) | (s_any & ~s_all)
+
+            @jax.jit
+            def f(latent, h, diag16, diag4):
+                # ---- level 1: stride-16 corner lattice ----
+                xyz_t = jnp.zeros((3, M_pad), jnp.float32).at[:, :M].set(
+                    (lat_pts * (4.0 * b)).T * h - 1.0
+                )
+                v16 = self._eval_t(latent, xyz_t)[:M].astype(jnp.float32).reshape(1, n1, n1, n1)
+                act16 = corner_active(v16, diag16).reshape(-1)
+                count16 = jnp.sum(act16.astype(jnp.int32))
+                dest16 = jnp.minimum(jnp.where(act16, jnp.cumsum(act16) - 1, cap16), cap16)
+                abi16 = jnp.zeros((cap16 + 1, 3), jnp.int32).at[dest16].set(
+                    cell_coords, mode="drop"
+                )[:cap16]
+                # ---- level 2: stride-4 sub-lattices of active superblocks ----
+                fine = (abi16 * (4 * b))[:, None, :] + offs[None, :, :] * b
+                xyz2 = jnp.zeros((3, M2_pad), jnp.float32).at[:, :M2].set(
+                    fine.reshape(-1, 3).T.astype(jnp.float32) * h - 1.0
+                )
+                # f16 round-trip matches the two-phase host path, whose L2
+                # criterion reads the f16 block program's values
+                v4 = self._eval_t(latent, xyz2)[:M2].astype(jnp.float16).astype(jnp.float32)
+                v4 = v4.reshape(cap16, b + 1, b + 1, b + 1)
+                act4 = corner_active(v4, diag4).reshape(cap16, b * b * b)
+                act4 = act4 & (jnp.arange(cap16)[:, None] < count16)
+                abi4_all = (abi16 * 4)[:, None, :] + sub_offs[None, :, :]
+                flat = act4.reshape(-1)
+                count4 = jnp.sum(flat.astype(jnp.int32))
+                dest4 = jnp.minimum(jnp.where(flat, jnp.cumsum(flat) - 1, cap4), cap4)
+                abi4 = jnp.zeros((cap4 + 1, 3), jnp.int32).at[dest4].set(
+                    abi4_all.reshape(-1, 3), mode="drop"
+                )[:cap4]
+                return jnp.stack([count16, count4]), abi4
+
+            self._block_fns[key] = f
+        return self._block_fns[key]
+
+    def refine_active4_device(self, latent, N: int, safety: float, clamp_dist: float,
+                              cap16: int = 8192, cap4: int = 131072):
+        """Fused on-device two-level refinement. Returns (abi4 [A, 3] int64
+        host array, evaluated) matching ``_sparse_active4``'s two-level
+        output exactly (same row order), or None when the two-level
+        criterion doesn't hold at this N or a compaction cap overflows."""
+        b = SPARSE_BLOCK
+        h = 2.0 / (N - 1)
+        s3 = math.sqrt(3.0) / 2.0
+        nb4 = (N - 1) // b
+        if not ((N - 1) % (4 * b) == 0 and (4 * b) * h * s3 * safety < clamp_dist and nb4 % 4 == 0):
+            return None
+        nb16 = nb4 // 4
+        fn = self._get_refine_fn(nb16, cap16, cap4)
+        latent = jnp.asarray(latent).reshape(-1)
+        counts, abi4_dev = fn(
+            latent, jnp.float32(h),
+            jnp.float32((4 * b) * h * s3 * safety), jnp.float32(b * h * s3 * safety),
+        )
+        count16, count4 = (int(c) for c in np.asarray(counts))  # ONE tiny fetch
+        if count16 > cap16 or count4 > cap4:
+            logging.debug("device refine overflow (%d/%d, %d/%d)", count16, cap16, count4, cap4)
+            return None
+        if count4 == 0:
+            return np.zeros((0, 3), np.int64), (nb16 + 1) ** 3
+        # bucketed slice keeps fetched bytes ~= the real active set
+        A_pad = min(cap4, -(-count4 // 8192) * 8192)
+        abi4 = np.asarray(abi4_dev[:A_pad])[:count4].astype(np.int64)
+        evaluated = (nb16 + 1) ** 3 + count16 * (b + 1) ** 3
+        return abi4, evaluated
+
     def subblock_active(self, latent, abi: np.ndarray, N: int, scale: int, diag: float) -> np.ndarray:
         """[A, b, b, b] bool: active flags for the stride-``scale``/b
         sub-blocks of each superblock, computed on device."""
@@ -635,7 +753,14 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
 
     lib = load_native()
     t0 = time.time()
-    abi4, evaluated = _sparse_active4(latent, N, evaluator, safety, clamp_dist)
+    # fused on-device refinement when the two-level criterion holds (one
+    # dispatch + one tiny count fetch); falls back to the host two-phase
+    # path on cap overflow or small N
+    refined = evaluator.refine_active4_device(latent, N, safety, clamp_dist)
+    if refined is not None:
+        abi4, evaluated = refined
+    else:
+        abi4, evaluated = _sparse_active4(latent, N, evaluator, safety, clamp_dist)
     t_refine = time.time() - t0
     if abi4.shape[0] == 0:
         raise ValueError("Surface level must be within volume data range.")

@@ -186,3 +186,24 @@ def test_compact_cap_overflow_fallback(trained):  # noqa: F811
     )
     np.testing.assert_array_equal(ref[0], got[0])
     np.testing.assert_array_equal(ref[1], got[1])
+
+
+@needs_native
+def test_device_refine_matches_host(trained):  # noqa: F811
+    """The fused on-device two-level refinement returns exactly the host
+    path's active set (same rows, same order), and its overflow guard falls
+    back cleanly."""
+    trainer, _ = trained
+    latent = trainer.state["lat"][2]
+    ev = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    N = 513
+    host_abi4, host_ev = mesh_mod._sparse_active4(latent, N, ev, 1.3, 0.1)
+    dev = ev.refine_active4_device(latent, N, 1.3, 0.1)
+    assert dev is not None
+    dev_abi4, dev_ev = dev
+    np.testing.assert_array_equal(dev_abi4, host_abi4)
+    assert dev_ev == host_ev
+    # overflow in either level falls back to None
+    assert ev.refine_active4_device(latent, N, 1.3, 0.1, cap16=64) is None
+    # two-level criterion not met at small N -> None
+    assert ev.refine_active4_device(latent, 129, 1.3, 0.1) is None
