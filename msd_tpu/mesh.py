@@ -98,6 +98,7 @@ class PointEvaluator:
         self._fused = None
         self._block_fns = {}
         self._corner_fns = {}
+        self._fetch_pool = None
         if jax.default_backend() == "tpu":
             # Only unsupported-config errors fall back (xyz_in_all, VMEM
             # overflow, missing Pallas support); a genuine kernel regression
@@ -155,6 +156,30 @@ class PointEvaluator:
         if self.mesh is not None:
             return self._get_sharded_eval()(latent, xyz_t)[:n]
         return self._eval_t(latent, xyz_t)[:n]
+
+    def _pool(self):
+        """Shared fetch pool: the axon relay multiplexes device->host
+        streams, so N concurrent fetches sustain ~Nx the serial bandwidth
+        (measured 2.5 MB/s serial vs 13.6 MB/s with 4 streams on the same
+        link). All large D2H transfers split into parts fetched here."""
+        if self._fetch_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._fetch_pool = ThreadPoolExecutor(max_workers=6)
+        return self._fetch_pool
+
+    def fetch_parallel(self, dev_array, n_rows: int, part: int = 4096):
+        """Fetch dev_array[:ceil(n_rows/part)*part] as concurrent part
+        streams; returns the concatenated host array clipped to n_rows."""
+        if n_rows <= 0:
+            return np.asarray(dev_array[:0])
+        nparts = -(-n_rows // part)
+        if nparts <= 1:
+            return np.asarray(dev_array[:part])[:n_rows]
+        # slice on the dispatching thread (device ops), fetch on the pool
+        parts = [dev_array[i * part : (i + 1) * part] for i in range(nparts)]
+        futs = [self._pool().submit(np.asarray, p) for p in parts]
+        return np.concatenate([f.result() for f in futs], axis=0)[:n_rows]
 
     # ------------------------------------------------------------------
     # Device-side block evaluation. ONE compiled program for every grid
@@ -407,7 +432,10 @@ class PointEvaluator:
         def it():
             # dispatch EVERY slab up front: compaction happens on device, so
             # the host never gates the device queue — the chip runs slabs
-            # back-to-back while the host streams results in order
+            # back-to-back while the host streams results in order. The
+            # idx/count fetches also enqueue up front (they complete as each
+            # slab's eval lands), and value rows fetch as concurrent part
+            # streams (the relay multiplexes streams; see fetch_parallel).
             pend = []
             for lo, hi in slabs:
                 n = hi - lo
@@ -423,10 +451,10 @@ class PointEvaluator:
                 ic, packed = self._get_slab_compact_fn(n_pad, cap, codec)(
                     latent, jnp.asarray(buf), jnp.int32(n), h_d, scale_d, q_d
                 )
-                pend.append((lo, hi, cap, ic, packed))
-            for lo, hi, cap, ic, packed in pend:
+                pend.append((lo, hi, cap, self._pool().submit(np.asarray, ic), packed))
+            for lo, hi, cap, ic_fut, packed in pend:
                 t0 = time.time()
-                icn = np.asarray(ic)
+                icn = ic_fut.result()
                 if stats is not None:
                     stats["t_mask"] = stats.get("t_mask", 0.0) + time.time() - t0
                 K = int(icn[0])
@@ -438,7 +466,7 @@ class PointEvaluator:
                 else:
                     abi_x_s = abi[lo:hi][icn[1 : 1 + K]]
                     t0 = time.time()
-                    rows = np.asarray(packed)[:K]
+                    rows = self.fetch_parallel(packed, K)
                     if stats is not None:
                         stats["t_fetch"] = stats.get("t_fetch", 0.0) + time.time() - t0
                 if stats is not None:
@@ -626,9 +654,9 @@ class PointEvaluator:
             return None
         if count4 == 0:
             return np.zeros((0, 3), np.int64), (nb16 + 1) ** 3
-        # bucketed slice keeps fetched bytes ~= the real active set
-        A_pad = min(cap4, -(-count4 // 8192) * 8192)
-        abi4 = np.asarray(abi4_dev[:A_pad])[:count4].astype(np.int64)
+        # concurrent part streams keep fetched bytes ~= the real active set
+        # at the relay's multiplexed (not serial) bandwidth
+        abi4 = self.fetch_parallel(abi4_dev, count4, part=16384).astype(np.int64)
         evaluated = (nb16 + 1) ** 3 + count16 * (b + 1) ** 3
         return abi4, evaluated
 
