@@ -255,7 +255,7 @@ def main():
             filename=SCRATCH + "/msd_bench_mesh", N=N, return_mesh=True, evaluator=evaluator,
         )
         t_grid = min(t_grid, time.time() - t0)
-        if rep >= 2 and t_grid < 1.0:
+        if rep >= 2 and t_grid < 0.8:
             break
     n_eff = mesh_mod._snap_n(N)
     grid_qps_effective = n_eff**3 / t_grid
