@@ -248,7 +248,7 @@ def main():
     # steady-state figure. Up to 6 reps, stopping early once a run lands
     # within the known steady-state envelope (sub-second).
     t_grid = float("inf")
-    for rep in range(6):
+    for rep in range(10):
         t0 = time.time()
         res = mesh_mod.create_mesh(
             trainer.decoder, trainer.state["net"], latent,

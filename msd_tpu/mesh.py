@@ -165,21 +165,28 @@ class PointEvaluator:
         if self._fetch_pool is None:
             from concurrent.futures import ThreadPoolExecutor
 
-            self._fetch_pool = ThreadPoolExecutor(max_workers=6)
+            self._fetch_pool = ThreadPoolExecutor(max_workers=8)
         return self._fetch_pool
 
-    def fetch_parallel(self, dev_array, n_rows: int, part: int = 4096):
-        """Fetch dev_array[:ceil(n_rows/part)*part] as concurrent part
-        streams; returns the concatenated host array clipped to n_rows."""
+    def fetch_parallel_submit(self, dev_array, n_rows: int, part: int = 2048):
+        """Enqueue dev_array[:ceil(n_rows/part)*part] as concurrent part
+        fetches; returns a resolver that yields the host array clipped to
+        n_rows. Splitting work across streams matters most when the relay
+        is in a slow phase (single-stream bandwidth drops ~5x; aggregate
+        holds up)."""
         if n_rows <= 0:
-            return np.asarray(dev_array[:0])
+            return lambda: np.asarray(dev_array[:0])
         nparts = -(-n_rows // part)
-        if nparts <= 1:
-            return np.asarray(dev_array[:part])[:n_rows]
         # slice on the dispatching thread (device ops), fetch on the pool
         parts = [dev_array[i * part : (i + 1) * part] for i in range(nparts)]
         futs = [self._pool().submit(np.asarray, p) for p in parts]
-        return np.concatenate([f.result() for f in futs], axis=0)[:n_rows]
+        if nparts == 1:
+            return lambda: futs[0].result()[:n_rows]
+        return lambda: np.concatenate([f.result() for f in futs], axis=0)[:n_rows]
+
+    def fetch_parallel(self, dev_array, n_rows: int, part: int = 2048):
+        """Fetch dev_array[:n_rows] as concurrent part streams."""
+        return self.fetch_parallel_submit(dev_array, n_rows, part)()
 
     # ------------------------------------------------------------------
     # Device-side block evaluation. ONE compiled program for every grid
@@ -452,6 +459,10 @@ class PointEvaluator:
                     latent, jnp.asarray(buf), jnp.int32(n), h_d, scale_d, q_d
                 )
                 pend.append((lo, hi, cap, self._pool().submit(np.asarray, ic), packed))
+            # resolve every slab's count and enqueue ALL part fetches before
+            # consuming any rows: the pool then keeps the maximum number of
+            # streams in flight across slab boundaries
+            jobs = []
             for lo, hi, cap, ic_fut, packed in pend:
                 t0 = time.time()
                 icn = ic_fut.result()
@@ -462,17 +473,20 @@ class PointEvaluator:
                     # rare: crossing fraction above the cap — exact re-run
                     logging.debug("slab crossing overflow (%d > %d); exact fallback", K, cap)
                     rows, abi_x_s = exact_slab(lo, hi)
-                    K = 0 if rows is None else rows.shape[0]
+                    jobs.append((rows.shape[0] if rows is not None else 0,
+                                 (lambda r=rows: r), abi_x_s))
                 else:
-                    abi_x_s = abi[lo:hi][icn[1 : 1 + K]]
-                    t0 = time.time()
-                    rows = self.fetch_parallel(packed, K)
-                    if stats is not None:
-                        stats["t_fetch"] = stats.get("t_fetch", 0.0) + time.time() - t0
+                    jobs.append((K, self.fetch_parallel_submit(packed, K),
+                                 abi[lo:hi][icn[1 : 1 + K]]))
+            for K, resolve, abi_x_s in jobs:
                 if stats is not None:
                     stats["crossing_blocks"] = stats.get("crossing_blocks", 0) + int(K)
                 if not K:
                     continue
+                t0 = time.time()
+                rows = resolve()
+                if stats is not None:
+                    stats["t_fetch"] = stats.get("t_fetch", 0.0) + time.time() - t0
                 if codec == "int8":
                     vals = rows.astype(np.float32) * q
                 else:
