@@ -200,6 +200,9 @@ class PointEvaluator:
     # on overflow. Instance attrs so tests can force the overflow path.
     compact_cap_min_blocks = 24576
     compact_cap_ratio = 0.55
+    # "packed" codec magnitude budget per crossing block (the small-corner
+    # fraction runs ~0.45 of 125; 80 leaves headroom, overflow falls back)
+    packed_mag_bytes_per_block = 80
 
     def _get_block_fn(self):
         """One compiled program evaluates the (b+1)^3 lattice of stride-scale
@@ -320,6 +323,57 @@ class PointEvaluator:
                 # else (and overflow beyond cap) drops into a slop row
                 dest = jnp.where(mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, cap)
                 dest = jnp.minimum(dest, cap)
+                idx = jnp.zeros((cap + 1,), jnp.int32).at[dest].set(
+                    jnp.arange(n_blocks, dtype=jnp.int32), mode="drop"
+                )
+                if codec == "packed":
+                    # sign bitmap (16 B) + small-corner bitmap (16 B) + u8
+                    # magnitudes ONLY for |v| < thresh corners: ~88 B/block
+                    # on the wire vs 125 for int8, with a finer quantum
+                    # (q = thresh/255). Non-small corners decode to
+                    # sign*thresh — they never bound a crossing edge of a
+                    # ~1-Lipschitz field, so only their sign matters.
+                    rowsf = vals.astype(jnp.float32)
+                    thresh = q * 255.0
+                    w8 = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+
+                    def pack_bits(bits):
+                        bitsp = jnp.pad(bits, ((0, 0), (0, 128 - pts_per)))
+                        return jnp.sum(
+                            bitsp.reshape(-1, 16, 8).astype(jnp.uint8) * w8, axis=-1
+                        ).astype(jnp.uint8)
+
+                    sign_neg = rowsf < 0
+                    small = jnp.abs(rowsf) < thresh
+                    # nonzero values never round to 0, so decoded signs match
+                    # the f16 signs the crossing selection used
+                    magc = jnp.where(
+                        rowsf == 0, 0, jnp.clip(jnp.round(jnp.abs(rowsf) / q), 1, 255)
+                    ).astype(jnp.uint8)
+                    bitmaps_all = jnp.concatenate(
+                        [pack_bits(sign_neg), pack_bits(small)], axis=1
+                    )
+                    bitmaps = jnp.zeros((cap + 1, 32), jnp.uint8).at[dest].set(
+                        bitmaps_all, mode="drop"
+                    )[:cap]
+                    mag_rows = jnp.zeros((cap + 1, pts_per), jnp.uint8).at[dest].set(
+                        magc, mode="drop"
+                    )[:cap]
+                    small_rows = jnp.zeros((cap + 1, pts_per), bool).at[dest].set(
+                        small, mode="drop"
+                    )[:cap]
+                    capM = cap * self.packed_mag_bytes_per_block
+                    flat_small = small_rows.reshape(-1)
+                    mag_count = jnp.sum(flat_small.astype(jnp.int32))
+                    mdest = jnp.where(
+                        flat_small, jnp.cumsum(flat_small.astype(jnp.int32)) - 1, capM
+                    )
+                    mdest = jnp.minimum(mdest, capM)
+                    mags = jnp.zeros((capM + 1,), jnp.uint8).at[mdest].set(
+                        mag_rows.reshape(-1), mode="drop"
+                    )[:capM]
+                    ic = jnp.concatenate([count[None], mag_count[None], idx[:cap]])
+                    return ic, bitmaps, mags
                 if codec == "int8":
                     rows = vals.astype(jnp.float32)
                     mag = jnp.clip(jnp.round(jnp.abs(rows) / q), 1, 127)
@@ -328,9 +382,6 @@ class PointEvaluator:
                     code = vals.view(jnp.int8).reshape(n_blocks, 2 * pts_per)
                 packed = jnp.zeros((cap + 1, code.shape[1]), jnp.int8).at[dest].set(
                     code, mode="drop"
-                )
-                idx = jnp.zeros((cap + 1,), jnp.int32).at[dest].set(
-                    jnp.arange(n_blocks, dtype=jnp.int32), mode="drop"
                 )
                 idx_and_count = jnp.concatenate([count[None], idx[:cap]])
                 return idx_and_count, packed[:cap]
@@ -395,7 +446,11 @@ class PointEvaluator:
         h = 2.0 / (N - 1)
         h_d = jnp.float32(h)
         scale_d = jnp.int32(1)
-        q = np.float32(3.0 * h / 127.0)
+        if codec == "packed":
+            # finer quantum than int8 (thresh/255 = ~0.0098 h vs 0.024 h)
+            q = np.float32(2.5 * h / 255.0)
+        else:
+            q = np.float32(3.0 * h / 127.0)
         q_d = jnp.float32(q)
         C = self.A_CHUNK
         n_chunks = -(-A // C) if A else 0
@@ -433,7 +488,14 @@ class PointEvaluator:
             K_pad = -(-K // G) * G
             ibuf = np.zeros(K_pad, np.int32)
             ibuf[:K] = idx
-            rows = np.asarray(self._get_gather_fn(codec)(vals_dev, jnp.asarray(ibuf), q_d))[:K]
+            # "packed" has no gather program: fall back to the exact f16 rows
+            gcodec = "f16" if codec == "packed" else codec
+            rows = np.asarray(self._get_gather_fn(gcodec)(vals_dev, jnp.asarray(ibuf), q_d))[:K]
+            if gcodec == "f16":
+                rows = rows.view(np.float16) if rows.dtype == np.int8 else rows
+                rows = np.asarray(rows, np.float32)
+            else:
+                rows = rows.astype(np.float32) * q
             return rows, abi[lo:hi][mask]
 
         def it():
@@ -455,42 +517,64 @@ class PointEvaluator:
                     cap = -(-int(n_pad * self.compact_cap_ratio) // G) * G
                 buf = np.zeros((n_pad, 3), np.int32)
                 buf[:n] = abi[lo:hi]
-                ic, packed = self._get_slab_compact_fn(n_pad, cap, codec)(
+                out = self._get_slab_compact_fn(n_pad, cap, codec)(
                     latent, jnp.asarray(buf), jnp.int32(n), h_d, scale_d, q_d
                 )
-                pend.append((lo, hi, cap, self._pool().submit(np.asarray, ic), packed))
+                pend.append((lo, hi, cap, self._pool().submit(np.asarray, out[0]), out[1:]))
             # resolve every slab's count and enqueue ALL part fetches before
             # consuming any rows: the pool then keeps the maximum number of
-            # streams in flight across slab boundaries
+            # streams in flight across slab boundaries. Each job's resolver
+            # returns the final decoded f32 [K, 125] rows.
             jobs = []
-            for lo, hi, cap, ic_fut, packed in pend:
+            for lo, hi, cap, ic_fut, devs in pend:
                 t0 = time.time()
                 icn = ic_fut.result()
                 if stats is not None:
                     stats["t_mask"] = stats.get("t_mask", 0.0) + time.time() - t0
                 K = int(icn[0])
-                if K > cap:
-                    # rare: crossing fraction above the cap — exact re-run
-                    logging.debug("slab crossing overflow (%d > %d); exact fallback", K, cap)
+                overflow = K > cap
+                if codec == "packed" and not overflow:
+                    Km = int(icn[1])
+                    overflow = Km > cap * self.packed_mag_bytes_per_block
+                if overflow:
+                    # rare: crossing (or magnitude) fraction above the cap
+                    logging.debug("slab compaction overflow (K=%d cap=%d); exact fallback", K, cap)
                     rows, abi_x_s = exact_slab(lo, hi)
                     jobs.append((rows.shape[0] if rows is not None else 0,
                                  (lambda r=rows: r), abi_x_s))
+                elif codec == "packed":
+                    bitmaps_res = self.fetch_parallel_submit(devs[0], K)
+                    mags_res = self.fetch_parallel_submit(devs[1], Km, part=131072)
+
+                    def decode_packed(_b=bitmaps_res, _m=mags_res, _K=K, _Km=Km):
+                        bitmaps = _b()
+                        sign = np.unpackbits(
+                            np.ascontiguousarray(bitmaps[:, :16]), axis=1, bitorder="little"
+                        )[:, :125].astype(bool)
+                        small = np.unpackbits(
+                            np.ascontiguousarray(bitmaps[:, 16:]), axis=1, bitorder="little"
+                        )[:, :125].astype(bool)
+                        vals = np.full((_K, 125), q * np.float32(255.0), np.float32)
+                        vals[small] = _m().astype(np.float32) * q
+                        return np.where(sign, -vals, vals)
+
+                    jobs.append((K, decode_packed, abi[lo:hi][icn[2 : 2 + K]]))
                 else:
-                    jobs.append((K, self.fetch_parallel_submit(packed, K),
-                                 abi[lo:hi][icn[1 : 1 + K]]))
+                    rows_res = self.fetch_parallel_submit(devs[0], K)
+                    if codec == "int8":
+                        decode = lambda _r=rows_res: _r().astype(np.float32) * q
+                    else:
+                        decode = lambda _r=rows_res: _r().view(np.float16).astype(np.float32)
+                    jobs.append((K, decode, abi[lo:hi][icn[1 : 1 + K]]))
             for K, resolve, abi_x_s in jobs:
                 if stats is not None:
                     stats["crossing_blocks"] = stats.get("crossing_blocks", 0) + int(K)
                 if not K:
                     continue
                 t0 = time.time()
-                rows = resolve()
+                vals = resolve()
                 if stats is not None:
                     stats["t_fetch"] = stats.get("t_fetch", 0.0) + time.time() - t0
-                if codec == "int8":
-                    vals = rows.astype(np.float32) * q
-                else:
-                    vals = rows.view(np.float16).astype(np.float32)
                 yield vals, abi_x_s
 
         return A, it()
@@ -777,13 +861,15 @@ def _spill_tmp_base(ply_path: str) -> str:
     return os.path.join(scratch, f"msd_spill_{os.getpid()}_{os.path.basename(ply_path)}")
 
 
-def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size, value_codec="int8",
+def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size, value_codec="packed",
                            ply_path=None):
     """Hierarchical active-block discovery + streamed C++ marching
     tetrahedra. The active set is evaluated ONCE on device (values stay
     device-resident), the crossing mask crosses the relay as 1 bit/block,
     and only crossing-block values transfer — int8-encoded by default
-    (quantum ~0.024 voxel; ``value_codec="f16"`` restores the half-float
+    (default codec "packed": sign+small bitmaps + u8 magnitudes, quantum
+    ~0.0098 voxel; "int8" is the coarser single-byte stream and
+    ``value_codec="f16"`` restores the half-float
     stream). Host meshing runs in a worker thread overlapped with
     transfers (ctypes releases the GIL around mt_add_blocks, and relay
     transfers release it while blocked on IO)."""
@@ -1160,7 +1246,7 @@ def create_mesh(
     clamp_dist: float = 0.1,
     sparse_safety: float = 1.3,
     evaluator: Optional[PointEvaluator] = None,
-    value_codec: str = "int8",
+    value_codec: str = "packed",
     eval_dtype=None,
 ):
     """Latent -> SDF grid -> marching tetrahedra -> .ply

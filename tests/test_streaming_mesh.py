@@ -207,3 +207,47 @@ def test_device_refine_matches_host(trained):  # noqa: F811
     assert ev.refine_active4_device(latent, N, 1.3, 0.1, cap16=64) is None
     # two-level criterion not met at small N -> None
     assert ev.refine_active4_device(latent, 129, 1.3, 0.1) is None
+
+
+@needs_native
+def test_packed_codec_quality(trained):  # noqa: F811
+    """"packed" value codec (sign+small bitmaps + u8 magnitudes): vertices
+    stay on the zero surface within the (finer-than-int8) quantization
+    bound, the mesh stays watertight, and the topology matches f16."""
+    trainer, _ = trained
+    latent = trainer.state["lat"][2]
+    ev = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    N = 193
+    h = 2.0 / (N - 1)
+    pv, pf = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=N, return_mesh=True,
+        evaluator=ev, value_codec="f16",
+    )
+    qv, qf = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=N, return_mesh=True,
+        evaluator=ev, value_codec="packed",
+    )
+    from msd_tpu.models.deepsdf import decode_sdf
+
+    sub = qv[:: max(1, len(qv) // 4096)]
+    resid = np.abs(np.asarray(decode_sdf(trainer.decoder, trainer.state["net"],
+                                         trainer.state["lat"][2], sub)))
+    # quantum 2.5h/255 ~ 0.0098h; shallow/saturated edges amplify it a few x
+    # (still well under int8's 0.08h bound)
+    assert resid.max() < 0.06 * h, resid.max()
+    # same topology as f16 (sign pattern preserved by construction)
+    assert len(qf) == len(pf) and abs(len(qv) - len(pv)) <= max(3, 0.001 * len(pv))
+    edges = np.sort(np.concatenate([qf[:, [0, 1]], qf[:, [1, 2]], qf[:, [2, 0]]]), axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
+    # magnitude-budget overflow falls back exactly
+    ev2 = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    ev2.compact_cap_min_blocks = 0
+    ev2.packed_mag_bytes_per_block = 1  # force Km > capM
+    rv, rf = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=N, return_mesh=True,
+        evaluator=ev2, value_codec="packed",
+    )
+    # fallback is exact f16 -> identical to the f16 mesh
+    np.testing.assert_array_equal(rv, pv)
+    np.testing.assert_array_equal(rf, pf)
