@@ -543,8 +543,9 @@ class PointEvaluator:
                     jobs.append((rows.shape[0] if rows is not None else 0,
                                  (lambda r=rows: r), abi_x_s))
                 elif codec == "packed":
-                    bitmaps_res = self.fetch_parallel_submit(devs[0], K)
-                    mags_res = self.fetch_parallel_submit(devs[1], Km, part=131072)
+                    # 32 B/row -> bigger parts keep per-stream chunks ~256 KB
+                    bitmaps_res = self.fetch_parallel_submit(devs[0], K, part=8192)
+                    mags_res = self.fetch_parallel_submit(devs[1], Km, part=262144)
 
                     def decode_packed(_b=bitmaps_res, _m=mags_res, _K=K, _Km=Km):
                         bitmaps = _b()
