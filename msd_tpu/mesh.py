@@ -334,7 +334,6 @@ class PointEvaluator:
                     # sign*thresh — they never bound a crossing edge of a
                     # ~1-Lipschitz field, so only their sign matters.
                     rowsf = vals.astype(jnp.float32)
-                    thresh = q * 255.0
                     w8 = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
 
                     def pack_bits(bits):
@@ -344,12 +343,14 @@ class PointEvaluator:
                         ).astype(jnp.uint8)
 
                     sign_neg = rowsf < 0
-                    small = jnp.abs(rowsf) < thresh
                     # nonzero values never round to 0, so decoded signs match
                     # the f16 signs the crossing selection used
                     magc = jnp.where(
                         rowsf == 0, 0, jnp.clip(jnp.round(jnp.abs(rowsf) / q), 1, 255)
                     ).astype(jnp.uint8)
+                    # "small" is DEFINED as mag < 255 (saturation) so the
+                    # bitmap and the scattered magnitudes can never disagree
+                    small = magc < 255
                     bitmaps_all = jnp.concatenate(
                         [pack_bits(sign_neg), pack_bits(small)], axis=1
                     )
@@ -359,11 +360,10 @@ class PointEvaluator:
                     mag_rows = jnp.zeros((cap + 1, pts_per), jnp.uint8).at[dest].set(
                         magc, mode="drop"
                     )[:cap]
-                    small_rows = jnp.zeros((cap + 1, pts_per), bool).at[dest].set(
-                        small, mode="drop"
-                    )[:cap]
                     capM = cap * self.packed_mag_bytes_per_block
-                    flat_small = small_rows.reshape(-1)
+                    # unscattered padding rows are zeros (mag<255) — mask them
+                    valid_row = jnp.arange(cap) < count
+                    flat_small = ((mag_rows < 255) & valid_row[:, None]).reshape(-1)
                     mag_count = jnp.sum(flat_small.astype(jnp.int32))
                     mdest = jnp.where(
                         flat_small, jnp.cumsum(flat_small.astype(jnp.int32)) - 1, capM
