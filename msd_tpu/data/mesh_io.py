@@ -213,3 +213,41 @@ def save_mesh(path: str, vertices: np.ndarray, faces: np.ndarray):
         save_obj(path, vertices, faces)
     else:
         save_ply(path, vertices, faces)
+
+
+class NoMeshFileError(RuntimeError):
+    """No mesh file found in a shape directory (ref: deep_sdf/data.py:55-58)."""
+
+
+class MultipleMeshFileError(RuntimeError):
+    """More than one mesh file found (ref: deep_sdf/data.py:61-64)."""
+
+
+def find_mesh_in_directory(shape_dir: str) -> str:
+    """The single .obj under ``shape_dir`` (ref: deep_sdf/data.py:67-76)."""
+    import glob as _glob
+
+    mesh_filenames = list(_glob.iglob(shape_dir + "/**/*.obj")) + list(
+        _glob.iglob(shape_dir + "/*.obj")
+    )
+    if len(mesh_filenames) == 0:
+        raise NoMeshFileError()
+    if len(mesh_filenames) > 1:
+        raise MultipleMeshFileError()
+    return mesh_filenames[0]
+
+
+def get_surface_points(mesh_path: str, num_points: int = 2048, seed: int = 0) -> np.ndarray:
+    """[num_points, 3] float32 area-uniform surface samples of a mesh file
+    (ref: deep_sdf/data.py:139-152; returns numpy instead of a torch
+    tensor)."""
+    from msd_tpu.ops.sampling import sample_mesh_surface
+
+    verts, faces = load_mesh(mesh_path)
+    if faces is None:
+        raise ValueError(f"mesh has no faces: {mesh_path}")
+    (pts,) = sample_mesh_surface(
+        np.asarray(verts, np.float32), np.asarray(faces, np.int32), num_points,
+        rng=np.random.default_rng(seed),
+    )
+    return np.asarray(pts, np.float32)

@@ -1015,6 +1015,36 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
     return verts.astype(np.float32, copy=False), faces, ply_written
 
 
+def convert_sdf_samples_to_ply(
+    sdf_tensor,
+    voxel_grid_origin,
+    voxel_size,
+    ply_filename_out,
+    offset=None,
+    scale=None,
+) -> bool:
+    """[n, n, n] SDF grid -> marching tetrahedra -> .ply
+    (ref: deep_sdf/mesh.py:96-165; accepts numpy/jax/torch tensors, uses the
+    native marching-tets backend instead of skimage lewiner). Returns False
+    on an empty surface like the reference, True on success."""
+    sdf = np.asarray(sdf_tensor.numpy() if hasattr(sdf_tensor, "numpy") else sdf_tensor, np.float32)
+    try:
+        verts, faces = marching_tetrahedra(
+            sdf, level=0.0, spacing=(float(voxel_size),) * 3,
+            origin=tuple(float(o) for o in voxel_grid_origin),
+        )
+    except ValueError as e:
+        logging.error("[create_mesh] Caught marching cubes error: %s.", e)
+        return False
+    # apply the inverse normalization like the reference (:139-145)
+    if scale is not None:
+        verts = verts / scale
+    if offset is not None:
+        verts = verts - offset
+    save_ply(ply_filename_out, verts, faces)
+    return True
+
+
 _EVAL_CACHE: dict = {}
 
 

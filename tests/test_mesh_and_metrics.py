@@ -1,3 +1,5 @@
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -99,3 +101,51 @@ def test_bounding_cube_normalization(rng):
     offset, scale = bounding_cube_normalization(v)
     vn = (v + offset) * scale
     assert np.linalg.norm(vn, axis=1).max() <= 1.0 + 1e-6
+
+
+def test_convert_sdf_samples_to_ply(tmp_path):
+    """Public grid->ply helper (ref: deep_sdf/mesh.py:96-165)."""
+    from msd_tpu.data.mesh_io import load_ply
+    from msd_tpu.mesh import convert_sdf_samples_to_ply
+
+    N = 33
+    g = np.linspace(-1, 1, N)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    sdf = np.sqrt(x**2 + y**2 + z**2) - 0.5
+    out = str(tmp_path / "sphere.ply")
+    ok = convert_sdf_samples_to_ply(sdf.astype(np.float32), [-1, -1, -1], 2.0 / (N - 1), out)
+    assert ok and os.path.isfile(out)
+    v, f = load_ply(out)
+    r = np.linalg.norm(v, axis=1)
+    np.testing.assert_allclose(r.mean(), 0.5, atol=0.01)
+    # empty surface -> False, reference behavior
+    assert convert_sdf_samples_to_ply(np.ones((9, 9, 9), np.float32), [-1, -1, -1], 0.25,
+                                      str(tmp_path / "none.ply")) is False
+
+
+def test_find_mesh_and_surface_points(tmp_path):
+    """find_mesh_in_directory + get_surface_points (ref: deep_sdf/data.py)."""
+    import pytest as _pytest
+
+    from msd_tpu.data.mesh_io import (
+        MultipleMeshFileError, NoMeshFileError, find_mesh_in_directory,
+        get_surface_points, save_obj,
+    )
+
+    with _pytest.raises(NoMeshFileError):
+        find_mesh_in_directory(str(tmp_path))
+    g = np.linspace(-1, 1, 17)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    sdf = np.sqrt(x**2 + y**2 + z**2) - 0.6
+    from msd_tpu.ops.marching_cubes import marching_tetrahedra
+
+    v, f = marching_tetrahedra(sdf.astype(np.float32), level=0.0, spacing=(0.125,) * 3,
+                               origin=(-1.0, -1.0, -1.0))
+    save_obj(str(tmp_path / "a.obj"), v, f)
+    assert find_mesh_in_directory(str(tmp_path)).endswith("a.obj")
+    pts = get_surface_points(str(tmp_path / "a.obj"), num_points=512)
+    assert pts.shape == (512, 3)
+    np.testing.assert_allclose(np.linalg.norm(pts, axis=1).mean(), 0.6, atol=0.03)
+    save_obj(str(tmp_path / "b.obj"), v, f)
+    with _pytest.raises(MultipleMeshFileError):
+        find_mesh_in_directory(str(tmp_path))
