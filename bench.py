@@ -218,6 +218,48 @@ def main():
     latent = trainer.state["lat"][0]
     evaluator = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
 
+    # ---- Stage-2 step timing (VAE + SDF-consistency through the decoder,
+    # ref workload: train_MLP_VAE_deep_sdf.py flagship latent-mode config;
+    # step time is weight-agnostic so the freshly-trained Stage-1 latents
+    # serve as the teacher) ----
+    stage2_step_ms = None
+    try:
+        from msd_tpu.train.stage2 import Stage2Trainer
+
+        s2_specs = {
+            "Description": "bench-stage2",
+            "DataSource": "<in-memory>",
+            "TrainSplit": "<in-memory>",
+            "NetworkArch": specs["NetworkArch"],
+            "NetworkSpecs": specs["NetworkSpecs"],
+            "CodeLength": specs["CodeLength"],
+            "NumEpochs": 100,
+            "SnapshotFrequency": 100,
+            "AdditionalSnapshots": [],
+            "LearningRateSchedule": [
+                {"Type": "Step", "Initial": 0.0005, "Interval": 500, "Factor": 0.5},
+                {"Type": "Step", "Initial": 0.0005, "Interval": 500, "Factor": 0.5},
+            ],
+            "SamplesPerScene": specs["SamplesPerScene"],
+            "ScenesPerBatch": specs["ScenesPerBatch"],
+            "ClampingDistance": specs["ClampingDistance"],
+            "VAELatentDim": 16,
+            "VAEEncoderHiddenDims": [512, 512],
+            "VAEDecoderHiddenDims": [512, 512],
+            "GradientClipNorm": 1.0,
+        }
+        tr2 = Stage2Trainer(
+            "/tmp/msd_bench_s2", specs=s2_specs, dataset=dataset,
+            teacher_latents=np.asarray(trainer.state["lat"]),
+        )
+        tr2.train_epoch(1)  # warmup/compile
+        t0 = time.time()
+        for e in range(2, 7):
+            tr2.train_epoch(e)
+        stage2_step_ms = (time.time() - t0) / (5 * steps_per_epoch) * 1000.0
+    except Exception as exc:
+        print(f"stage2 bench skipped: {exc}", file=sys.stderr)
+
     # ---- raw fused kernel throughput ----
     raw_qps = None
     if evaluator.fused:
@@ -339,6 +381,7 @@ def main():
                 k: stats.get(k) for k in ("t_refine", "t_crossing", "t_stream", "t_finish", "t_ply")
             },
             "create_mesh256_seconds": round(t_mesh256, 3),
+            "stage2_step_ms": None if stage2_step_ms is None else round(stage2_step_ms, 1),
             "train_vs_reference_cpu_measured": (
                 None if not ref_train_cpu else round(train_qps / ref_train_cpu, 1)
             ),
