@@ -389,6 +389,23 @@ class PointEvaluator:
             self._block_fns[key] = f
         return self._block_fns[key]
 
+    def _get_slab_compact_dev_fn(self, n_pad: int, cap: int, codec: str):
+        """Device-sourced variant: the slab's block coordinates come from a
+        dynamic_slice of the (device-resident) refined active set instead of
+        a host upload — so streaming needs NO host copy of the active set on
+        its critical path (it downloads asynchronously for the mesher)."""
+        key = ("slab_compact_dev", n_pad, cap, codec)
+        if key not in self._block_fns:
+            inner = self._get_slab_compact_fn(n_pad, cap, codec)
+
+            @jax.jit
+            def f(latent, abi_dev, start, valid_n, h, scale, q):
+                abi_slab = jax.lax.dynamic_slice(abi_dev, (start, 0), (n_pad, 3))
+                return inner(latent, abi_slab, valid_n, h, scale, q)
+
+            self._block_fns[key] = f
+        return self._block_fns[key]
+
     def _get_gather_fn(self, codec: str):
         """jit: (vals_all [M, 125] f16, idx [C_CHUNK], q) -> encoded rows.
 
@@ -422,8 +439,9 @@ class PointEvaluator:
         return self._block_fns[key]
 
     def stream_crossing_values(
-        self, latent, abi: np.ndarray, N: int, codec: str = "int8",
+        self, latent, abi, N: int, codec: str = "int8",
         n_slabs: int | None = None, stats: dict | None = None,
+        abi_dev=None, abi_resolver=None, num_blocks: int | None = None,
     ):
         """Slab-pipelined streaming evaluation of the active set.
 
@@ -441,7 +459,7 @@ class PointEvaluator:
 
         Returns (max_blocks upper bound, iterator).
         """
-        A = abi.shape[0]
+        A = abi.shape[0] if abi is not None else int(num_blocks)
         latent = jnp.asarray(latent).reshape(-1)
         h = 2.0 / (N - 1)
         h_d = jnp.float32(h)
@@ -471,10 +489,19 @@ class PointEvaluator:
         # enough that only a handful of program shapes ever compile, fine
         # enough that padding waste stays under ~0.25 MB of int8 on the relay
         G = 2048
+        # with a device-resident active set the host copy resolves lazily
+        # (it's only needed for mesher bases, after all dispatches)
+        abi_box = {"abi": abi}
+
+        def get_abi():
+            if abi_box["abi"] is None:
+                abi_box["abi"] = abi_resolver()
+            return abi_box["abi"]
 
         def exact_slab(lo, hi):
             """Two-phase fallback for a cap overflow: eval + host mask fetch
             + indexed gather (exact, no cap)."""
+            abi = get_abi()
             n = hi - lo
             n_pad = -(-n // C) * C
             buf = np.zeros((n_pad, 3), np.int32)
@@ -515,11 +542,18 @@ class PointEvaluator:
                     cap = n_pad
                 else:
                     cap = -(-int(n_pad * self.compact_cap_ratio) // G) * G
-                buf = np.zeros((n_pad, 3), np.int32)
-                buf[:n] = abi[lo:hi]
-                out = self._get_slab_compact_fn(n_pad, cap, codec)(
-                    latent, jnp.asarray(buf), jnp.int32(n), h_d, scale_d, q_d
-                )
+                if abi_dev is not None and lo + n_pad <= abi_dev.shape[0]:
+                    # slab coordinates come straight from the device-resident
+                    # refined active set — no host round trip at all
+                    out = self._get_slab_compact_dev_fn(n_pad, cap, codec)(
+                        latent, abi_dev, jnp.int32(lo), jnp.int32(n), h_d, scale_d, q_d
+                    )
+                else:
+                    buf = np.zeros((n_pad, 3), np.int32)
+                    buf[:n] = get_abi()[lo:hi]
+                    out = self._get_slab_compact_fn(n_pad, cap, codec)(
+                        latent, jnp.asarray(buf), jnp.int32(n), h_d, scale_d, q_d
+                    )
                 pend.append((lo, hi, cap, self._pool().submit(np.asarray, out[0]), out[1:]))
             # resolve every slab's count and enqueue ALL part fetches before
             # consuming any rows: the pool then keeps the maximum number of
@@ -559,14 +593,14 @@ class PointEvaluator:
                         vals[small] = _m().astype(np.float32) * q
                         return np.where(sign, -vals, vals)
 
-                    jobs.append((K, decode_packed, abi[lo:hi][icn[2 : 2 + K]]))
+                    jobs.append((K, decode_packed, get_abi()[lo:hi][icn[2 : 2 + K]]))
                 else:
                     rows_res = self.fetch_parallel_submit(devs[0], K)
                     if codec == "int8":
                         decode = lambda _r=rows_res: _r().astype(np.float32) * q
                     else:
                         decode = lambda _r=rows_res: _r().view(np.float16).astype(np.float32)
-                    jobs.append((K, decode, abi[lo:hi][icn[1 : 1 + K]]))
+                    jobs.append((K, decode, get_abi()[lo:hi][icn[1 : 1 + K]]))
             for K, resolve, abi_x_s in jobs:
                 if stats is not None:
                     stats["crossing_blocks"] = stats.get("crossing_blocks", 0) + int(K)
@@ -729,11 +763,15 @@ class PointEvaluator:
         return self._block_fns[key]
 
     def refine_active4_device(self, latent, N: int, safety: float, clamp_dist: float,
-                              cap16: int = 8192, cap4: int = 131072):
+                              cap16: int = 8192, cap4: int = 131072, async_fetch: bool = False):
         """Fused on-device two-level refinement. Returns (abi4 [A, 3] int64
         host array, evaluated) matching ``_sparse_active4``'s two-level
         output exactly (same row order), or None when the two-level
-        criterion doesn't hold at this N or a compaction cap overflows."""
+        criterion doesn't hold at this N or a compaction cap overflows.
+
+        With ``async_fetch`` returns (abi4_resolver, count4, evaluated,
+        abi4_dev) instead: the host copy downloads on the fetch pool while
+        the caller dispatches device work against ``abi4_dev`` directly."""
         b = SPARSE_BLOCK
         h = 2.0 / (N - 1)
         s3 = math.sqrt(3.0) / 2.0
@@ -751,13 +789,18 @@ class PointEvaluator:
         if count16 > cap16 or count4 > cap4:
             logging.debug("device refine overflow (%d/%d, %d/%d)", count16, cap16, count4, cap4)
             return None
+        evaluated = (nb16 + 1) ** 3 + count16 * (b + 1) ** 3
         if count4 == 0:
-            return np.zeros((0, 3), np.int64), (nb16 + 1) ** 3
+            if async_fetch:
+                empty = np.zeros((0, 3), np.int64)
+                return (lambda: empty), 0, evaluated, abi4_dev
+            return np.zeros((0, 3), np.int64), evaluated
         # concurrent part streams keep fetched bytes ~= the real active set
         # at the relay's multiplexed (not serial) bandwidth
-        abi4 = self.fetch_parallel(abi4_dev, count4, part=16384).astype(np.int64)
-        evaluated = (nb16 + 1) ** 3 + count16 * (b + 1) ** 3
-        return abi4, evaluated
+        resolver = self.fetch_parallel_submit(abi4_dev, count4, part=16384)
+        if async_fetch:
+            return (lambda: resolver().astype(np.int64)), count4, evaluated, abi4_dev
+        return resolver().astype(np.int64), evaluated
 
     def subblock_active(self, latent, abi: np.ndarray, N: int, scale: int, diag: float) -> np.ndarray:
         """[A, b, b, b] bool: active flags for the stride-``scale``/b
@@ -883,15 +926,19 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
     lib = load_native()
     t0 = time.time()
     # fused on-device refinement when the two-level criterion holds (one
-    # dispatch + one tiny count fetch); falls back to the host two-phase
-    # path on cap overflow or small N
-    refined = evaluator.refine_active4_device(latent, N, safety, clamp_dist)
+    # dispatch + one tiny count fetch); the active set STAYS on device for
+    # the streaming slabs and its host copy (mesher bases) downloads
+    # asynchronously. Falls back to the host two-phase path on cap overflow
+    # or small N.
+    abi4 = abi4_dev = abi4_resolver = None
+    refined = evaluator.refine_active4_device(latent, N, safety, clamp_dist, async_fetch=True)
     if refined is not None:
-        abi4, evaluated = refined
+        abi4_resolver, A4, evaluated, abi4_dev = refined
     else:
         abi4, evaluated = _sparse_active4(latent, N, evaluator, safety, clamp_dist)
+        A4 = abi4.shape[0]
     t_refine = time.time() - t0
-    if abi4.shape[0] == 0:
+    if A4 == 0:
         raise ValueError("Surface level must be within volume data range.")
     # slab-pipelined eval of the active set: values stay on device, crossing
     # masks come back as 1 bit/block per slab, and only crossing rows are
@@ -899,11 +946,12 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
     # while the device evaluates the next slab
     stream_stats: dict = {}
     max_blocks, value_iter = evaluator.stream_crossing_values(
-        latent, abi4, N, codec=value_codec, stats=stream_stats
+        latent, abi4, N, codec=value_codec, stats=stream_stats,
+        abi_dev=abi4_dev, abi_resolver=abi4_resolver, num_blocks=A4,
     )
-    total_evals = evaluated + abi4.shape[0] * (SPARSE_BLOCK + 1) ** 3
+    total_evals = evaluated + A4 * (SPARSE_BLOCK + 1) ** 3
     LAST_STREAMING_STATS.update(
-        active_blocks=int(abi4.shape[0]),
+        active_blocks=int(A4),
         evaluated=int(total_evals),
         total=int(N**3),
         t_refine=round(t_refine, 3),
@@ -965,7 +1013,7 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
     LAST_STREAMING_STATS["t_fetch"] = round(stream_stats.get("t_fetch", 0.0), 3)
     logging.debug(
         "[create_mesh] streaming: %d active blocks, %d crossing, %d prefilter evals",
-        abi4.shape[0], crossing, evaluated,
+        A4, crossing, evaluated,
     )
     if crossing == 0:
         lib.mt_destroy(ctypes.c_void_p(handle))
