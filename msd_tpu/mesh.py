@@ -445,17 +445,20 @@ class PointEvaluator:
     ):
         """Slab-pipelined streaming evaluation of the active set.
 
-        The active set is processed in ``n_slabs`` slabs. Per slab: every
-        chunk's value evaluation is dispatched (values stay device-resident),
-        the per-block crossing mask is fetched in ONE transfer, and gathers
-        of the crossing rows are dispatched — then the NEXT slab's
-        evaluations are queued before the host starts fetching this slab's
-        rows, so the device computes slab s+1 while the host streams slab s
-        through the relay into the mesher.
+        The active set is processed in ``n_slabs`` slabs, EVERY slab
+        dispatched up front as one device program (eval + crossing filter +
+        on-device compaction of the encoded value rows) so the host never
+        gates the device queue. Crossing counts/indices stream back as the
+        programs land; value rows fetch as concurrent part streams (the
+        relay multiplexes streams). With ``abi_dev`` (+ ``abi_resolver`` /
+        ``num_blocks``) the slab coordinates are dynamic-sliced from the
+        device-resident refined active set and the host copy resolves
+        lazily (it is only needed for the mesher's base coordinates).
 
         Yields decoded (values f32 [n, 125], abi_rows [n, 3]) chunks.
-        ``stats`` (optional dict) receives ``crossing_blocks`` (accumulated)
-        and ``t_mask`` (total seconds blocked on mask fetches).
+        ``stats`` (optional dict) receives ``crossing_blocks`` (accumulated),
+        ``t_mask`` (seconds blocked on count/index fetches) and ``t_fetch``
+        (seconds blocked on value-row fetches).
 
         Returns (max_blocks upper bound, iterator).
         """
