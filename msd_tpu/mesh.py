@@ -765,6 +765,56 @@ class PointEvaluator:
             self._block_fns[key] = f
         return self._block_fns[key]
 
+    def _get_refine1_fn(self, nb4: int, cap4: int):
+        """Single-level variant of the fused refinement for resolutions
+        where the stride-16 prefilter bound doesn't fit the clamp band:
+        the full stride-4 corner lattice evaluates in one program and the
+        active blocks compact on device. Matches ``_sparse_active4``'s
+        single-level branch exactly (f32 criterion, same row order)."""
+        key = ("refine1", nb4, cap4)
+        if key not in self._block_fns:
+            b = SPARSE_BLOCK
+            n1 = nb4 + 1
+            M = n1**3
+            M_pad = -(-M // self.tile) * self.tile
+            ci = np.arange(n1, dtype=np.int32)
+            gx, gy, gz = np.meshgrid(ci[:-1], ci[:-1], ci[:-1], indexing="ij")
+            cell_coords = jnp.asarray(
+                np.stack([gx, gy, gz], axis=-1).reshape(-1, 3).astype(np.int32)
+            )
+            lat_pts = jnp.asarray(
+                np.stack(np.meshgrid(ci, ci, ci, indexing="ij"), axis=-1)
+                .reshape(-1, 3).astype(np.float32)
+            )
+
+            @jax.jit
+            def f(latent, h, diag4):
+                xyz_t = jnp.zeros((3, M_pad), jnp.float32).at[:, :M].set(
+                    (lat_pts * float(b)).T * h - 1.0
+                )
+                v = self._eval_t(latent, xyz_t)[:M].astype(jnp.float32).reshape(1, n1, n1, n1)
+                cmin = jnp.full((1, nb4, nb4, nb4), jnp.inf)
+                s_any = jnp.zeros((1, nb4, nb4, nb4), bool)
+                s_all = jnp.ones((1, nb4, nb4, nb4), bool)
+                for dx in (0, 1):
+                    for dy in (0, 1):
+                        for dz in (0, 1):
+                            sub = v[:, dx : nb4 + dx, dy : nb4 + dy, dz : nb4 + dz]
+                            cmin = jnp.minimum(cmin, jnp.abs(sub))
+                            neg = sub < 0
+                            s_any = s_any | neg
+                            s_all = s_all & neg
+                act = ((cmin < diag4) | (s_any & ~s_all)).reshape(-1)
+                count = jnp.sum(act.astype(jnp.int32))
+                dest = jnp.minimum(jnp.where(act, jnp.cumsum(act) - 1, cap4), cap4)
+                abi4 = jnp.zeros((cap4 + 1, 3), jnp.int32).at[dest].set(
+                    cell_coords, mode="drop"
+                )[:cap4]
+                return count[None], abi4
+
+            self._block_fns[key] = f
+        return self._block_fns[key]
+
     def refine_active4_device(self, latent, N: int, safety: float, clamp_dist: float,
                               cap16: int = 8192, cap4: int = 131072, async_fetch: bool = False):
         """Fused on-device two-level refinement. Returns (abi4 [A, 3] int64
@@ -778,21 +828,33 @@ class PointEvaluator:
         b = SPARSE_BLOCK
         h = 2.0 / (N - 1)
         s3 = math.sqrt(3.0) / 2.0
+        if (N - 1) % b != 0 or b * h * s3 * safety >= clamp_dist:
+            return None
         nb4 = (N - 1) // b
-        if not ((N - 1) % (4 * b) == 0 and (4 * b) * h * s3 * safety < clamp_dist and nb4 % 4 == 0):
-            return None
-        nb16 = nb4 // 4
-        fn = self._get_refine_fn(nb16, cap16, cap4)
         latent = jnp.asarray(latent).reshape(-1)
-        counts, abi4_dev = fn(
-            latent, jnp.float32(h),
-            jnp.float32((4 * b) * h * s3 * safety), jnp.float32(b * h * s3 * safety),
-        )
-        count16, count4 = (int(c) for c in np.asarray(counts))  # ONE tiny fetch
-        if count16 > cap16 or count4 > cap4:
-            logging.debug("device refine overflow (%d/%d, %d/%d)", count16, cap16, count4, cap4)
-            return None
-        evaluated = (nb16 + 1) ** 3 + count16 * (b + 1) ** 3
+        two_level = (N - 1) % (4 * b) == 0 and (4 * b) * h * s3 * safety < clamp_dist and nb4 % 4 == 0
+        if two_level:
+            nb16 = nb4 // 4
+            fn = self._get_refine_fn(nb16, cap16, cap4)
+            counts, abi4_dev = fn(
+                latent, jnp.float32(h),
+                jnp.float32((4 * b) * h * s3 * safety), jnp.float32(b * h * s3 * safety),
+            )
+            count16, count4 = (int(c) for c in np.asarray(counts))  # ONE tiny fetch
+            if count16 > cap16 or count4 > cap4:
+                logging.debug("device refine overflow (%d/%d, %d/%d)", count16, cap16, count4, cap4)
+                return None
+            evaluated = (nb16 + 1) ** 3 + count16 * (b + 1) ** 3
+        else:
+            # single level: the full stride-b corner lattice in one program
+            cap4 = min(nb4**3, cap4 // 2)
+            fn = self._get_refine1_fn(nb4, cap4)
+            counts, abi4_dev = fn(latent, jnp.float32(h), jnp.float32(b * h * s3 * safety))
+            count4 = int(np.asarray(counts)[0])  # ONE tiny fetch
+            if count4 > cap4:
+                logging.debug("device refine1 overflow (%d/%d)", count4, cap4)
+                return None
+            evaluated = (nb4 + 1) ** 3
         if count4 == 0:
             if async_fetch:
                 empty = np.zeros((0, 3), np.int64)

@@ -205,8 +205,15 @@ def test_device_refine_matches_host(trained):  # noqa: F811
     assert dev_ev == host_ev
     # overflow in either level falls back to None
     assert ev.refine_active4_device(latent, N, 1.3, 0.1, cap16=64) is None
-    # two-level criterion not met at small N -> None
-    assert ev.refine_active4_device(latent, 129, 1.3, 0.1) is None
+    # small N: the single-level device program, exact parity with the host
+    # single-level branch
+    h_abi4, h_ev = mesh_mod._sparse_active4(latent, 129, ev, 1.3, 0.1)
+    d1 = ev.refine_active4_device(latent, 129, 1.3, 0.1)
+    assert d1 is not None
+    np.testing.assert_array_equal(d1[0], h_abi4)
+    assert d1[1] == h_ev
+    # sparse criterion not met at all -> None
+    assert ev.refine_active4_device(latent, 129, 1.3, 0.01) is None
 
 
 @needs_native
