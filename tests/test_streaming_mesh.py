@@ -40,7 +40,7 @@ def test_streaming_matches_sparse(trained, tmp_path):  # noqa: F811
     _, counts = np.unique(edges, axis=0, return_counts=True)
     assert (counts == 2).all()
 
-    # int8 value codec (the default): vertices may slide tangentially on
+    # int8 value codec: vertices may slide tangentially on
     # shallow edges (ill-conditioned t), but must stay ON the zero surface:
     # the decoded-field residual at each vertex is bounded by half the
     # quantization step, and the mesh stays watertight (the global linear
@@ -258,3 +258,16 @@ def test_packed_codec_quality(trained):  # noqa: F811
     # fallback is exact f16 -> identical to the f16 mesh
     np.testing.assert_array_equal(rv, pv)
     np.testing.assert_array_equal(rf, pf)
+
+
+def test_fetch_parallel_parts(trained):  # noqa: F811
+    """fetch_parallel returns exactly dev[:n] for part boundaries around n."""
+    import jax.numpy as jnp
+
+    trainer, _ = trained
+    ev = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    data = np.arange(10000 * 4, dtype=np.int32).reshape(10000, 4)
+    dev = jnp.asarray(data)
+    for n in (0, 1, 2048, 2049, 4096, 9999, 10000):
+        out = ev.fetch_parallel(dev, n, part=2048)
+        np.testing.assert_array_equal(out, data[:n])
