@@ -168,6 +168,15 @@ class PointEvaluator:
             self._fetch_pool = ThreadPoolExecutor(max_workers=8)
         return self._fetch_pool
 
+    def _decode_pool(self):
+        """Separate (small) pool for host-side row decoding, so decode tasks
+        can block on fetch futures without starving the fetch pool."""
+        if getattr(self, "_decode_pool_obj", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._decode_pool_obj = ThreadPoolExecutor(max_workers=2)
+        return self._decode_pool_obj
+
     def fetch_parallel_submit(self, dev_array, n_rows: int, part: int = 2048):
         """Enqueue dev_array[:ceil(n_rows/part)*part] as concurrent part
         fetches; returns a resolver that yields the host array clipped to
@@ -482,10 +491,16 @@ class PointEvaluator:
             # relay) and buys overlap of ~1/n of the eval compute;
             # MSD_STREAM_SLABS overrides for tuning/measurement
             n_slabs = min(int(os.environ.get("MSD_STREAM_SLABS", 3)), n_chunks)
-        bounds = np.linspace(0, A, n_slabs + 1).astype(int)
+        if n_slabs > 1 and A > 3 * C:
+            # ramped: a small first slab lands its program (and so the first
+            # fetches) ~2x sooner; the rest split evenly
+            rest = np.linspace(C, A, n_slabs).astype(int)
+            bounds = np.concatenate([[0], rest])
+        else:
+            bounds = np.linspace(0, A, n_slabs + 1).astype(int)
         slabs = [
             (int(bounds[s]), int(bounds[s + 1]))
-            for s in range(n_slabs)
+            for s in range(len(bounds) - 1)
             if bounds[s] < bounds[s + 1]
         ]
         # compacted/gathered rows are padded to this granularity: coarse
@@ -596,14 +611,16 @@ class PointEvaluator:
                         vals[small] = _m().astype(np.float32) * q
                         return np.where(sign, -vals, vals)
 
-                    jobs.append((K, decode_packed, get_abi()[lo:hi][icn[2 : 2 + K]]))
+                    jobs.append((K, self._decode_pool().submit(decode_packed).result,
+                                 get_abi()[lo:hi][icn[2 : 2 + K]]))
                 else:
                     rows_res = self.fetch_parallel_submit(devs[0], K)
                     if codec == "int8":
                         decode = lambda _r=rows_res: _r().astype(np.float32) * q
                     else:
                         decode = lambda _r=rows_res: _r().view(np.float16).astype(np.float32)
-                    jobs.append((K, decode, get_abi()[lo:hi][icn[1 : 1 + K]]))
+                    jobs.append((K, self._decode_pool().submit(decode).result,
+                                 get_abi()[lo:hi][icn[1 : 1 + K]]))
             for K, resolve, abi_x_s in jobs:
                 if stats is not None:
                     stats["crossing_blocks"] = stats.get("crossing_blocks", 0) + int(K)
