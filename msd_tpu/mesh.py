@@ -296,86 +296,44 @@ class PointEvaluator:
             self._block_fns[key] = f
         return self._block_fns[key]
 
-    # survivors of the stride-2 prebound among active blocks (~0.5 for the
-    # flagship shell; headroom + overflow fallback like the other caps)
-    prebound_cap_ratio = 0.68
-
-    def _get_slab_compact_fn(self, n_blocks: int, cap: int, codec: str, cap_s: int):
+    def _get_slab_compact_fn(self, n_blocks: int, cap: int, codec: str):
         """Eval + crossing filter + ON-DEVICE compaction in one program.
 
-        Two eval stages: a stride-2 prebound (27 points/block) first proves
-        most non-crossing active blocks cannot contain the surface — a
-        1-Lipschitz clamped field crossing anywhere in the block must dip
-        below sqrt(3)*h*safety at some stride-2 lattice point — and only the
-        surviving blocks (compacted on device to [cap_s]) evaluate the full
-        (b+1)^3 lattice. Crossing rows then scatter into a dense [cap, 125]
-        buffer, so the host never sits in the dependency chain: every slab
-        is dispatched up front and the device runs back-to-back while the
-        host streams results. The pruning is exact: pruned blocks are
-        provably non-crossing and would have produced no geometry.
-
-        Returns (ic [cap+3] i32, packed): ic[0]=crossing count, ic[1]=packed
-        magnitude count (0 for other codecs), ic[2]=prebound survivor count
-        (either count above its cap signals overflow; the caller falls back
-        to the exact two-phase path), ic[3:3+count]=crossing-row positions
-        within the slab.
+        Evaluates the (b+1)^3 lattice of ``n_blocks`` blocks, selects the
+        sign-crossing blocks, and scatters their encoded value rows into a
+        dense [cap, 125] buffer — so the host never sits in the dependency
+        chain (no mask fetch, no index upload): every slab is dispatched up
+        front and the device runs back-to-back while the host streams
+        results. Returns (idx_and_count [cap+1] i32, packed [cap, 125]):
+        idx_and_count[0] is the crossing count (> cap signals overflow; the
+        caller falls back to the exact two-phase path for that slab),
+        idx_and_count[1:1+count] are crossing-row positions within the slab.
         """
-        key = ("slab_compact", n_blocks, cap, codec, cap_s)
+        key = ("slab_compact", n_blocks, cap, codec)
         if key not in self._block_fns:
             bsz = SPARSE_BLOCK
             pts_per = (bsz + 1) ** 3
-            M1 = n_blocks * 27
-            M1_pad = -(-M1 // self.tile) * self.tile
-            M2 = cap_s * pts_per
-            M2_pad = -(-M2 // self.tile) * self.tile
+            assert (n_blocks * pts_per) % self.tile == 0
             local = np.arange(bsz + 1)
             lx, ly, lz = np.meshgrid(local, local, local, indexing="ij")
             offs = jnp.asarray(np.stack([lx, ly, lz], axis=-1).reshape(-1, 3).astype(np.int32))
-            l2 = np.arange(0, bsz + 1, 2)
-            gx, gy, gz = np.meshgrid(l2, l2, l2, indexing="ij")
-            offs2 = jnp.asarray(np.stack([gx, gy, gz], axis=-1).reshape(-1, 3).astype(np.int32))
 
             @jax.jit
-            def f(latent, abi_slab, valid_n, h, scale, q, t2):
-                # ---- stage A: stride-2 prebound ----
-                fine2 = (abi_slab * (bsz * scale))[:, None, :] + offs2[None, :, :] * scale
-                xyz2 = jnp.zeros((3, M1_pad), jnp.float32).at[:, :M1].set(
-                    fine2.reshape(-1, 3).T.astype(jnp.float32) * h - 1.0
-                )
-                v27 = self._eval_t(latent, xyz2)[:M1].astype(jnp.float32).reshape(n_blocks, 27)
-                neg27 = v27 < 0
-                maybe = (
-                    (jnp.any(neg27, axis=1) & ~jnp.all(neg27, axis=1))
-                    | (jnp.min(jnp.abs(v27), axis=1) < t2 * scale)
-                )
-                # bucket-padding rows repeat block (0,0,0) — exclude them
-                maybe = maybe & (jnp.arange(n_blocks) < valid_n)
-                count_s = jnp.sum(maybe.astype(jnp.int32))
-                dest_s = jnp.minimum(
-                    jnp.where(maybe, jnp.cumsum(maybe.astype(jnp.int32)) - 1, cap_s), cap_s
-                )
-                surv_idx = jnp.zeros((cap_s + 1,), jnp.int32).at[dest_s].set(
-                    jnp.arange(n_blocks, dtype=jnp.int32), mode="drop"
-                )[:cap_s]
-                abi_surv = jnp.zeros((cap_s + 1, 3), jnp.int32).at[dest_s].set(
-                    abi_slab, mode="drop"
-                )[:cap_s]
-                # ---- stage B: full lattice for the survivors ----
-                fine = (abi_surv * (bsz * scale))[:, None, :] + offs[None, :, :] * scale
-                xyz_t = jnp.zeros((3, M2_pad), jnp.float32).at[:, :M2].set(
-                    fine.reshape(-1, 3).T.astype(jnp.float32) * h - 1.0
-                )
-                vals = self._eval_t(latent, xyz_t)[:M2].reshape(cap_s, pts_per).astype(jnp.float16)
+            def f(latent, abi_slab, valid_n, h, scale, q):
+                fine = (abi_slab * (bsz * scale))[:, None, :] + offs[None, :, :] * scale
+                xyz_t = fine.reshape(-1, 3).T.astype(jnp.float32) * h - 1.0
+                vals = self._eval_t(latent, xyz_t).reshape(n_blocks, pts_per).astype(jnp.float16)
                 neg = vals < 0
                 mask = jnp.any(neg, axis=1) & ~jnp.all(neg, axis=1)
-                mask = mask & (jnp.arange(cap_s) < count_s)
+                # bucket-padding rows repeat block (0,0,0) — exclude them
+                mask = mask & (jnp.arange(n_blocks) < valid_n)
                 count = jnp.sum(mask.astype(jnp.int32))
                 # crossing rows scatter to a contiguous prefix; everything
                 # else (and overflow beyond cap) drops into a slop row
                 dest = jnp.where(mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, cap)
                 dest = jnp.minimum(dest, cap)
                 idx = jnp.zeros((cap + 1,), jnp.int32).at[dest].set(
-                    surv_idx, mode="drop"
+                    jnp.arange(n_blocks, dtype=jnp.int32), mode="drop"
                 )
                 if codec == "packed":
                     # sign bitmap (16 B) + small-corner bitmap (16 B) + u8
@@ -423,39 +381,36 @@ class PointEvaluator:
                     mags = jnp.zeros((capM + 1,), jnp.uint8).at[mdest].set(
                         mag_rows.reshape(-1), mode="drop"
                     )[:capM]
-                    ic = jnp.concatenate(
-                        [count[None], mag_count[None], count_s[None], idx[:cap]]
-                    )
+                    ic = jnp.concatenate([count[None], mag_count[None], idx[:cap]])
                     return ic, bitmaps, mags
                 if codec == "int8":
                     rows = vals.astype(jnp.float32)
                     mag = jnp.clip(jnp.round(jnp.abs(rows) / q), 1, 127)
                     code = jnp.where(rows == 0, 0.0, jnp.sign(rows) * mag).astype(jnp.int8)
                 else:
-                    code = vals.view(jnp.int8).reshape(cap_s, 2 * pts_per)
+                    code = vals.view(jnp.int8).reshape(n_blocks, 2 * pts_per)
                 packed = jnp.zeros((cap + 1, code.shape[1]), jnp.int8).at[dest].set(
                     code, mode="drop"
                 )
-                zero = jnp.zeros((1,), jnp.int32)
-                idx_and_count = jnp.concatenate([count[None], zero, count_s[None], idx[:cap]])
+                idx_and_count = jnp.concatenate([count[None], idx[:cap]])
                 return idx_and_count, packed[:cap]
 
             self._block_fns[key] = f
         return self._block_fns[key]
 
-    def _get_slab_compact_dev_fn(self, n_pad: int, cap: int, codec: str, cap_s: int):
+    def _get_slab_compact_dev_fn(self, n_pad: int, cap: int, codec: str):
         """Device-sourced variant: the slab's block coordinates come from a
         dynamic_slice of the (device-resident) refined active set instead of
         a host upload — so streaming needs NO host copy of the active set on
         its critical path (it downloads asynchronously for the mesher)."""
-        key = ("slab_compact_dev", n_pad, cap, codec, cap_s)
+        key = ("slab_compact_dev", n_pad, cap, codec)
         if key not in self._block_fns:
-            inner = self._get_slab_compact_fn(n_pad, cap, codec, cap_s)
+            inner = self._get_slab_compact_fn(n_pad, cap, codec)
 
             @jax.jit
-            def f(latent, abi_dev, start, valid_n, h, scale, q, t2):
+            def f(latent, abi_dev, start, valid_n, h, scale, q):
                 abi_slab = jax.lax.dynamic_slice(abi_dev, (start, 0), (n_pad, 3))
-                return inner(latent, abi_slab, valid_n, h, scale, q, t2)
+                return inner(latent, abi_slab, valid_n, h, scale, q)
 
             self._block_fns[key] = f
         return self._block_fns[key]
@@ -496,7 +451,6 @@ class PointEvaluator:
         self, latent, abi, N: int, codec: str = "int8",
         n_slabs: int | None = None, stats: dict | None = None,
         abi_dev=None, abi_resolver=None, num_blocks: int | None = None,
-        safety: float = 1.3,
     ):
         """Slab-pipelined streaming evaluation of the active set.
 
@@ -528,7 +482,6 @@ class PointEvaluator:
         else:
             q = np.float32(3.0 * h / 127.0)
         q_d = jnp.float32(q)
-        t2_d = jnp.float32(math.sqrt(3.0) * h * safety)
         C = self.A_CHUNK
         n_chunks = -(-A // C) if A else 0
         if n_chunks == 0:
@@ -605,39 +558,33 @@ class PointEvaluator:
                 # skip the cap entirely (bytes are cheap, overflow impossible)
                 if n_pad < self.compact_cap_min_blocks:
                     cap = n_pad
-                    cap_s = n_pad
                 else:
                     cap = -(-int(n_pad * self.compact_cap_ratio) // G) * G
-                    cap_s = -(-int(n_pad * self.prebound_cap_ratio) // G) * G
                 if abi_dev is not None and lo + n_pad <= abi_dev.shape[0]:
                     # slab coordinates come straight from the device-resident
                     # refined active set — no host round trip at all
-                    out = self._get_slab_compact_dev_fn(n_pad, cap, codec, cap_s)(
-                        latent, abi_dev, jnp.int32(lo), jnp.int32(n), h_d, scale_d, q_d, t2_d
+                    out = self._get_slab_compact_dev_fn(n_pad, cap, codec)(
+                        latent, abi_dev, jnp.int32(lo), jnp.int32(n), h_d, scale_d, q_d
                     )
                 else:
                     buf = np.zeros((n_pad, 3), np.int32)
                     buf[:n] = get_abi()[lo:hi]
-                    out = self._get_slab_compact_fn(n_pad, cap, codec, cap_s)(
-                        latent, jnp.asarray(buf), jnp.int32(n), h_d, scale_d, q_d, t2_d
+                    out = self._get_slab_compact_fn(n_pad, cap, codec)(
+                        latent, jnp.asarray(buf), jnp.int32(n), h_d, scale_d, q_d
                     )
-                pend.append((lo, hi, cap, cap_s, self._pool().submit(np.asarray, out[0]), out[1:]))
+                pend.append((lo, hi, cap, self._pool().submit(np.asarray, out[0]), out[1:]))
             # resolve every slab's count and enqueue ALL part fetches before
             # consuming any rows: the pool then keeps the maximum number of
             # streams in flight across slab boundaries. Each job's resolver
             # returns the final decoded f32 [K, 125] rows.
             jobs = []
-            for lo, hi, cap, cap_s, ic_fut, devs in pend:
+            for lo, hi, cap, ic_fut, devs in pend:
                 t0 = time.time()
                 icn = ic_fut.result()
                 if stats is not None:
                     stats["t_mask"] = stats.get("t_mask", 0.0) + time.time() - t0
                 K = int(icn[0])
-                if stats is not None:
-                    stats["prebound_survivors"] = (
-                        stats.get("prebound_survivors", 0) + int(icn[2])
-                    )
-                overflow = K > cap or int(icn[2]) > cap_s
+                overflow = K > cap
                 if codec == "packed" and not overflow:
                     Km = int(icn[1])
                     overflow = Km > cap * self.packed_mag_bytes_per_block
@@ -665,7 +612,7 @@ class PointEvaluator:
                         return np.where(sign, -vals, vals)
 
                     jobs.append((K, self._decode_pool().submit(decode_packed).result,
-                                 get_abi()[lo:hi][icn[3 : 3 + K]]))
+                                 get_abi()[lo:hi][icn[2 : 2 + K]]))
                 else:
                     rows_res = self.fetch_parallel_submit(devs[0], K)
                     if codec == "int8":
@@ -673,7 +620,7 @@ class PointEvaluator:
                     else:
                         decode = lambda _r=rows_res: _r().view(np.float16).astype(np.float32)
                     jobs.append((K, self._decode_pool().submit(decode).result,
-                                 get_abi()[lo:hi][icn[3 : 3 + K]]))
+                                 get_abi()[lo:hi][icn[1 : 1 + K]]))
             for K, resolve, abi_x_s in jobs:
                 if stats is not None:
                     stats["crossing_blocks"] = stats.get("crossing_blocks", 0) + int(K)
@@ -1083,7 +1030,6 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
     max_blocks, value_iter = evaluator.stream_crossing_values(
         latent, abi4, N, codec=value_codec, stats=stream_stats,
         abi_dev=abi4_dev, abi_resolver=abi4_resolver, num_blocks=A4,
-        safety=safety,
     )
     total_evals = evaluated + A4 * (SPARSE_BLOCK + 1) ** 3
     LAST_STREAMING_STATS.update(
@@ -1147,7 +1093,6 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
     LAST_STREAMING_STATS["crossing_blocks"] = crossing
     LAST_STREAMING_STATS["t_crossing"] = round(stream_stats.get("t_mask", 0.0), 3)
     LAST_STREAMING_STATS["t_fetch"] = round(stream_stats.get("t_fetch", 0.0), 3)
-    LAST_STREAMING_STATS["prebound_survivors"] = int(stream_stats.get("prebound_survivors", 0))
     logging.debug(
         "[create_mesh] streaming: %d active blocks, %d crossing, %d prefilter evals",
         A4, crossing, evaluated,

@@ -271,21 +271,3 @@ def test_fetch_parallel_parts(trained):  # noqa: F811
     for n in (0, 1, 2048, 2049, 4096, 9999, 10000):
         out = ev.fetch_parallel(dev, n, part=2048)
         np.testing.assert_array_equal(out, data[:n])
-
-
-@needs_native
-def test_prebound_prunes_and_mesh_exact(trained):  # noqa: F811
-    """The stride-2 prebound must prune some non-crossing active blocks
-    (survivors < active) while keeping every crossing block (survivors >=
-    crossing) — the mesh is already asserted identical elsewhere."""
-    trainer, _ = trained
-    latent = trainer.state["lat"][2]
-    ev = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
-    res = mesh_mod.create_mesh(
-        trainer.decoder, trainer.state["net"], latent, N=193, return_mesh=True,
-        evaluator=ev, value_codec="f16",
-    )
-    assert res is not None and res is not False
-    st = mesh_mod.LAST_STREAMING_STATS
-    assert st["prebound_survivors"] >= st["crossing_blocks"]
-    assert st["prebound_survivors"] < st["active_blocks"], st
