@@ -99,6 +99,7 @@ class PointEvaluator:
         self._block_fns = {}
         self._corner_fns = {}
         self._fetch_pool = None
+        self._decode_pool_obj = None
         if jax.default_backend() == "tpu":
             # Only unsupported-config errors fall back (xyz_in_all, VMEM
             # overflow, missing Pallas support); a genuine kernel regression
@@ -171,7 +172,7 @@ class PointEvaluator:
     def _decode_pool(self):
         """Separate (small) pool for host-side row decoding, so decode tasks
         can block on fetch futures without starving the fetch pool."""
-        if getattr(self, "_decode_pool_obj", None) is None:
+        if self._decode_pool_obj is None:
             from concurrent.futures import ThreadPoolExecutor
 
             self._decode_pool_obj = ThreadPoolExecutor(max_workers=2)
