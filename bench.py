@@ -285,23 +285,40 @@ def main():
             trainer.decoder, trainer.state["net"], latent,
             filename=SCRATCH + "/msd_bench_mesh_warm", N=n_warm, return_mesh=True, evaluator=evaluator,
         )
-    # best-of-N: the axon relay's transfer latency is bursty (same warmed
-    # workload swings 1.2-6s across minutes); the min is the honest
-    # steady-state figure. Up to 6 reps, stopping early once a run lands
-    # within the known steady-state envelope (sub-second).
-    t_grid = float("inf")
+    # The axon relay's transfer latency is bursty (same warmed workload
+    # swings across minutes), so a single rep is meaningless. Policy: at
+    # least 5 reps, up to 10, early exit once the MEDIAN is in the known
+    # steady-state envelope (sub-0.8 s). The headline is quoted from the
+    # median; min/p90 are reported alongside so the spread is visible.
+    rep_times = []
+    rep_stage_stats = []
     for rep in range(10):
         t0 = time.time()
         res = mesh_mod.create_mesh(
             trainer.decoder, trainer.state["net"], latent,
             filename=SCRATCH + "/msd_bench_mesh", N=N, return_mesh=True, evaluator=evaluator,
         )
-        t_grid = min(t_grid, time.time() - t0)
-        if rep >= 2 and t_grid < 0.8:
+        rep_times.append(time.time() - t0)
+        rep_stage_stats.append(dict(mesh_mod.LAST_STREAMING_STATS))
+        if rep >= 4 and float(np.median(rep_times)) < 0.8:
             break
+    t_grid = float(np.median(rep_times))
+    grid512_spread = {
+        "min": round(min(rep_times), 3),
+        "median": round(t_grid, 3),
+        "p90": round(float(np.percentile(rep_times, 90)), 3),
+        "n_reps": len(rep_times),
+    }
     n_eff = mesh_mod._snap_n(N)
     grid_qps_effective = n_eff**3 / t_grid
-    stats = dict(mesh_mod.LAST_STREAMING_STATS) or {"evaluated": -1, "total": n_eff**3}
+    stats = dict(rep_stage_stats[-1]) if rep_stage_stats and rep_stage_stats[-1] else {
+        "evaluated": -1, "total": n_eff**3}
+    # per-stage medians across reps (the per-rep dicts share the same keys)
+    stage_keys = ("t_refine", "t_crossing", "t_stream", "t_finish", "t_ply")
+    stage_medians = {
+        k: round(float(np.median([s.get(k, 0.0) for s in rep_stage_stats])), 3)
+        for k in stage_keys if rep_stage_stats
+    }
 
     # N=256-class mesh (the resolution reconstruct.py actually uses)
     t0 = time.time()
@@ -376,8 +393,9 @@ def main():
             "train_matmul_precision": "bfloat16 (f32 is 4.1x slower at identical loss; MatmulPrecision spec key)",
             "raw_fused_kernel_queries_per_sec": None if raw_qps is None else round(raw_qps),
             "grid512_seconds": round(t_grid, 3),
+            "grid512_seconds_spread": grid512_spread,
             "grid512_evaluated_fraction": round(stats["evaluated"] / stats["total"], 4),
-            "grid512_stage_seconds": {
+            "grid512_stage_seconds": stage_medians or {
                 k: stats.get(k) for k in ("t_refine", "t_crossing", "t_stream", "t_finish", "t_ply")
             },
             "create_mesh256_seconds": round(t_mesh256, 3),

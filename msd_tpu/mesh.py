@@ -1050,71 +1050,68 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
     )
     spill_ply = False
     spill_base = None
-    if ply_path is not None:
-        # incremental PLY spill: vertex/face payloads written by the C++
-        # mesher as blocks complete (overlapped with relay transfers); the
-        # final write is header + two page-cache file copies. Temps live on
-        # tmpfs when available: spilling ~50 MB/mesh to disk trips dirty-page
-        # throttling, stalling the finish phase by up to ~1 s.
-        spill_base = _spill_tmp_base(ply_path)
-        rc = lib.mt_ply_stream_begin(
-            ctypes.c_void_p(handle),
-            (spill_base + ".verts.tmp").encode(), (spill_base + ".faces.tmp").encode(),
-            ctypes.c_float(voxel_size), ctypes.c_float(-1.0),
-        )
-        spill_ply = rc == 0
-        if not spill_ply:
-            logging.warning("PLY spill unavailable; falling back to post-hoc write")
-    b = SPARSE_BLOCK
+    # One try/finally owns the native Builder and its spill temps: any
+    # exception out of the streaming consumer (fetch/decode, exact_slab,
+    # mt_add_blocks) or the finish phase must still free the handle and
+    # unlink the tmpfs spill files. Both cleanups are idempotent.
+    try:
+        if ply_path is not None:
+            # incremental PLY spill: vertex/face payloads written by the C++
+            # mesher as blocks complete (overlapped with relay transfers); the
+            # final write is header + two page-cache file copies. Temps live on
+            # tmpfs when available: spilling ~50 MB/mesh to disk trips dirty-page
+            # throttling, stalling the finish phase by up to ~1 s.
+            spill_base = _spill_tmp_base(ply_path)
+            rc = lib.mt_ply_stream_begin(
+                ctypes.c_void_p(handle),
+                (spill_base + ".verts.tmp").encode(), (spill_base + ".faces.tmp").encode(),
+                ctypes.c_float(voxel_size), ctypes.c_float(-1.0),
+            )
+            spill_ply = rc == 0
+            if not spill_ply:
+                logging.warning("PLY spill unavailable; falling back to post-hoc write")
+        b = SPARSE_BLOCK
 
-    def mesh_chunk(vals, bases):
-        # vals/bases stay referenced by this closure for the call's duration
-        lib.mt_add_blocks(
-            ctypes.c_void_p(handle),
-            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            bases.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            ctypes.c_int64(vals.shape[0]),
-            ctypes.c_int32(b),
-        )
+        def mesh_chunk(vals, bases):
+            # vals/bases stay referenced by this closure for the call's duration
+            lib.mt_add_blocks(
+                ctypes.c_void_p(handle),
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                bases.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_int64(vals.shape[0]),
+                ctypes.c_int32(b),
+            )
 
-    # single worker: mt_add_blocks calls must stay sequential (one Builder)
-    t0 = time.time()
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = None
-        for vals, chunk in value_iter:
-            vals = np.ascontiguousarray(vals, np.float32)
-            bases = np.ascontiguousarray(chunk.astype(np.int32) * b)
+        # single worker: mt_add_blocks calls must stay sequential (one Builder)
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = None
+            for vals, chunk in value_iter:
+                vals = np.ascontiguousarray(vals, np.float32)
+                bases = np.ascontiguousarray(chunk.astype(np.int32) * b)
+                if fut is not None:
+                    fut.result()
+                fut = pool.submit(mesh_chunk, vals, bases)
             if fut is not None:
                 fut.result()
-            fut = pool.submit(mesh_chunk, vals, bases)
-        if fut is not None:
-            fut.result()
-    LAST_STREAMING_STATS["t_stream"] = round(time.time() - t0, 3)
-    crossing = int(stream_stats.get("crossing_blocks", 0))
-    LAST_STREAMING_STATS["crossing_blocks"] = crossing
-    LAST_STREAMING_STATS["t_crossing"] = round(stream_stats.get("t_mask", 0.0), 3)
-    LAST_STREAMING_STATS["t_fetch"] = round(stream_stats.get("t_fetch", 0.0), 3)
-    logging.debug(
-        "[create_mesh] streaming: %d active blocks, %d crossing, %d prefilter evals",
-        A4, crossing, evaluated,
-    )
-    if crossing == 0:
-        lib.mt_destroy(ctypes.c_void_p(handle))
-        if spill_ply:
-            for tmp in (spill_base + ".verts.tmp", spill_base + ".faces.tmp"):
-                try:
-                    os.remove(tmp)
-                except OSError:
-                    pass
-        raise ValueError("Surface level must be within volume data range.")
+        LAST_STREAMING_STATS["t_stream"] = round(time.time() - t0, 3)
+        crossing = int(stream_stats.get("crossing_blocks", 0))
+        LAST_STREAMING_STATS["crossing_blocks"] = crossing
+        LAST_STREAMING_STATS["t_crossing"] = round(stream_stats.get("t_mask", 0.0), 3)
+        LAST_STREAMING_STATS["t_fetch"] = round(stream_stats.get("t_fetch", 0.0), 3)
+        logging.debug(
+            "[create_mesh] streaming: %d active blocks, %d crossing, %d prefilter evals",
+            A4, crossing, evaluated,
+        )
+        if crossing == 0:
+            raise ValueError("Surface level must be within volume data range.")
 
-    t0 = time.time()
-    out_verts = ctypes.POINTER(ctypes.c_float)()
-    out_faces = ctypes.POINTER(ctypes.c_int32)()
-    nv = ctypes.c_int64()
-    nf = ctypes.c_int64()
-    ply_written = False
-    try:
+        t0 = time.time()
+        out_verts = ctypes.POINTER(ctypes.c_float)()
+        out_faces = ctypes.POINTER(ctypes.c_int32)()
+        nv = ctypes.c_int64()
+        nf = ctypes.c_int64()
+        ply_written = False
         # zero-copy views into the builder's buffers; the scale/shift below
         # materializes the final arrays, so no intermediate copy is needed
         lib.mt_finish_view(
@@ -1133,17 +1130,18 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
                 lib.mt_ply_stream_finish(ctypes.c_void_p(handle), ply_path.encode()) == 0
             )
             LAST_STREAMING_STATS["t_ply"] = round(time.time() - t_ply, 3)
+        LAST_STREAMING_STATS["t_finish"] = round(time.time() - t0, 3)
+        LAST_STREAMING_STATS["num_verts"] = int(nv.value)
+        LAST_STREAMING_STATS["num_faces"] = int(nf.value)
+        return verts.astype(np.float32, copy=False), faces, ply_written
+    finally:
+        lib.mt_destroy(ctypes.c_void_p(handle))
+        if spill_base is not None:
             for tmp in (spill_base + ".verts.tmp", spill_base + ".faces.tmp"):
                 try:
                     os.remove(tmp)
                 except OSError:
                     pass
-    finally:
-        lib.mt_destroy(ctypes.c_void_p(handle))
-    LAST_STREAMING_STATS["t_finish"] = round(time.time() - t0, 3)
-    LAST_STREAMING_STATS["num_verts"] = int(nv.value)
-    LAST_STREAMING_STATS["num_faces"] = int(nf.value)
-    return verts.astype(np.float32, copy=False), faces, ply_written
 
 
 def convert_sdf_samples_to_ply(

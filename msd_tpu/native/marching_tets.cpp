@@ -110,6 +110,7 @@ struct Builder {
   size_t spilled_f = 0;  // int32s already spilled from faces
   float spill_scale = 1.0f;
   float spill_off = 0.0f;
+  bool spill_error = false;  // a spill fwrite came up short (e.g. tmpfs full)
   ~Builder() {
     if (spill_fv) fclose(spill_fv);
     if (spill_ff) fclose(spill_ff);
@@ -337,6 +338,7 @@ void* mt_create(int64_t N, const uint8_t* flips, int64_t expected_blocks) {
 }
 
 static void spill_new_geometry(Builder& b) {
+  if (b.spill_error) return;
   if (b.spill_fv) {
     size_t n = b.verts.size();
     if (n > b.spilled_v) {
@@ -345,7 +347,7 @@ static void spill_new_geometry(Builder& b) {
       while (i < n) {
         size_t c = n - i < 3072 ? n - i : 3072;
         for (size_t j = 0; j < c; j++) buf[j] = b.verts[i + j] * b.spill_scale + b.spill_off;
-        fwrite(buf, sizeof(float), c, b.spill_fv);
+        if (fwrite(buf, sizeof(float), c, b.spill_fv) != c) { b.spill_error = true; return; }
         i += c;
       }
       b.spilled_v = n;
@@ -364,7 +366,7 @@ static void spill_new_geometry(Builder& b) {
           p[0] = 3;
           memcpy(p + 1, &b.faces[i + 3 * j], 12);
         }
-        fwrite(buf, 13, c, b.spill_ff);
+        if (fwrite(buf, 13, c, b.spill_ff) != c) { b.spill_error = true; return; }
         i += 3 * c;
       }
       b.spilled_f = i;
@@ -402,6 +404,7 @@ int mt_ply_stream_finish(void* handle, const char* final_path) {
   Builder* builder = (Builder*)handle;
   if (!builder->spill_fv || !builder->spill_ff) return -1;
   spill_new_geometry(*builder);
+  if (builder->spill_error) return -1;
   FILE* out = fopen(final_path, "wb");
   if (!out) return -1;
   setvbuf(out, nullptr, _IOFBF, 1 << 20);
@@ -412,10 +415,10 @@ int mt_ply_stream_finish(void* handle, const char* final_path) {
       "element vertex %lld\nproperty float x\nproperty float y\nproperty float z\n"
       "element face %lld\nproperty list uchar int vertex_indices\nend_header\n",
       (long long)(builder->verts.size() / 3), (long long)(builder->faces.size() / 3));
-  fwrite(header, 1, (size_t)hn, out);
+  int rc0 = fwrite(header, 1, (size_t)hn, out) == (size_t)hn ? 0 : -1;
   static thread_local std::vector<char> buf(1 << 20);
   FILE* parts[2] = {builder->spill_fv, builder->spill_ff};
-  int rc = 0;
+  int rc = rc0;
   for (int p = 0; p < 2; p++) {
     fflush(parts[p]);
     rewind(parts[p]);

@@ -864,8 +864,15 @@ class Stage2Trainer:
         }
         self.loss_log = list(data.get("loss", []))
         self.loss_log_epoch = list(data.get("loss_epoch", []))[: self.epoch]
-        iters = len(self.loss_log) // max(1, len(data.get("loss_epoch", [1])))
-        self.loss_log = self.loss_log[: iters * self.epoch]
+        n_epochs_logged = len(data.get("loss_epoch", []))
+        if n_epochs_logged:
+            iters = len(self.loss_log) // n_epochs_logged
+            self.loss_log = self.loss_log[: iters * self.epoch]
+        else:
+            # Without a per-epoch log there is no iters-per-epoch divisor to
+            # clip with; stale per-iteration losses cannot be attributed to
+            # epochs, so drop them rather than over-retain.
+            self.loss_log = []
 
     def resume(self, continue_from: str) -> int:
         import torch
@@ -1018,7 +1025,10 @@ class Stage2Trainer:
         if not hasattr(self, "_eval_selections"):
             self._eval_selections = {}
         pool = np.asarray(pool)
-        cache_key = (key, len(pool))
+        # Key on the pool's contents, not just its length: the same spec key
+        # (e.g. EvalTestSceneNumber) is used with both holdout indices and
+        # test-dataset ranges, and equal lengths must not alias selections.
+        cache_key = (key, pool.shape, hash(pool.tobytes()))
         if cache_key not in self._eval_selections:
             n = int(g(self.specs, key, default) or 0)
             if n <= 0 or n >= len(pool):
