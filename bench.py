@@ -377,6 +377,25 @@ def main():
         with open(meas_path) as f:
             torch_meas = json.load(f)
     ref_train_cpu = torch_meas.get("train_queries_per_sec")
+
+    # measured Chamfer-L2 parity vs the actually-trained torch reference on
+    # byte-identical data (benchmarks/chamfer_parity.py; the "at equal
+    # Chamfer-L2" half of the north star)
+    chamfer_parity = None
+    parity_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "chamfer_parity.json")
+    if os.path.isfile(parity_path):
+        with open(parity_path) as f:
+            p = json.load(f)
+        if "torch_ref" in p and "msd_tpu" in p:
+            chamfer_parity = {
+                "msd_tpu": p["msd_tpu"]["chamfer_mean"],
+                "torch_ref": p["torch_ref"]["chamfer_mean"],
+                "msd_over_torch_ratio": p.get("msd_over_torch_ratio"),
+                "within_tolerance": p.get("within_tolerance"),
+                "msd_backend": p["msd_tpu"].get("stack"),
+                "dataset_sha256_16": p.get("dataset_sha256_16"),
+            }
     # derived GPU training anchor: grid-eval rate / 6 (fwd+bwd ~3x fwd
     # FLOPs, eikonal double-backward ~2x more) — see BASELINE.md
     ref_train_gpu_derived = baseline_grid_qps / 6.0
@@ -405,6 +424,7 @@ def main():
             ),
             "train_vs_reference_gpu_derived": round(train_qps / ref_train_gpu_derived, 2),
             "reference_torch_measured": torch_meas or None,
+            "chamfer_parity": chamfer_parity,
             "train_loss_sdf": round(float(m["sdf"]), 5),
             "chamfer_sphere": None if chamfer is None else float(chamfer),
             "chamfer_torus": None if chamfer_torus is None else float(chamfer_torus),

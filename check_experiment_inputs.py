@@ -1,8 +1,13 @@
 #!/usr/bin/env python3
-"""Preflight validator for experiment specs/labels — CLI compatible with the
-reference's check_experiment_inputs.py (ref: check_experiment_inputs.py:1-291):
-resolves spec paths, loads label maps, prints per-split label coverage/stats,
-split overlaps, latent-file dimension checks, and decoder-path existence."""
+"""Preflight validator for experiment inputs (specs.json, splits, labels,
+pretrained artifacts) — covers the reference's check_experiment_inputs.py
+surface (ref: check_experiment_inputs.py:1-291) as a table-driven check
+registry: each check is an independent function over a shared context and
+emits report lines; ``main`` just builds the context and runs the table.
+
+Report line format: ``[section] message`` (stable — tests and humans grep
+these), one line per fact, warnings inline.
+"""
 
 import argparse
 import json
@@ -11,96 +16,206 @@ import os
 
 import numpy as np
 
-from msd_tpu.data.labels import load_labels
-from msd_tpu.data.splits import get_instance_filenames
+
+# ---------------------------------------------------------------------------
+# context: everything checks may need, resolved once
+# ---------------------------------------------------------------------------
+
+class Ctx:
+    def __init__(self, exp_dir: str, max_samples: int = 0):
+        self.exp_dir = exp_dir
+        self.max_samples = max_samples
+        specs_path = os.path.join(exp_dir, "specs.json")
+        if not os.path.isfile(specs_path):
+            raise FileNotFoundError(f"specs.json not found: {specs_path}")
+        with open(specs_path, encoding="utf-8") as f:
+            self.specs = json.load(f)
+        self.data_source = self.specs.get("DataSource")
+        if self.data_source is None:
+            raise ValueError("DataSource missing from specs")
+        self.split_npy = {}        # split name -> npz paths (filled by check_splits)
+        self.split_ids = {}        # split name -> set of instance ids
+
+    # path conventions: spec-relative for experiment artifacts
+    # (ref: train_MLP_VAE_deep_sdf.py:56-61), data-source-relative for labels
+    def spec_path(self, key_or_value, *fallback_keys):
+        v = key_or_value if "/" in str(key_or_value or "") or key_or_value is None \
+            else self.specs.get(key_or_value)
+        for k in fallback_keys:
+            v = v or self.specs.get(k)
+        if v is None:
+            return None
+        return v if os.path.isabs(v) else os.path.join(self.exp_dir, v)
+
+    def label_path(self, value):
+        if value is None:
+            return None
+        return value if os.path.isabs(value) else os.path.join(self.data_source, value)
+
+    def label_indices(self):
+        """Every label column any enabled metric/loss will read."""
+        s = self.specs
+        sap_age = s.get("SAPAgeLabelIndices") or []
+        age_table = s.get("AgeLabelIndexForTable")
+        if age_table is None:
+            age_table = sap_age[0] if sap_age else int(s.get("AgeSNNLRegLabelIndex", 1))
+        cols = {int(s.get("LabelIndex", 0)), int(s.get("AgeSNNLRegLabelIndex", 1)),
+                int(age_table)}
+        cols |= set(s.get("SAPLabelIndices") or [])
+        cols |= set(sap_age)
+        return sorted(cols)
 
 
-def resolve_spec_path(experiment_directory, spec_path):
-    if spec_path is None:
-        return None
-    if os.path.isabs(spec_path):
-        return spec_path
-    return os.path.join(experiment_directory, spec_path)
+# ---------------------------------------------------------------------------
+# the checks (each: Ctx -> yields report lines)
+# ---------------------------------------------------------------------------
+
+def check_data_source(ctx):
+    ok = os.path.isdir(ctx.data_source)
+    yield f"[data] DataSource {'ok' if ok else 'missing'}: {ctx.data_source}"
 
 
-def resolve_labels_path(data_source, labels_file):
-    if labels_file is None:
-        return None
-    if os.path.isabs(labels_file):
-        return labels_file
-    return os.path.join(data_source, labels_file)
+def check_splits(ctx):
+    from msd_tpu.data.splits import get_instance_filenames
+
+    for name, key in (("train", "TrainSplit"), ("test", "TestSplit"), ("val", None)):
+        path = ctx.specs.get(key) if key else (
+            ctx.specs.get("ValSplit") or ctx.specs.get("ValidationSplit"))
+        if path is None:
+            continue
+        if not os.path.isfile(path):
+            yield f"[split] {name} missing: {path}"
+            continue
+        with open(path, encoding="utf-8") as f:
+            split_list = json.load(f)
+        npyfiles = get_instance_filenames(ctx.data_source, split_list)
+        if ctx.max_samples > 0:
+            npyfiles = npyfiles[: ctx.max_samples]
+        ctx.split_npy[name] = npyfiles
+        ctx.split_ids[name] = {
+            os.path.splitext(os.path.basename(p))[0] for p in npyfiles
+        }
+        missing = sum(1 for p in npyfiles if not os.path.isfile(p))
+        line = f"[split] {name} count={len(npyfiles)} path={path}"
+        if missing:
+            line += f" missing_npz={missing}"
+        yield line
 
 
-def _values_for_index(label_map, npyfiles, index):
+def check_split_overlap(ctx):
+    names = list(ctx.split_ids)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            overlap = len(ctx.split_ids[a] & ctx.split_ids[b])
+            yield f"[split] {a}∩{b} overlap={overlap}"
+
+
+def _column_stats(label_map, npyfiles, col):
+    """Stats of one label column over a split, counting missing ids and
+    too-short label vectors; -1 and non-finite count as invalid (the
+    trainers' missing-label sentinels)."""
     values, missing, bad_index = [], 0, 0
-    for npy_path in npyfiles:
-        base = os.path.splitext(os.path.basename(npy_path))[0]
-        label = label_map.get(base)
+    for p in npyfiles:
+        label = label_map.get(os.path.splitext(os.path.basename(p))[0])
         if label is None:
             missing += 1
             continue
         flat = np.asarray(label).reshape(-1)
-        if index >= flat.size:
+        if col >= flat.size:
             bad_index += 1
             continue
-        values.append(float(flat[index]))
-    return values, missing, bad_index
+        values.append(float(flat[col]))
+    valid = np.asarray([v for v in values if math.isfinite(v) and v != -1], float)
+    return values, valid, missing, bad_index
 
 
-def _summarize_values(values):
-    arr = np.asarray([v for v in values if math.isfinite(v) and v != -1], float)
-    return {
-        "count": len(values),
-        "valid": int(arr.size),
-        "min": float(arr.min()) if arr.size else float("nan"),
-        "max": float(arr.max()) if arr.size else float("nan"),
-        "mean": float(arr.mean()) if arr.size else float("nan"),
-        "std": float(arr.std()) if arr.size else float("nan"),
-        "missing_or_invalid": len(values) - int(arr.size),
-    }
+def check_labels(ctx):
+    from msd_tpu.data.labels import load_labels
 
-
-def _print_stats(prefix, s):
-    print(
-        f"{prefix} count={s['count']} valid={s['valid']} min={s['min']:.4f} "
-        f"max={s['max']:.4f} mean={s['mean']:.4f} std={s['std']:.4f} "
-        f"missing_or_invalid={s['missing_or_invalid']}"
-    )
-
-
-def _check_latents(path, split_name, expected_dim, split_basenames):
-    if path is None:
-        print(f"[latents] {split_name}: path missing")
-        return
-    if not os.path.isfile(path):
-        print(f"[latents] {split_name}: file not found: {path}")
-        return
-    import torch
-
-    data = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(data, dict) and "latent_codes" in data:
-        codes = data["latent_codes"]
-        if isinstance(codes, dict) and "weight" in codes:
-            arr = codes["weight"]
-            print(
-                f"[latents] {split_name}: embedding table shape={tuple(arr.shape)} "
-                f"expected_dim={expected_dim} dim_ok={arr.shape[-1] == expected_dim}"
+    cols = ctx.label_indices()
+    for key in ("LabelsFile", "PseudoLabelsFile", "RealLabelsFile",
+                "SAPCORRLabelsFile", "SAPAgeCORRLabelsFile"):
+        value = ctx.specs.get(key)
+        if value is None:
+            continue
+        path = ctx.label_path(value)
+        try:
+            label_map = load_labels(path)
+        except Exception as exc:
+            yield f"[labels] {key} error: {exc}"
+            continue
+        yield f"[labels] {key} path={path}"
+        for split, npyfiles in ctx.split_npy.items():
+            n_missing = sum(
+                1 for p in npyfiles
+                if os.path.splitext(os.path.basename(p))[0] not in label_map
             )
-            return
-    if not isinstance(data, dict):
-        print(f"[latents] {split_name}: not a dict: {path}")
-        return
-    keys = set(data.keys())
-    missing = [k for k in split_basenames if k not in keys]
-    extra = [k for k in keys if k not in split_basenames]
-    dims = set()
-    for k in list(data.keys())[:10]:
-        dims.add(int(np.asarray(data[k]).reshape(-1).size))
-    dim_ok = expected_dim in dims if dims else False
-    print(
-        f"[latents] {split_name}: total={len(data)} missing={len(missing)} "
-        f"extra={len(extra)} dims_sample={sorted(dims)} expected_dim={expected_dim} dim_ok={dim_ok}"
+            yield f"[labels] {key} split={split} missing={n_missing} total={len(npyfiles)}"
+            for col in cols:
+                values, valid, missing, bad_index = _column_stats(label_map, npyfiles, col)
+                prefix = f"[labels] {key} split={split} idx={col}"
+                if valid.size:
+                    yield (f"{prefix} count={len(values)} valid={valid.size} "
+                           f"min={valid.min():.4f} max={valid.max():.4f} "
+                           f"mean={valid.mean():.4f} std={valid.std():.4f} "
+                           f"missing_or_invalid={len(values) - valid.size}")
+                else:
+                    yield f"{prefix} count={len(values)} valid=0 (no finite values)"
+                if missing or bad_index:
+                    yield f"{prefix} missing_labels={missing} bad_index={bad_index}"
+
+
+def check_latent_files(ctx):
+    expected_dim = int(ctx.specs.get("CodeLength", 0))
+    table = (
+        ("train", ctx.spec_path("PretrainedLatentPath", "LatentCodesPath")),
+        ("test", ctx.spec_path("TestLatentPath")),
+        ("val", ctx.spec_path("ValLatentPath")),
     )
+    for split, path in table:
+        if split not in ctx.split_ids:
+            continue
+        if path is None:
+            yield f"[latents] {split}: path missing"
+            continue
+        if not os.path.isfile(path):
+            yield f"[latents] {split}: file not found: {path}"
+            continue
+        import torch
+
+        data = torch.load(path, map_location="cpu", weights_only=False)
+        codes = data.get("latent_codes") if isinstance(data, dict) else None
+        if isinstance(codes, dict) and "weight" in codes:
+            shape = tuple(codes["weight"].shape)
+            yield (f"[latents] {split}: embedding table shape={shape} "
+                   f"expected_dim={expected_dim} dim_ok={shape[-1] == expected_dim}")
+        elif isinstance(data, dict):
+            # id -> tensor map: coverage vs the split + sampled dims
+            ids = ctx.split_ids[split]
+            dims = {int(np.asarray(v).reshape(-1).size) for v in list(data.values())[:10]}
+            yield (f"[latents] {split}: total={len(data)} "
+                   f"missing={len([i for i in ids if i not in data])} "
+                   f"extra={len([k for k in data if k not in ids])} "
+                   f"dims_sample={sorted(dims)} expected_dim={expected_dim} "
+                   f"dim_ok={expected_dim in dims}")
+        else:
+            yield f"[latents] {split}: not a dict: {path}"
+
+
+def check_pretrained_decoder(ctx):
+    path = ctx.spec_path("PretrainedSDFDecoderPath", "PretrainedDecoderPath")
+    if path is not None:
+        yield f"[decoder] {'ok' if os.path.isfile(path) else 'missing'}: {path}"
+
+
+CHECKS = (
+    check_data_source,
+    check_splits,
+    check_split_overlap,
+    check_labels,
+    check_latent_files,
+    check_pretrained_decoder,
+)
 
 
 def main():
@@ -109,109 +224,10 @@ def main():
     parser.add_argument("--max_samples", type=int, default=0)
     args = parser.parse_args()
 
-    exp_dir = args.experiment
-    specs_path = os.path.join(exp_dir, "specs.json")
-    if not os.path.isfile(specs_path):
-        raise FileNotFoundError(f"specs.json not found: {specs_path}")
-    with open(specs_path, encoding="utf-8") as f:
-        specs = json.load(f)
-
-    data_source = specs.get("DataSource")
-    if data_source is None:
-        raise ValueError("DataSource missing from specs")
-    print(f"[data] DataSource {'ok' if os.path.isdir(data_source) else 'missing'}: {data_source}")
-
-    split_files = {
-        "train": specs.get("TrainSplit"),
-        "test": specs.get("TestSplit"),
-        "val": specs.get("ValSplit") or specs.get("ValidationSplit"),
-    }
-    split_npy = {}
-    for name, split_path in split_files.items():
-        if split_path is None:
-            continue
-        if not os.path.isfile(split_path):
-            print(f"[split] {name} missing: {split_path}")
-            continue
-        with open(split_path, encoding="utf-8") as f:
-            split_list = json.load(f)
-        npyfiles = get_instance_filenames(data_source, split_list)
-        if args.max_samples > 0:
-            npyfiles = npyfiles[: args.max_samples]
-        split_npy[name] = npyfiles
-        print(f"[split] {name} count={len(npyfiles)} path={split_path}")
-
-    def _basenames(files):
-        return {os.path.splitext(os.path.basename(p))[0] for p in files}
-
-    split_basenames = {k: _basenames(v) for k, v in split_npy.items()}
-    for a, b in (("train", "test"), ("train", "val"), ("test", "val")):
-        if a in split_basenames and b in split_basenames:
-            print(f"[split] {a}∩{b} overlap={len(split_basenames[a] & split_basenames[b])}")
-
-    label_index = int(specs.get("LabelIndex", 0))
-    age_snnl_idx = int(specs.get("AgeSNNLRegLabelIndex", 1))
-    sap_indices = specs.get("SAPLabelIndices", None)
-    sap_age_indices = specs.get("SAPAgeLabelIndices", None)
-    age_table_idx = specs.get("AgeLabelIndexForTable", None)
-    if age_table_idx is None:
-        age_table_idx = int(sap_age_indices[0]) if sap_age_indices else age_snnl_idx
-    indices_to_check = sorted(
-        {label_index, age_snnl_idx, age_table_idx}
-        | (set(sap_indices) if sap_indices else set())
-        | (set(sap_age_indices) if sap_age_indices else set())
-    )
-
-    labels_files = {
-        "LabelsFile": specs.get("LabelsFile"),
-        "PseudoLabelsFile": specs.get("PseudoLabelsFile"),
-        "RealLabelsFile": specs.get("RealLabelsFile"),
-        "SAPCORRLabelsFile": specs.get("SAPCORRLabelsFile"),
-        "SAPAgeCORRLabelsFile": specs.get("SAPAgeCORRLabelsFile"),
-    }
-    for name, label_file in labels_files.items():
-        if label_file is None:
-            continue
-        label_path = resolve_labels_path(data_source, label_file)
-        try:
-            label_map = load_labels(label_path)
-        except Exception as exc:
-            print(f"[labels] {name} error: {exc}")
-            continue
-        print(f"[labels] {name} path={label_path}")
-        for split_name, npyfiles in split_npy.items():
-            base_missing = sum(
-                1 for p in npyfiles
-                if os.path.splitext(os.path.basename(p))[0] not in label_map
-            )
-            print(f"[labels] {name} split={split_name} missing={base_missing} total={len(npyfiles)}")
-            for idx in indices_to_check:
-                values, missing, bad_index = _values_for_index(label_map, npyfiles, idx)
-                stats = _summarize_values(values)
-                prefix = f"[labels] {name} split={split_name} idx={idx}"
-                _print_stats(prefix, stats)
-                if missing or bad_index:
-                    print(f"{prefix} missing_labels={missing} bad_index={bad_index}")
-
-    code_length = int(specs.get("CodeLength", 0))
-    pretrained_latents = resolve_spec_path(
-        exp_dir, specs.get("PretrainedLatentPath") or specs.get("LatentCodesPath")
-    )
-    test_latents = resolve_spec_path(exp_dir, specs.get("TestLatentPath"))
-    val_latents = resolve_spec_path(exp_dir, specs.get("ValLatentPath"))
-    if "train" in split_basenames:
-        _check_latents(pretrained_latents, "train", code_length, split_basenames["train"])
-    if "test" in split_basenames:
-        _check_latents(test_latents, "test", code_length, split_basenames["test"])
-    if "val" in split_basenames:
-        _check_latents(val_latents, "val", code_length, split_basenames["val"])
-
-    pretrained_decoder = resolve_spec_path(
-        exp_dir, specs.get("PretrainedSDFDecoderPath") or specs.get("PretrainedDecoderPath")
-    )
-    if pretrained_decoder is not None:
-        status = "ok" if os.path.isfile(pretrained_decoder) else "missing"
-        print(f"[decoder] {status}: {pretrained_decoder}")
+    ctx = Ctx(args.experiment, args.max_samples)
+    for check in CHECKS:
+        for line in check(ctx):
+            print(line)
 
 
 if __name__ == "__main__":

@@ -132,7 +132,13 @@ def run_trial(trial_dir, specs, train_epochs=None):
     )
     recon = em["eval_vae_recon"] if em else float("nan")
     if not np.isfinite(recon):
-        recon = trainer.loss_log_epoch[-1] if trainer.loss_log_epoch else float("nan")
+        # A diverged/failed holdout eval means the trial's model is broken;
+        # substituting the train loss here would quietly reward overfitting
+        # in exactly that failure case — fail the trial instead (the caller
+        # records value=None and the sampler ignores it).
+        raise RuntimeError(
+            f"holdout eval recon is non-finite ({recon}); failing trial"
+        )
     sap = metrics.get("sap") or 0.0
     corr_abs = abs(corr) if corr is not None and np.isfinite(corr) else 0.0
     value = WEIGHTS["sap"] * sap + WEIGHTS["corr"] * corr_abs - WEIGHTS["recon"] * recon

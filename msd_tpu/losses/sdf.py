@@ -37,15 +37,22 @@ def code_regularization(batch_vecs, num_sdf_samples, code_reg_lambda, epoch):
     return code_reg_lambda * ramp * l2_size_loss / num_sdf_samples
 
 
-def eikonal_loss(grad_xyz, weight=0.002):
+def eikonal_loss(grad_xyz, weight=0.002, weights=None):
     """weight * mean((1 - ||grad f||)^2) (ref: train_deep_sdf.py:724-728).
 
     ``grad_xyz`` is d(clamped pred)/d(xyz) [N, 3] — computing it on the
     clamped prediction (as the reference does) zeroes the penalty outside
     the truncation band.
+
+    ``weights``: optional [N, 1] 0/1 mask (padded-batch sharding); the mean
+    runs over the masked points only.
     """
     norms = _safe_l2norm(grad_xyz, axis=1)
-    return weight * jnp.mean((1.0 - norms) ** 2)
+    sq = (1.0 - norms) ** 2
+    if weights is None:
+        return weight * jnp.mean(sq)
+    w = weights.reshape(-1)
+    return weight * jnp.sum(sq * w) / jnp.sum(w)
 
 
 def deep_sdf_loss(pred_sdf, sdf_gt, latent_vecs, code_reg_lambda=1e-4, code_reg_weight=1.0):

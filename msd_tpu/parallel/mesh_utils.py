@@ -54,8 +54,11 @@ def leading_axis_or_replicated(
     mesh: Mesh, n: int, what: str = "array", axis_name: str = "data"
 ) -> NamedSharding:
     """Shard the leading axis of an n-row array over the mesh when n divides
-    evenly; otherwise replicate (correctness-preserving fallback — XLA still
-    psums gradients over sharded batches; replication only loses speedup)."""
+    evenly; otherwise replicate (correctness-preserving fallback). The
+    trainers avoid the replication cliff on their hot paths: Stage-1 pads
+    the scene batch and latent table to mesh multiples with masked losses,
+    and Stage-2 shards the SDF-consistency term over the point axis — this
+    fallback remains only for genuinely small/cold arrays."""
     import logging
 
     if n % mesh_size(mesh) == 0:

@@ -162,6 +162,21 @@ class Stage1Trainer:
             jax.random.normal(k_lat, (self.num_scenes, self.latent_size))
             * (code_init_std / math.sqrt(self.latent_size))
         )
+        # Pad the latent table's scene axis to a mesh multiple so it always
+        # shards (pad rows are zero-init, never indexed — scene ids stay
+        # < num_scenes — and keep zero Adam moments). The real rows are drawn
+        # BEFORE padding so 1-vs-N device trajectories are bit-comparable.
+        self.num_scenes_padded = self.num_scenes
+        if self.mesh is not None:
+            from msd_tpu.parallel import mesh_size, pad_to_multiple
+
+            self.num_scenes_padded = pad_to_multiple(self.num_scenes, mesh_size(self.mesh))
+            if self.num_scenes_padded != self.num_scenes:
+                latents = jnp.concatenate(
+                    [latents, jnp.zeros(
+                        (self.num_scenes_padded - self.num_scenes, self.latent_size),
+                        latents.dtype)]
+                )
         net_params = self.decoder.init(k_dec)
 
         # pretrained-decoder warm start (ref: train_deep_sdf.py:115-132,
@@ -219,12 +234,14 @@ class Stage1Trainer:
         """Shard the latent table (+ its Adam moments) over the mesh's scene
         axis; replicate decoder params. Batches are sharded per step in
         train_epoch."""
-        from msd_tpu.parallel import leading_axis_or_replicated, replicated_sharding
+        from msd_tpu.parallel import (
+            batch_sharding, mesh_size, pad_to_multiple, replicated_sharding,
+        )
 
         replicated = replicated_sharding(self.mesh)
-        # scene axis not divisible by the mesh -> replicate the (small)
-        # latent table; gradients still psum over the sharded batch
-        scene_shard = leading_axis_or_replicated(self.mesh, self.num_scenes, "latent table")
+        # the scene axis was padded to a mesh multiple at init, so the
+        # latent table always shards
+        scene_shard = batch_sharding(self.mesh)
 
         def place(tree):
             out = dict(tree)
@@ -240,9 +257,18 @@ class Stage1Trainer:
             mu=place(self.opt_state.mu),
             nu=place(self.opt_state.nu),
         )
-        from msd_tpu.parallel import leading_axis_or_replicated as _lar
+        # The scene batch pads to a mesh multiple (mask weights zero the pad
+        # scenes' loss/grad contributions inside the step), so it always
+        # shards — no replication cliff for prime-ish batch sizes.
+        self._batch_pad = pad_to_multiple(self.scene_per_batch, mesh_size(self.mesh))
+        if self._batch_pad != self.scene_per_batch:
+            import logging as _logging
 
-        self._batch_sharding = _lar(self.mesh, self.scene_per_batch, "scene batch")
+            _logging.info(
+                "scene batch (%d) padded to %d for %d devices (masked)",
+                self.scene_per_batch, self._batch_pad, mesh_size(self.mesh),
+            )
+        self._batch_sharding = batch_sharding(self.mesh)
         self._replicated = replicated
 
     # ------------------------------------------------------------------
@@ -318,9 +344,22 @@ class Stage1Trainer:
                 grads["gmm"] = jax.tree.map(jnp.zeros_like, trainable["gmm"])
             return grads, aux
 
-        def point_losses(trainable, scene_idx, xyz, sdf_gt, key, epoch_f, num_total):
-            """Losses over one (micro)batch of scenes; xyz/sdf_gt [b, P, *]."""
+        def point_losses(trainable, scene_idx, xyz, sdf_gt, key, epoch_f, num_total,
+                         n_real=None):
+            """Losses over one (micro)batch of scenes; xyz/sdf_gt [b, P, *].
+
+            ``n_real``: when the batch was padded to a mesh multiple, the
+            number of leading REAL scenes — trailing pad scenes are masked
+            out of every loss term so the result equals the unpadded run."""
             b = scene_idx.shape[0]
+            if n_real is None:
+                n_real = b
+            w_pts = None
+            if n_real != b:
+                # [b*P, 1] point weights: 1 for real scenes' points, 0 for pad
+                w_pts = jnp.repeat(
+                    (jnp.arange(b) < n_real).astype(jnp.float32), P
+                )[:, None]
             lat_rows = trainable["lat"][scene_idx]  # [b, L]
             expanded = jnp.repeat(lat_rows, P, axis=0)  # [b*P, L]
             xyz_flat = xyz.reshape(-1, 3)
@@ -340,18 +379,24 @@ class Stage1Trainer:
             if use_eik:
                 pred, vjp_fn = jax.vjp(pred_from_xyz, xyz_flat)
                 (grads_xyz,) = vjp_fn(jnp.ones_like(pred))
-                eik = eikonal_loss(grads_xyz)
+                eik = eikonal_loss(grads_xyz, weights=w_pts)
             else:
                 pred = pred_from_xyz(xyz_flat)
                 eik = 0.0
 
-            sdf_l = jnp.sum(jnp.abs(pred - gt)) / num_total
+            abs_err = jnp.abs(pred - gt)
+            if w_pts is not None:
+                abs_err = abs_err * w_pts
+            sdf_l = jnp.sum(abs_err) / num_total
             total = sdf_l + eik
             aux["sdf"] = sdf_l
             aux["eikonal"] = eik
 
             if self.do_code_regularization:
-                reg = code_regularization(expanded, num_total, self.code_reg_lambda, epoch_f)
+                reg = code_regularization(
+                    expanded if w_pts is None else expanded * w_pts,
+                    num_total, self.code_reg_lambda, epoch_f,
+                )
                 total = total + reg
                 aux["reg"] = reg
             else:
@@ -370,7 +415,7 @@ class Stage1Trainer:
                     if self.use_isometry_mixup:
                         km1, km2, km3 = jax.random.split(k, 3)
                         do_mix = jax.random.bernoulli(km1, self.iso_mixup_prob)
-                        partner = jax.random.randint(km2, (), 0, b - 1)
+                        partner = jax.random.randint(km2, (), 0, n_real - 1)
                         partner = jnp.where(partner >= i, partner + 1, partner)
                         alpha = jax.random.beta(km3, self.iso_mixup_alpha, self.iso_mixup_alpha)
                         mixed = alpha * lat + (1 - alpha) * lat_rows[partner]
@@ -396,13 +441,14 @@ class Stage1Trainer:
                 # IsometryScenesPerBatch: random static-size scene subsample
                 # (ref: train_deep_sdf.py:629-638 randperm over unique indices)
                 iso_cap = self.iso_scenes_per_batch
-                if iso_cap is not None and 0 < iso_cap < b:
-                    # fold_in(b): scene folds use 0..b-1, so b is unused
+                if iso_cap is not None and 0 < iso_cap < n_real:
+                    # fold_in(n_real): scene folds use 0..n_real-1, so
+                    # n_real is unused (pad scenes never enter iso_rows)
                     iso_rows = jax.random.permutation(
-                        jax.random.fold_in(iso_key, b), b
+                        jax.random.fold_in(iso_key, n_real), n_real
                     )[:iso_cap]
                 else:
-                    iso_rows = jnp.arange(b)
+                    iso_rows = jnp.arange(n_real)
                 scene_keys = jax.vmap(lambda i: jax.random.fold_in(iso_key, i))(iso_rows)
                 per = jax.vmap(per_scene)(iso_rows, scene_keys)
                 if use_iso:
@@ -440,7 +486,17 @@ class Stage1Trainer:
             return total, aux
 
         def step(state, opt_state, pos, pc, neg, nc, scene_idx, key, epoch_f, lr_net, lr_lat):
-            num_total = scene_idx.shape[0] * P
+            # scene_idx may carry trailing pad entries (value 0) when the
+            # batch was padded to a mesh multiple; every loss term masks
+            # them, so num_total and the gradients match the unpadded run.
+            b_real = self.scene_per_batch
+            padded = scene_idx.shape[0] != b_real
+            if padded and batch_split != 1:
+                raise NotImplementedError(
+                    "batch_split > 1 with a mesh-padded scene batch is unsupported; "
+                    "pick ScenesPerBatch divisible by the device count or batch_split=1"
+                )
+            num_total = b_real * P
 
             # CodeBound lookup-time renorm of the batch rows.
             if self.code_bound is not None:
@@ -456,8 +512,13 @@ class Stage1Trainer:
                 def grad_fn(trainable, idx_chunk, xyz_c, gt_c, k):
                     return fused_grad_fn(trainable, idx_chunk, xyz_c, gt_c, k, epoch_f, num_total)
             else:
+                n_real = b_real if padded else None
+
                 def total_point_loss(trainable, idx_chunk, xyz_c, gt_c, k):
-                    return point_losses(trainable, idx_chunk, xyz_c, gt_c, k, epoch_f, num_total)
+                    return point_losses(
+                        trainable, idx_chunk, xyz_c, gt_c, k, epoch_f, num_total,
+                        n_real=n_real,
+                    )
 
                 grad_fn = jax.grad(total_point_loss, has_aux=True)
 
@@ -484,7 +545,11 @@ class Stage1Trainer:
                 aux = jax.tree.map(jnp.sum, auxs)
 
             if use_cov or use_gmm:
-                lb_grads, lb_aux = jax.grad(latent_batch_losses, has_aux=True)(state, scene_idx)
+                # pad entries excluded — batch-statistic losses (covariance,
+                # GMM NLL) must see exactly the real scenes' rows
+                lb_grads, lb_aux = jax.grad(latent_batch_losses, has_aux=True)(
+                    state, scene_idx[:b_real]
+                )
                 grads = jax.tree.map(jnp.add, grads, lb_grads)
                 aux.update(lb_aux)
 
@@ -532,9 +597,15 @@ class Stage1Trainer:
             )
         metrics_device = []
         for b in range(nb):
-            idx = jnp.asarray(perm[b * self.scene_per_batch : (b + 1) * self.scene_per_batch])
+            idx_np = perm[b * self.scene_per_batch : (b + 1) * self.scene_per_batch]
             if self.mesh is not None:
-                idx = jax.device_put(idx, self._batch_sharding)
+                pad = self._batch_pad - self.scene_per_batch
+                if pad:
+                    # pad scene ids are masked out of the loss inside the step
+                    idx_np = np.concatenate([idx_np, np.zeros(pad, idx_np.dtype)])
+                idx = jax.device_put(jnp.asarray(idx_np), self._batch_sharding)
+            else:
+                idx = jnp.asarray(idx_np)
             self.global_batch_idx += 1
             key = jax.random.fold_in(self.base_key, self.global_batch_idx)
             self.state, self.opt_state, m = step_fn(
@@ -577,7 +648,7 @@ class Stage1Trainer:
             seconds = time.time() - t0
             self.timing_log.append(seconds)
 
-            lat_mag = float(np.mean(np.linalg.norm(np.asarray(self.state["lat"]), axis=1)))
+            lat_mag = float(np.mean(np.linalg.norm(self.latent_codes(), axis=1)))
             self.lat_mag_log.append(lat_mag)
             self._append_param_magnitudes()
 
@@ -644,10 +715,40 @@ class Stage1Trainer:
         return out
 
     # ------------------------------------------------------------------
+    def latent_codes(self) -> np.ndarray:
+        """Host copy of the REAL latent rows (mesh-padding rows stripped)."""
+        return np.asarray(self.state["lat"])[: self.num_scenes]
+
+    def _strip_lat_padding(self, tree):
+        if self.num_scenes_padded == self.num_scenes:
+            return tree
+        return dict(tree, lat=tree["lat"][: self.num_scenes])
+
+    def _pad_lat(self, arr):
+        """Zero-pad a [num_scenes, L] host array to the mesh-padded table."""
+        pad = self.num_scenes_padded - self.num_scenes
+        if pad == 0:
+            return jnp.asarray(arr)
+        arr = np.asarray(arr)
+        return jnp.asarray(np.concatenate([arr, np.zeros((pad, arr.shape[1]), arr.dtype)]))
+
     def save_checkpoint(self, name: str):
         ckpt.save_model(self.experiment_directory, name + ".pth", self.decoder, self.state["net"], self.epoch)
-        ckpt.save_optimizer(self.experiment_directory, name + ".pth", self.opt_state, self.epoch)
-        ckpt.save_latent_vectors(self.experiment_directory, name + ".pth", self.state["lat"], self.epoch)
+        # mesh-padding rows stripped: checkpoints always carry exactly
+        # num_scenes rows (and matching Adam moments) regardless of the
+        # device count they were trained on
+        opt_to_save = self.opt_state
+        if self.num_scenes_padded != self.num_scenes:
+            opt_to_save = type(self.opt_state)(
+                count=self.opt_state.count,
+                mu=self._strip_lat_padding(self.opt_state.mu),
+                nu=self._strip_lat_padding(self.opt_state.nu),
+            )
+        ckpt.save_optimizer(self.experiment_directory, name + ".pth", opt_to_save, self.epoch)
+        ckpt.save_latent_vectors(
+            self.experiment_directory, name + ".pth",
+            self.state["lat"][: self.num_scenes], self.epoch,
+        )
 
     def save_logs(self):
         ckpt.save_logs(
@@ -668,9 +769,17 @@ class Stage1Trainer:
             expected_shape=(self.num_scenes, self.latent_size),
         )
         net, model_epoch = ckpt.load_model(self.experiment_directory, continue_from, self.decoder)
-        self.state = dict(self.state, net=net, lat=jnp.asarray(lat))
-        self.opt_state, optimizer_epoch = ckpt.load_optimizer(
-            self.experiment_directory, continue_from + ".pth", adam_init(self.state)
+        self.state = dict(self.state, net=net, lat=self._pad_lat(lat))
+        # checkpoints store unpadded latent moments; load against an
+        # unpadded template, then re-pad (pad rows keep zero moments)
+        template = adam_init(self._strip_lat_padding(self.state))
+        loaded_opt, optimizer_epoch = ckpt.load_optimizer(
+            self.experiment_directory, continue_from + ".pth", template
+        )
+        self.opt_state = type(loaded_opt)(
+            count=loaded_opt.count,
+            mu={k: (self._pad_lat(v) if k == "lat" else v) for k, v in loaded_opt.mu.items()},
+            nu={k: (self._pad_lat(v) if k == "lat" else v) for k, v in loaded_opt.nu.items()},
         )
         try:
             (
@@ -707,6 +816,8 @@ class Stage1Trainer:
             if isinstance(sched, StepLearningRateOnPlateauSchedule) and self.lr_log:
                 sched.set_state(self.lr_log[-1][i])
         self.epoch = model_epoch
+        if self.mesh is not None:
+            self._apply_mesh_placement()
         return model_epoch + 1
 
     # ------------------------------------------------------------------

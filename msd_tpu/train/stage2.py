@@ -419,10 +419,11 @@ class Stage2Trainer:
     # ------------------------------------------------------------------
     def _apply_mesh_placement(self):
         """Replicate VAE (+ trainable SDF) params and optimizer moments over
-        the mesh; scene batches shard per step in train_epoch. The batch
-        axis must be divisible by the mesh size, else the batch replicates
-        (gradients are identical either way — replication just loses the
-        speedup)."""
+        the mesh; scene batches shard per step in train_epoch. When the
+        scene axis is not divisible by the mesh the batch replicates, but
+        the SDF-consistency term (the step's dominant FLOPs) still shards
+        over the POINT axis via a sharding constraint in the step — see
+        _build_step — so multi-chip speedup survives odd batch sizes."""
         from msd_tpu.parallel import leading_axis_or_replicated, replicated_sharding
 
         replicated = replicated_sharding(self.mesh)
@@ -502,6 +503,20 @@ class Stage2Trainer:
                 f"batch_split={batch_split} must divide ScenesPerBatch*SamplesPerScene"
                 f"={self.scene_per_batch * P}"
             )
+
+        # Point-axis sharding of the SDF-consistency term: the step's FLOPs
+        # are dominated by B*P points through the 8x512 SDF decoder, and
+        # B*P is divisible by any mesh (P is a power of two) even when the
+        # scene batch is not — so the hot term scales with chips regardless
+        # of ScenesPerBatch, and the (tiny) VAE/batch-statistic losses stay
+        # on whatever sharding the scene batch got (replicated when
+        # non-divisible). XLA psums the decoder/VAE grads over ICI.
+        shard_points = None
+        if self.mesh is not None:
+            from msd_tpu.parallel import batch_sharding, mesh_size
+
+            if (self.scene_per_batch * P // batch_split) % mesh_size(self.mesh) == 0:
+                shard_points = batch_sharding(self.mesh)
 
         def loss_fn(trainable, frozen_sdf, teacher, surface_pts, pos, pc, neg, nc, scene_idx,
                     label_values, label_valid, age_values, age_valid, key,
@@ -594,6 +609,10 @@ class Stage2Trainer:
             gt_flat = sdf_gt.reshape(-1, 1)
 
             def sdf_chunk_loss(lp, xp, gp):
+                if shard_points is not None:
+                    lp = jax.lax.with_sharding_constraint(lp, shard_points)
+                    xp = jax.lax.with_sharding_constraint(xp, shard_points)
+                    gp = jax.lax.with_sharding_constraint(gp, shard_points)
                 pred = sdf_decoder.apply(sdf_params, jnp.concatenate([lp, xp], axis=1))
                 pred = jnp.clip(pred, -clamp, clamp)
                 return deep_sdf_loss(

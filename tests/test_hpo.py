@@ -64,3 +64,24 @@ def test_run_trial_end_to_end(tmp_path):
     value, detail = hpo.run_trial(str(tmp_path / "trial_0"), specs, train_epochs=2)
     assert np.isfinite(value)
     assert set(detail) == {"sap", "corr", "recon"}
+
+
+def test_non_finite_holdout_recon_fails_trial(tmp_path, monkeypatch):
+    """A NaN holdout recon must FAIL the trial (value=None in trials.json),
+    not silently substitute the train loss (which would reward overfitting
+    in exactly the failed-eval case)."""
+    exp_dir, specs, teacher = _setup(
+        tmp_path,
+        num_scenes=16,
+        TrainLatentHoldoutFraction=0.25,
+        NumEpochs=1,
+        SnapshotFrequency=1,
+    )
+    from msd_tpu.train import stage2_eval as ev
+
+    monkeypatch.setattr(
+        ev, "run_eval",
+        lambda *a, **k: {"eval_vae_recon": float("nan"), "eval_total": float("nan")},
+    )
+    with pytest.raises(RuntimeError, match="non-finite"):
+        hpo.run_trial(str(tmp_path / "trial_nan"), specs, train_epochs=1)

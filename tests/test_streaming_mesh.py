@@ -271,3 +271,36 @@ def test_fetch_parallel_parts(trained):  # noqa: F811
     for n in (0, 1, 2048, 2049, 4096, 9999, 10000):
         out = ev.fetch_parallel(dev, n, part=2048)
         np.testing.assert_array_equal(out, data[:n])
+
+
+@needs_native
+def test_sharded_create_mesh_matches_single_device(trained, tmp_path):  # noqa: F811
+    """create_mesh through a PointEvaluator sharded over an 8-device mesh
+    must reproduce the single-device mesh (grid-eval scaling correctness,
+    SURVEY §2.6 / VERDICT r2 weak-item 4)."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    trainer, _ = trained
+    latent = trainer.state["lat"][2]
+    ev_single = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    mesh8 = Mesh(np.array(jax.devices()[:8]), ("data",))
+    ev_mesh = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"], mesh=mesh8)
+
+    res_s = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=129, return_mesh=True,
+        evaluator=ev_single, sparse=True,
+    )
+    res_m = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=129, return_mesh=True,
+        evaluator=ev_mesh, sparse=True,
+    )
+    sv, sf = res_s
+    mv, mf = res_m
+    # per-point evaluation is device-local (no cross-point reductions), so
+    # the sharded grid values — and the extracted mesh — match exactly
+    assert sv.shape == mv.shape and sf.shape == mf.shape
+    np.testing.assert_allclose(mv, sv, rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(mf, sf)
