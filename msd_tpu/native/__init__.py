@@ -18,12 +18,19 @@ _LOCK = threading.Lock()
 _LIB = None
 _FAILED = False
 
-_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "marching_tets.cpp")
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRCS = [
+    os.path.join(_PKG_DIR, "marching_tets.cpp"),
+    os.path.join(_PKG_DIR, "raster.cpp"),
+]
 
 
 def _lib_path() -> str:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    h = hashlib.sha256()
+    for src in _SRCS:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    digest = h.hexdigest()[:16]
     name = f"libmsd_native_{digest}.so"
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     if os.access(pkg_dir, os.W_OK):
@@ -36,7 +43,7 @@ def _lib_path() -> str:
 def _build(out_path: str):
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", out_path,
+        *_SRCS, "-o", out_path,
     ]
     logging.info("building native library: %s", " ".join(cmd))
     subprocess.run(cmd, check=True, capture_output=True)
@@ -101,6 +108,26 @@ def load_native():
             ]
             lib.mt_ply_stream_finish.restype = ctypes.c_int
             lib.mt_ply_stream_finish.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+            lib.rast_render.restype = None
+            lib.rast_render.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_float,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.rast_visibility.restype = None
+            lib.rast_visibility.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
             _LIB = lib
         except Exception as e:  # toolchain missing / compile error
             logging.warning("native library unavailable, using numpy path: %s", e)

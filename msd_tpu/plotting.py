@@ -5,9 +5,11 @@ LoC): training-stat curves (:55-76), Chamfer-distance violin plots with
 percentile annotations (:78-126), SDF cross-sections (:359-391), latent
 t-SNE manifolds (:672-751), and latent interpolation strips (:753-799).
 
-Offscreen mesh rendering uses matplotlib 3-D trisurf instead of the
-reference's pyrender/EGL stack (pyrender is not available; the figures
-serve the same diagnostic role).
+Offscreen mesh rendering: ``pyrender_helper`` (same name/signature as the
+reference's, ref plotting.py:127-146) renders shaded color+depth images
+through the native C++ rasterizer (msd_tpu/render.py — no pyrender/EGL
+needed); ``render_mesh`` keeps the matplotlib trisurf variant for axes
+embedded in figure grids.
 """
 
 from __future__ import annotations
@@ -20,6 +22,8 @@ import matplotlib
 
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
+
+from msd_tpu.render import pyrender_helper  # noqa: F401,E402  (reference-name re-export)
 
 
 def plot_train_stats(loss_hists, psnr_hist=None, step_hist=None, labels=None, save_path=""):

@@ -285,17 +285,30 @@ def preprocess_mesh(
     seed: int = 0,
     center: bool = True,
     repair: bool = True,
+    visibility: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray, dict]:
     """Full mesh -> {pos, neg} sample generation
     (ref: src/PreprocessMesh.cpp:282-565).
 
     Returns (pos [N,4], neg [M,4], info) with float32 (x, y, z, sdf) rows.
-    info carries the per-mesh ``quality`` ratios and ``rejected`` flag
-    (render-free analog of the reference's observation-ratio test,
-    ref: :496-512 — which logs "mesh rejected" but proceeds; we do the
-    same, surfacing the flag to callers). ``repair=True`` additionally
-    re-winds inconsistently oriented faces before sampling so the normal
-    vote sees coherent outward normals.
+    info carries the per-mesh ``quality`` ratios and ``rejected`` flag.
+    ``repair=True`` additionally re-winds inconsistently oriented faces
+    before sampling so the normal vote sees coherent outward normals.
+
+    ``visibility`` selects how surface points are drawn:
+      * "watertight" — area-weighted sampling over ALL faces (valid for the
+        watertight volume-corrected medical meshes this pipeline targets);
+      * "render" — the reference's multi-view visibility pass
+        (ref: PreprocessMesh.cpp:443-494): 100 Fibonacci-sphere cameras
+        rasterize face-id buffers (native C++ rasterizer standing in for
+        the GL ShaderProgram, src/ShaderProgram.cpp:5-141) and base/vote
+        points are sampled from VISIBLE faces only; the per-view
+        wrong-normal observation ratio feeds the reference's
+        mesh-rejection diagnostic (ref: :496-512, thresholds 0.02/0.03 —
+        logged-and-proceed, like the reference);
+      * "auto" — "render" when the mesh has boundary edges (non-watertight,
+        where all-face sampling would place surface points on interior
+        shells) and the native rasterizer is available, else "watertight".
     """
     if test:
         variance = 0.05
@@ -328,12 +341,25 @@ def preprocess_mesh(
         logging.info("repaired mesh winding: flipped %d faces", n_flipped)
         quality = dict(quality, repaired_faces=n_flipped)
 
+    sample_faces, render_stats = _visibility_faces(verts, faces, visibility, quality)
+    if render_stats is not None:
+        quality = dict(quality, **render_stats)
+        # reference observation-ratio rejection (PreprocessMesh.cpp:496-512):
+        # >2-3% of covered pixels seeing a back-facing triangle flags a
+        # badly-wound/doubled surface; logged-and-proceed like the reference
+        if render_stats["wrong_normal_fraction"] > 0.02:
+            logging.warning(
+                "mesh rejected (render pass: %.2f%% wrong-normal observations)",
+                100 * render_stats["wrong_normal_fraction"],
+            )
+            quality = dict(quality, rejected=True)
+
     rng = np.random.default_rng(seed)
     num_near = int(near_ratio * num_samples)
     base_n = num_near // 2
 
     # base surface points for jittered samples
-    base_pts, _ = sample_surface_points(verts, faces, base_n, rng)
+    base_pts, _ = sample_surface_points(verts, sample_faces, base_n, rng)
     samp1 = base_pts + rng.normal(0.0, stdv, size=base_pts.shape).astype(np.float32)
     samp2 = base_pts + rng.normal(0.0, math.sqrt(second_variance), size=base_pts.shape).astype(np.float32)
     n_uniform = num_samples - 2 * base_n
@@ -341,7 +367,7 @@ def preprocess_mesh(
     queries = np.concatenate([samp1, samp2, uniform], axis=0).astype(np.float32)
 
     # vote set: dense surface sampling with normals
-    vote_pts, vote_norms = sample_surface_points(verts, faces, surface_vote_points, rng)
+    vote_pts, vote_norms = sample_surface_points(verts, sample_faces, surface_vote_points, rng)
 
     sdf, keep = knn_sign_vote(queries, vote_pts, vote_norms, num_votes=num_votes, stdv=stdv)
     xyz = queries[keep]
@@ -364,8 +390,37 @@ def preprocess_mesh(
     return pos, neg, info
 
 
+def _visibility_faces(verts, faces, visibility: str, quality: dict):
+    """Resolve the face set surface samples are drawn from.
+
+    Returns (faces_to_sample, render_stats-or-None). "render" restricts to
+    the multi-view visible shell (ref: PreprocessMesh.cpp:443-494); "auto"
+    uses the render pass only for non-watertight meshes."""
+    if visibility not in ("auto", "render", "watertight"):
+        raise ValueError(f"unknown visibility mode: {visibility!r}")
+    use_render = visibility == "render"
+    if visibility == "auto" and quality.get("boundary_edge_ratio", 0.0) > 0.0:
+        from msd_tpu.native import load_native
+
+        use_render = load_native() is not None
+    if not use_render:
+        return faces, None
+    from msd_tpu.render import visibility_scan
+
+    # scale a render copy to the camera rig's unit-sphere frame (the mesh
+    # is centered but not scaled at this point, like the reference's
+    # BoundingCubeNormalization center-only pass, Utils.cpp:170)
+    vscale = float(np.linalg.norm(verts, axis=1).max()) or 1.0
+    vis, stats = visibility_scan((verts / vscale, faces))
+    stats = {f"render_{k}" if k == "visible_fraction" else k: v for k, v in stats.items()}
+    if not vis.any():  # degenerate render (e.g. all-degenerate faces)
+        return faces, stats
+    return faces[vis], stats
+
+
 def sample_visible_surface(
-    verts: np.ndarray, faces: np.ndarray, num_points: int = 30000, seed: int = 0
+    verts: np.ndarray, faces: np.ndarray, num_points: int = 30000, seed: int = 0,
+    visibility: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Evaluation surface samples + normalization parameters
     (ref: src/SampleVisibleMeshSurface.cpp:144-324): (points [N,3],
@@ -373,8 +428,18 @@ def sample_visible_surface(
     scale = 1/(max_dist_from_center * 1.03). Points stay in the ORIGINAL
     mesh frame (the reference's normalization call is commented out,
     SampleVisibleMeshSurface.cpp:219); the params map them to the
-    normalized frame used during training."""
+    normalized frame used during training.
+
+    ``visibility``: like preprocess_mesh — "render" keeps only samples on
+    the multi-view visible shell (ref SampleFromSurfaceInside,
+    SampleVisibleMeshSurface.cpp:59-142); "auto" renders only for
+    non-watertight meshes."""
     verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int32)
     offset, scale = bounding_cube_normalization(verts, buffer=1.03)
-    pts = sample_mesh_surface(verts, faces, num_points, np.random.default_rng(seed))[0]
+    quality = mesh_quality(verts - verts.mean(axis=0), faces)
+    faces_to_sample, _ = _visibility_faces(
+        verts - (verts.min(axis=0) + verts.max(axis=0)) / 2.0, faces, visibility, quality
+    )
+    pts = sample_mesh_surface(verts, faces_to_sample, num_points, np.random.default_rng(seed))[0]
     return pts.astype(np.float32), offset, scale

@@ -44,6 +44,20 @@ def rotate(x, alpha=0.0, beta=0.0, gamma=0.0):
     return R_z(gamma) @ R_y(beta) @ R_x(alpha) @ x
 
 
+def equi_dist_points_on_sphere(num_samples: int, radius: float = 1.0) -> np.ndarray:
+    """Fibonacci-spiral near-equidistant points on a sphere
+    (ref: src/Utils.cpp:7-26 EquiDistPointsOnSphere — same recurrence, so
+    the multi-view camera rigs match the reference's)."""
+    i = np.arange(num_samples, dtype=np.float64)
+    offset = 2.0 / num_samples
+    increment = np.pi * (3.0 - np.sqrt(5.0))
+    y = (i * offset - 1.0) + offset / 2.0
+    r = np.sqrt(np.maximum(0.0, 1.0 - y * y))
+    phi = (i + 1.0) * increment
+    pts = np.stack([np.cos(phi) * r, y, np.sin(phi) * r], axis=1)
+    return (radius * pts).astype(np.float32)
+
+
 def psnr(mse):
     """Peak signal-to-noise ratio for mse in [0, 1] (ref: utils.py:100-107)."""
     return 20 * np.log10(1.0 / np.sqrt(mse))

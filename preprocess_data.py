@@ -54,6 +54,13 @@ if __name__ == "__main__":
     arg_parser.add_argument("--surface", dest="surface_sampling", default=False, action="store_true")
     arg_parser.add_argument("--aug", dest="use_augmented", default=False, action="store_true")
     arg_parser.add_argument("--samples", dest="num_samples", type=int, default=500000)
+    arg_parser.add_argument(
+        "--visibility", dest="visibility", default="auto",
+        choices=("auto", "render", "watertight"),
+        help="surface-point source: 'render' = the reference's multi-view "
+        "visibility pass (C++ rasterizer); 'watertight' = all faces; "
+        "'auto' = render only for non-watertight meshes.",
+    )
     add_common_args(arg_parser)
     args = arg_parser.parse_args()
     configure_logging(args)
@@ -113,7 +120,9 @@ if __name__ == "__main__":
         try:
             verts, faces = load_mesh(mesh_path)
             if args.surface_sampling:
-                pts, offset, scale = sample_visible_surface(verts, faces)
+                pts, offset, scale = sample_visible_surface(
+                    verts, faces, visibility=args.visibility
+                )
                 save_ply(target, pts)
                 np.savez(
                     os.path.join(normalization_param_dir, base + ".npz"),
@@ -121,7 +130,8 @@ if __name__ == "__main__":
                 )
             else:
                 pos, neg, info = preprocess_mesh(
-                    verts, faces, num_samples=args.num_samples, test=args.test_sampling
+                    verts, faces, num_samples=args.num_samples,
+                    test=args.test_sampling, visibility=args.visibility,
                 )
                 np.savez(target, pos=pos, neg=neg)
                 logging.info(

@@ -170,3 +170,65 @@ def test_mesh_quality_hole(rng):
     q = mesh_quality(v, f[keep])
     assert q["boundary_edge_ratio"] > base + 0.02
     assert q["rejected"]
+
+
+def test_render_visibility_excludes_hidden_faces():
+    """An occluded interior shell must not receive surface samples in
+    render mode (the reference's multi-view visibility semantics,
+    ref: PreprocessMesh.cpp:443-494)."""
+    import pytest
+
+    from conftest import make_sphere_mesh
+    from msd_tpu.native import load_native
+    from msd_tpu.preprocess.mesh_to_sdf import preprocess_mesh
+
+    if load_native() is None:
+        pytest.skip("no C++ toolchain")
+    vo, fo = make_sphere_mesh(32, 64, radius=0.7)
+    vi, fi = make_sphere_mesh(16, 32, radius=0.25)
+    # outward winding for the vote normals (conftest spheres wind inward)
+    fo, fi = fo[:, ::-1], fi[:, ::-1]
+    verts = np.concatenate([vo, vi])
+    faces = np.concatenate([fo, fi + len(vo)])
+
+    pos, neg, info = preprocess_mesh(
+        verts, faces, num_samples=20000, visibility="render", repair=False
+    )
+    assert info["quality"]["render_visible_fraction"] < 0.8  # inner shell culled
+    near = np.concatenate([pos, neg])
+    r = np.linalg.norm(near[:, :3], axis=1)
+    # near-surface samples hug the OUTER sphere only: nothing lands in the
+    # band around the hidden inner shell
+    inner_band = ((r > 0.15) & (r < 0.35)).mean()
+    assert inner_band < 0.01, inner_band
+
+    # watertight mode on the same mesh does sample the inner shell
+    pos_w, neg_w, _ = preprocess_mesh(
+        verts, faces, num_samples=20000, visibility="watertight", repair=False
+    )
+    near_w = np.concatenate([pos_w, neg_w])
+    r_w = np.linalg.norm(near_w[:, :3], axis=1)
+    assert ((r_w > 0.15) & (r_w < 0.35)).mean() > 0.05
+
+
+def test_pyrender_helper_color_depth():
+    """pyrender_helper returns (color, depth) arrays with the reference's
+    camera rig (ref: deep_sdf/plotting.py:127-146)."""
+    import pytest
+
+    from conftest import make_sphere_mesh
+    from msd_tpu.native import load_native
+
+    if load_native() is None:
+        pytest.skip("no C++ toolchain")
+    from msd_tpu.plotting import pyrender_helper
+
+    v, f = make_sphere_mesh(32, 64, radius=0.7)
+    color, depth = pyrender_helper((v, f), alpha=0.2, beta=0.3)
+    assert color.shape == (1000, 1000, 3) and color.dtype == np.uint8
+    assert depth.shape == (1000, 1000) and depth.dtype == np.float32
+    hit = depth > 0
+    assert 0.05 < hit.mean() < 0.5  # sphere silhouette, not empty or full-frame
+    # camera sits 2 units out; nearest sphere point is at depth 2-0.7
+    assert abs(depth[hit].min() - 1.3) < 0.02
+    assert (color[hit].sum(axis=1) > 0).all()
