@@ -92,7 +92,8 @@ def _chunklet_size(half: int, chunk: int) -> int:
     return max(math.gcd(half, chunk), 1)
 
 
-def sample_sdf_batch(pos, pos_counts, neg, neg_counts, scene_indices, subsample, key, chunk: int = 128):
+def sample_sdf_batch(pos, pos_counts, neg, neg_counts, scene_indices, subsample, key,
+                     chunk: int = 128, layout: str = "rows"):
     """Device-side balanced subsample for a batch of scenes.
 
     TPU gathers are row-granularity bound: 524k random 16-byte rows cost
@@ -106,16 +107,23 @@ def sample_sdf_batch(pos, pos_counts, neg, neg_counts, scene_indices, subsample,
     (deep_sdf/data.py:112-136). ``chunk=1`` recovers exact iid sampling.
 
     Args:
-        pos: [S, Pmax, 4] padded positive samples (pre-shuffled rows).
+        pos: [4, S, Pmax] padded positive samples in SoA component-major
+          layout (pre-shuffled along Pmax; see SdfDataset.device_arrays —
+          SoA keeps the 128-point chunklets lane-contiguous per component,
+          so neither this gather nor the fused kernel's [components, n]
+          input needs a lane-shuffling transpose).
         pos_counts: [S] valid counts.
         neg, neg_counts: same for negatives.
         scene_indices: [B] int32 scene ids.
         subsample: static int, points per scene (half pos / half neg,
           ref: deep_sdf/data.py:98-107).
         key: PRNG key.
+        layout: "rows" -> [B, subsample, 4] float32 (AoS, for paths that
+          feed points as matmul rows); "t" -> [4, B, subsample] (SoA,
+          transpose-free path into the fused train kernel).
 
     Returns:
-        [B, subsample, 4] float32 samples.
+        [B, subsample, 4] or [4, B, subsample] float32 samples.
     """
     half = subsample // 2
     other = subsample - half
@@ -125,7 +133,7 @@ def sample_sdf_batch(pos, pos_counts, neg, neg_counts, scene_indices, subsample,
     def draw(arr, counts, n_rows, k):
         r = _chunklet_size(n_rows, chunk)
         n_draws = n_rows // r
-        pmax = arr.shape[1]
+        pmax = arr.shape[2]
         n_chunklets = pmax // r
         # ceil-div so the partial tail chunklet is reachable (its pad rows
         # are cyclic copies of real rows — see _pad_stack); scenes with
@@ -133,13 +141,16 @@ def sample_sdf_batch(pos, pos_counts, neg, neg_counts, scene_indices, subsample,
         cc = jnp.clip((counts[scene_indices] + r - 1) // r, 1, n_chunklets)  # [B]
         ic = jax.random.randint(k, (b, n_draws), 0, cc[:, None])
         flat_ids = (scene_indices[:, None] * n_chunklets + ic).reshape(-1)
-        chunked = arr[:, : n_chunklets * r, :].reshape(-1, r, 4)
-        rows = jnp.take(chunked, flat_ids, axis=0)  # [B*n_draws, r, 4]
-        return rows.reshape(b, n_rows, 4)
+        chunked = arr[:, :, : n_chunklets * r].reshape(4, -1, r)
+        rows = jnp.take(chunked, flat_ids, axis=1)  # [4, B*n_draws, r]
+        return rows.reshape(4, b, n_rows)
 
     pos_rows = draw(pos, pos_counts, half, kp)
     neg_rows = draw(neg, neg_counts, other, kn)
-    return jnp.concatenate([pos_rows, neg_rows], axis=1)
+    out_t = jnp.concatenate([pos_rows, neg_rows], axis=2)  # [4, B, subsample]
+    if layout == "t":
+        return out_t
+    return out_t.transpose(1, 2, 0)
 
 
 @dataclass
@@ -247,12 +258,18 @@ class SdfDataset:
         return len(self.npyfiles)
 
     def device_arrays(self):
-        """(pos, pos_counts, neg, neg_counts) as device arrays, cached."""
+        """(pos, pos_counts, neg, neg_counts) device arrays, cached.
+
+        pos/neg upload in SoA component-major layout [4, S, Pmax] (host
+        arrays stay AoS [S, Pmax, 4]): chunklet gathers then produce the
+        fused train kernel's [components, n] input directly — the AoS
+        layout forced a [n,3]->[3,n] lane-shuffle transpose worth ~2.5 ms
+        per step at the flagship workload."""
         if self._device_arrays is None:
             self._device_arrays = (
-                jnp.asarray(self.pos),
+                jnp.asarray(np.ascontiguousarray(self.pos.transpose(2, 0, 1))),
                 jnp.asarray(self.pos_counts),
-                jnp.asarray(self.neg),
+                jnp.asarray(np.ascontiguousarray(self.neg.transpose(2, 0, 1))),
                 jnp.asarray(self.neg_counts),
             )
         return self._device_arrays

@@ -407,6 +407,49 @@ def fused_point_grads(
     aux {sdf, eikonal}).
     """
     B, P = xyz.shape[0], xyz.shape[1]
+    n = B * P
+    xyz_t = jnp.zeros((_XPAD, n), jnp.float32).at[:3].set(xyz.reshape(n, 3).T)
+    gt = jnp.clip(sdf_gt.reshape(n), -clamp_dist, clamp_dist)
+    gt_t = jnp.zeros((_XPAD, n), jnp.float32).at[0].set(gt)
+    return _fused_point_grads_core(
+        decoder, net_params, lat_rows, xyz_t, gt_t, B, P,
+        clamp_dist, use_eikonal, num_total, eik_weight, dtype, interpret,
+    )
+
+
+def fused_point_grads_t(
+    decoder,
+    net_params,
+    lat_rows,
+    xyzgt_t,
+    clamp_dist: float,
+    use_eikonal: bool,
+    num_total: int,
+    eik_weight: float = 0.002,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Like ``fused_point_grads`` but taking the batch in the SoA layout
+    ``xyzgt_t`` [4, B, P] produced by ``sample_sdf_batch(layout="t")`` —
+    the kernel's [components, n] input builds with sublane row copies only
+    (no lane-shuffling transpose; ~2.5 ms/step at the flagship workload)."""
+    B, P = xyzgt_t.shape[1], xyzgt_t.shape[2]
+    n = B * P
+    flat = xyzgt_t.reshape(4, n)
+    xyz_t = jnp.zeros((_XPAD, n), jnp.float32).at[:3].set(flat[:3])
+    gt_t = jnp.zeros((_XPAD, n), jnp.float32).at[0].set(
+        jnp.clip(flat[3], -clamp_dist, clamp_dist)
+    )
+    return _fused_point_grads_core(
+        decoder, net_params, lat_rows, xyz_t, gt_t, B, P,
+        clamp_dist, use_eikonal, num_total, eik_weight, dtype, interpret,
+    )
+
+
+def _fused_point_grads_core(
+    decoder, net_params, lat_rows, xyz_t, gt_t, B, P,
+    clamp_dist, use_eikonal, num_total, eik_weight, dtype, interpret,
+):
     plan, latent_li, L, nl = _layer_plan(decoder)
 
     def eff(params):
@@ -428,10 +471,6 @@ def fused_point_grads(
         consts.append(c)
 
     n = B * P
-    xyz_t = jnp.zeros((_XPAD, n), jnp.float32).at[:3].set(xyz.reshape(n, 3).T)
-    gt = jnp.clip(sdf_gt.reshape(n), -clamp_dist, clamp_dist)
-    gt_t = jnp.zeros((_XPAD, n), jnp.float32).at[0].set(gt)
-
     fused = build_fused_train(
         decoder, B, P, clamp_dist, num_total, use_eikonal, eik_weight, dtype, interpret
     )

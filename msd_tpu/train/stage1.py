@@ -53,6 +53,7 @@ from msd_tpu.utils.optim import (
     adam_init,
     adam_update,
     clip_grads_by_global_norm,
+    fused_clip_adam,
     project_code_bound,
 )
 
@@ -316,12 +317,12 @@ class Stage1Trainer:
         reg_lambda = self.code_reg_lambda
         clamp = self.clamp_dist
 
-        def fused_grad_fn(trainable, idx_chunk, xyz, sdf_gt, key, epoch_f, num_total):
-            from msd_tpu.ops.fused_train import fused_point_grads
+        def fused_grad_fn(trainable, idx_chunk, xyzgt_t, key, epoch_f, num_total):
+            from msd_tpu.ops.fused_train import fused_point_grads_t
 
             lat_rows = trainable["lat"][idx_chunk]
-            g_net, dlat_rows, aux = fused_point_grads(
-                decoder, trainable["net"], lat_rows, xyz, sdf_gt,
+            g_net, dlat_rows, aux = fused_point_grads_t(
+                decoder, trainable["net"], lat_rows, xyzgt_t,
                 clamp, use_eik, num_total,
             )
             if do_reg:
@@ -504,43 +505,56 @@ class Stage1Trainer:
                 state = dict(state, lat=state["lat"].at[scene_idx].set(rows))
 
             sample_key, loss_key = jax.random.split(key)
-            batch = sample_sdf_batch(pos, pc, neg, nc, scene_idx, P, sample_key)  # [B, P, 4]
-            xyz = batch[..., :3]
-            sdf_gt = batch[..., 3:4]
-
             if use_fused:
-                def grad_fn(trainable, idx_chunk, xyz_c, gt_c, k):
-                    return fused_grad_fn(trainable, idx_chunk, xyz_c, gt_c, k, epoch_f, num_total)
+                # SoA batch feeds the kernel's [components, n] input with no
+                # lane-shuffling transpose (sample_sdf_batch layout="t")
+                batch_t = sample_sdf_batch(
+                    pos, pc, neg, nc, scene_idx, P, sample_key, layout="t"
+                )  # [4, B, P]
+
+                def grad_fn(trainable, idx_chunk, data_c, k):
+                    return fused_grad_fn(trainable, idx_chunk, data_c, k, epoch_f, num_total)
+
+                data = batch_t
             else:
+                batch = sample_sdf_batch(pos, pc, neg, nc, scene_idx, P, sample_key)  # [B, P, 4]
                 n_real = b_real if padded else None
 
-                def total_point_loss(trainable, idx_chunk, xyz_c, gt_c, k):
+                def total_point_loss(trainable, idx_chunk, data_c, k):
                     return point_losses(
-                        trainable, idx_chunk, xyz_c, gt_c, k, epoch_f, num_total,
+                        trainable, idx_chunk, data_c[0], data_c[1], k, epoch_f, num_total,
                         n_real=n_real,
                     )
 
                 grad_fn = jax.grad(total_point_loss, has_aux=True)
+                data = (batch[..., :3], batch[..., 3:4])
 
             if batch_split == 1:
-                grads, aux = grad_fn(state, scene_idx, xyz, sdf_gt, loss_key)
+                grads, aux = grad_fn(state, scene_idx, data, loss_key)
             else:
                 bs = scene_idx.shape[0] // batch_split
                 idx_chunks = scene_idx[: bs * batch_split].reshape(batch_split, bs)
-                xyz_chunks = xyz[: bs * batch_split].reshape(batch_split, bs, P, 3)
-                gt_chunks = sdf_gt[: bs * batch_split].reshape(batch_split, bs, P, 1)
+                if use_fused:
+                    data_chunks = data[:, : bs * batch_split].reshape(
+                        4, batch_split, bs, P
+                    ).transpose(1, 0, 2, 3)
+                else:
+                    data_chunks = (
+                        data[0][: bs * batch_split].reshape(batch_split, bs, P, 3),
+                        data[1][: bs * batch_split].reshape(batch_split, bs, P, 1),
+                    )
 
                 def scan_body(carry, inp):
                     acc = carry
-                    i, idx_c, xyz_c, gt_c = inp
-                    g, a = grad_fn(state, idx_c, xyz_c, gt_c, jax.random.fold_in(loss_key, i))
+                    i, idx_c, data_c = inp
+                    g, a = grad_fn(state, idx_c, data_c, jax.random.fold_in(loss_key, i))
                     acc = jax.tree.map(jnp.add, acc, g)
                     return acc, a
 
                 zero = jax.tree.map(jnp.zeros_like, state)
                 grads, auxs = jax.lax.scan(
                     scan_body, zero,
-                    (jnp.arange(batch_split), idx_chunks, xyz_chunks, gt_chunks),
+                    (jnp.arange(batch_split), idx_chunks, data_chunks),
                 )
                 aux = jax.tree.map(jnp.sum, auxs)
 
@@ -553,15 +567,16 @@ class Stage1Trainer:
                 grads = jax.tree.map(jnp.add, grads, lb_grads)
                 aux.update(lb_aux)
 
-            if self.grad_clip is not None:
-                net_grads, net_norm = clip_grads_by_global_norm(grads["net"], self.grad_clip)
-                grads = dict(grads, net=net_grads)
-                aux["net_grad_norm"] = net_norm
-
             lr_tree = {"net": lr_net, "lat": lr_lat}
             if "gmm" in state:
                 lr_tree["gmm"] = lr_lat
-            new_state, new_opt = adam_update(state, grads, opt_state, lr_tree)
+            # one flattened clip+Adam pass per group (the per-leaf pytree
+            # update costs ~5.6 ms of kernel-launch overhead on v5e)
+            new_state, new_opt, norms = fused_clip_adam(
+                state, grads, opt_state, lr_tree, max_norm=self.grad_clip
+            )
+            if "net" in norms:
+                aux["net_grad_norm"] = norms["net"]
 
             total = aux["sdf"] + aux["eikonal"] + aux["reg"]
             for k2 in ("iso", "grad_metric_iso", "covariance", "gmm"):

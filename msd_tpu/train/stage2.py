@@ -38,7 +38,7 @@ from msd_tpu.lr_schedules import get_learning_rate_schedules
 from msd_tpu.models import build_decoder
 from msd_tpu.models.residual_mlp_vae import ResidualMLPVAE, expand_latent_to_points
 from msd_tpu.utils import checkpoint as ckpt
-from msd_tpu.utils.optim import adam_init, adam_update, clip_grads_by_global_norm
+from msd_tpu.utils.optim import adam_init, adam_update, clip_grads_by_global_norm, fused_clip_adam
 
 
 def load_teacher_latents(path: str) -> np.ndarray:
@@ -660,16 +660,14 @@ class Stage2Trainer:
                 label_values, label_valid, age_values, age_valid, key,
                 kl_weight, code_reg_weight,
             )
-            if self.grad_clip is not None:
-                vae_grads, _ = clip_grads_by_global_norm(grads["vae"], self.grad_clip)
-                grads = dict(grads, vae=vae_grads)
-                if train_sdf:
-                    sdf_grads, _ = clip_grads_by_global_norm(grads["sdf"], self.grad_clip)
-                    grads = dict(grads, sdf=sdf_grads)
             lr_tree = {"vae": lr_vae}
             if train_sdf:
                 lr_tree["sdf"] = lr_sdf
-            new_state, new_opt = adam_update(state, grads, opt_state, lr_tree)
+            # flattened per-group clip+Adam (see utils/optim.fused_clip_adam)
+            new_state, new_opt, _ = fused_clip_adam(
+                state, grads, opt_state, lr_tree, max_norm=self.grad_clip,
+                clip_keys=("vae", "sdf") if train_sdf else ("vae",),
+            )
             bn_updates = aux.pop("bn_updates", None)
             if bn_updates is not None:
                 new_state = dict(

@@ -64,6 +64,66 @@ def adam_update(params, grads, state: AdamState, lr_tree, b1=0.9, b2=0.999, eps=
     return new_params, AdamState(count=count, mu=mu, nu=nu)
 
 
+def fused_clip_adam(params, grads, state: AdamState, lr_tree, max_norm=None,
+                    clip_keys=("net",), b1=0.9, b2=0.999, eps=1e-8):
+    """Semantically identical to ``clip_grads_by_global_norm`` (on each
+    group in ``clip_keys``) followed by ``adam_update``, but executed over
+    ONE flattened vector per top-level group.
+
+    Motivation (v5e, flagship 8x512 workload): the pytree update lowers to
+    ~100 small elementwise kernels (per-leaf mu/nu/param ops on <=1 MB
+    arrays) costing ~5.6 ms of launch overhead per step; flattening turns
+    it into a handful of fused passes over ~7 MB vectors (~0.2 ms of
+    bandwidth). The AdamState structure (and hence the optimizer
+    checkpoint format) is unchanged — moments are split back per leaf.
+
+    Returns (new_params, new_state, {clip_key: pre-clip norm}).
+    """
+    import numpy as _np
+
+    count = state.count + 1
+    t = count.astype(jnp.float32)
+    bc1 = 1.0 - b1**t
+    bc2 = 1.0 - b2**t
+    new_params, new_mu, new_nu = {}, {}, {}
+    norms = {}
+    for k in params:
+        lr = lr_tree[k] if isinstance(lr_tree, dict) else lr_tree
+        leaves, treedef = jax.tree_util.tree_flatten(params[k])
+        g_leaves = jax.tree_util.tree_leaves(grads[k])
+        m_leaves = jax.tree_util.tree_leaves(state.mu[k])
+        v_leaves = jax.tree_util.tree_leaves(state.nu[k])
+        sizes = [l.size for l in leaves]
+        shapes = [l.shape for l in leaves]
+        if len(leaves) == 1:
+            fp, fg, fm, fv = leaves[0], g_leaves[0], m_leaves[0], v_leaves[0]
+        else:
+            fp = jnp.concatenate([l.ravel() for l in leaves])
+            fg = jnp.concatenate([l.ravel() for l in g_leaves])
+            fm = jnp.concatenate([l.ravel() for l in m_leaves])
+            fv = jnp.concatenate([l.ravel() for l in v_leaves])
+        if k in clip_keys and max_norm is not None:
+            gnorm = jnp.sqrt(jnp.sum(fg.astype(jnp.float32) ** 2))
+            fg = fg * jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
+            norms[k] = gnorm
+        fm = b1 * fm + (1.0 - b1) * fg
+        fv = b2 * fv + (1.0 - b2) * (fg * fg)
+        fp = fp - lr * (fm / bc1) / (jnp.sqrt(fv / bc2) + eps)
+        if len(leaves) == 1:
+            new_params[k], new_mu[k], new_nu[k] = fp, fm, fv
+        else:
+            offs = list(_np.cumsum(sizes)[:-1])
+
+            def unflat(flat):
+                parts = [p.reshape(s) for p, s in zip(jnp.split(flat, offs), shapes)]
+                return jax.tree_util.tree_unflatten(treedef, parts)
+
+            new_params[k] = unflat(fp)
+            new_mu[k] = unflat(fm)
+            new_nu[k] = unflat(fv)
+    return new_params, AdamState(count=count, mu=new_mu, nu=new_nu), norms
+
+
 def clip_grads_by_global_norm(grads, max_norm):
     """torch.nn.utils.clip_grad_norm_ equivalent (global L2 norm over the
     subtree; ref: train_deep_sdf.py:780-782 clips decoder params only)."""

@@ -136,3 +136,26 @@ def test_supports_gating():
              latent_dropout=False, weight_norm=False),
     )
     assert not supports_fused_train(dec_ln, 256)  # LayerNorm in chain
+
+
+def test_fused_point_grads_t_matches_rows_layout():
+    """The SoA entry point (xyzgt_t [4, B, P]) must produce identical
+    losses and gradients to the AoS one."""
+    from msd_tpu.ops.fused_train import fused_point_grads_t
+
+    decoder, params, lat, xyz, gt = make_case(weight_norm=True)
+    B, P = xyz.shape[:2]
+    g_net_a, g_lat_a, aux_a = fused_point_grads(
+        decoder, params, lat, xyz, gt, CLAMP, True, B * P,
+        dtype=jnp.float32, interpret=True,
+    )
+    xyzgt_t = jnp.concatenate([xyz, gt], axis=2).transpose(2, 0, 1)  # [4, B, P]
+    g_net_b, g_lat_b, aux_b = fused_point_grads_t(
+        decoder, params, lat, xyzgt_t, CLAMP, True, B * P,
+        dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(float(aux_a["sdf"]), float(aux_b["sdf"]), rtol=1e-6)
+    np.testing.assert_allclose(float(aux_a["eikonal"]), float(aux_b["eikonal"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_lat_a), np.asarray(g_lat_b), rtol=1e-6)
+    for la, lb in zip(jax.tree.leaves(g_net_a), jax.tree.leaves(g_net_b)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-6)

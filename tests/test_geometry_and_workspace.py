@@ -114,3 +114,49 @@ def test_profile_epochs_hook(tmp_path):
     tr.train(num_epochs=1, eval_hooks=False)
     prof_dir = os.path.join(exp_dir, "TensorBoard", "profile")
     assert os.path.isdir(prof_dir) and len(os.listdir(prof_dir)) > 0
+
+
+def test_fused_clip_adam_matches_pytree_path():
+    """fused_clip_adam (one flattened pass per group) must be numerically
+    identical to clip_grads_by_global_norm + adam_update, including after
+    several steps (moment state round-trips through the flatten/split)."""
+    import jax
+    import jax.numpy as jnp
+
+    from msd_tpu.utils.optim import (
+        adam_init, adam_update, clip_grads_by_global_norm, fused_clip_adam,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def tree(scale=1.0):
+        return {
+            "net": {
+                "lin0": {"v": jnp.asarray(rng.normal(size=(7, 5)) * scale, jnp.float32),
+                          "g": jnp.asarray(rng.normal(size=(5,)) * scale, jnp.float32),
+                          "b": jnp.asarray(rng.normal(size=(5,)) * scale, jnp.float32)},
+                "lin1": {"w": jnp.asarray(rng.normal(size=(5, 1)) * scale, jnp.float32),
+                          "b": jnp.asarray(rng.normal(size=(1,)) * scale, jnp.float32)},
+            },
+            "lat": jnp.asarray(rng.normal(size=(6, 4)) * scale, jnp.float32),
+        }
+
+    params_a = tree()
+    params_b = jax.tree.map(lambda x: x, params_a)
+    opt_a = adam_init(params_a)
+    opt_b = adam_init(params_b)
+    lr = {"net": 1e-3, "lat": 5e-3}
+    for step in range(4):
+        grads = tree(scale=3.0)  # large so the clip actually engages
+        ng, norm_a = clip_grads_by_global_norm(grads["net"], 1.0)
+        params_a, opt_a = adam_update(params_a, dict(grads, net=ng), opt_a, lr)
+        params_b, opt_b, norms = fused_clip_adam(params_b, grads, opt_b, lr, max_norm=1.0)
+        assert float(norm_a) == pytest.approx(float(norms["net"]), rel=1e-6)
+    for pa, pb in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_b)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-6, atol=1e-7)
+    for ma, mb in zip(jax.tree.leaves(opt_a.mu), jax.tree.leaves(opt_b.mu)):
+        np.testing.assert_allclose(np.asarray(ma), np.asarray(mb), rtol=1e-6, atol=1e-7)
+    # no-clip path returns empty norms and still matches
+    params_a2, opt_a2 = adam_update(params_a, tree(), opt_a, lr)
+    params_b2, opt_b2, norms2 = fused_clip_adam(params_b, tree(), opt_b, lr, max_norm=None)
+    assert norms2 == {}
