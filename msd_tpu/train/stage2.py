@@ -366,7 +366,7 @@ class Stage2Trainer:
         self.loss_log_epoch = []
         self.epoch = 0
         self._writer = None
-        self._step_fns = {}  # keyed on batch_split
+        self._epoch_fns = {}  # keyed on batch_split
         self.last_train_sap = None
         self.last_holdout_sap = None
         self.last_eval_metrics = None
@@ -675,7 +675,41 @@ class Stage2Trainer:
                 )
             return new_state, new_opt, aux
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return step
+
+    # ------------------------------------------------------------------
+    def _get_epoch_fn(self, batch_split: int, nb: int):
+        """One jitted program per epoch: lax.scan of the train step over the
+        epoch's nb batches (see Stage1Trainer._get_epoch_fn — per-step
+        dispatches/fetches through the relay cost ~7 ms/step at small
+        steps-per-epoch)."""
+        sig = (batch_split, nb)
+        if sig not in self._epoch_fns:
+            step = self._build_step(batch_split)
+            base_key = self.base_key
+
+            def epoch_fn(state, opt_state, frozen_sdf, teacher, surface, pos, pc, neg, nc,
+                         sel_all, lv_all, valid_all, av_all, avalid_all,
+                         epoch_i, kl_weight, code_reg_weight, lr_vae, lr_sdf):
+                def body(carry, inp):
+                    st, opt = carry
+                    i, sel, lv, valid, av, avalid = inp
+                    key = jax.random.fold_in(base_key, epoch_i * 100003 + i)
+                    st, opt, aux = step(
+                        st, opt, frozen_sdf, teacher, surface, pos, pc, neg, nc,
+                        sel, lv, valid, av, avalid, key,
+                        kl_weight, code_reg_weight, lr_vae, lr_sdf,
+                    )
+                    return (st, opt), aux
+
+                (state, opt_state), ms = jax.lax.scan(
+                    body, (state, opt_state),
+                    (jnp.arange(nb), sel_all, lv_all, valid_all, av_all, avalid_all),
+                )
+                return state, opt_state, ms
+
+            self._epoch_fns[sig] = jax.jit(epoch_fn, donate_argnums=(0, 1))
+        return self._epoch_fns[sig]
 
     # ------------------------------------------------------------------
     def _batch_labels(self, scene_idx: np.ndarray, rng: np.random.Generator):
@@ -724,11 +758,9 @@ class Stage2Trainer:
         )
 
     # ------------------------------------------------------------------
-    def train_epoch(self, epoch: int, batch_split: int = 1, rng: np.random.Generator | None = None):
-        if batch_split not in self._step_fns:
-            self._step_fns[batch_split] = self._build_step(batch_split)
-        step_fn = self._step_fns[batch_split]
-        rng = rng or np.random.default_rng(epoch)
+    def _dispatch_epoch(self, epoch: int, batch_split: int, rng: np.random.Generator):
+        """Enqueue one epoch (ONE jitted scan) and return the un-fetched
+        packed metrics; no host sync here (jax dispatch is async)."""
         lr_vae = float(self.lr_schedules[0].get_learning_rate(epoch, self.loss_log_epoch))
         lr_sdf = float(
             (self.lr_schedules[1] if len(self.lr_schedules) > 1 else self.lr_schedules[0]).get_learning_rate(
@@ -766,27 +798,73 @@ class Stage2Trainer:
         nb = len(train_idx) // self.scene_per_batch
         if nb == 0:
             raise RuntimeError("ScenesPerBatch larger than (non-holdout) train set")
-        metrics_device = []
+        sel_rows, lv_rows, valid_rows, av_rows, avalid_rows = [], [], [], [], []
         for bidx in range(nb):
             sel = train_idx[perm[bidx * self.scene_per_batch : (bidx + 1) * self.scene_per_batch]]
             lv, valid, av, avalid = self._batch_labels(sel, rng)
-            key = jax.random.fold_in(self.base_key, epoch * 100003 + bidx)
-            batch_arrays = [jnp.asarray(a) for a in (sel, lv, valid, av, avalid)]
-            if self.mesh is not None:
-                batch_arrays = [jax.device_put(a, self._batch_sharding) for a in batch_arrays]
-            self.state, self.opt_state, aux = step_fn(
-                self.state, self.opt_state, frozen_sdf, teacher, surface, pos, pc, neg, nc,
-                *batch_arrays, key,
-                jnp.float32(kl_weight), jnp.float32(code_reg_weight),
-                jnp.float32(lr_vae), jnp.float32(lr_sdf),
-            )
-            metrics_device.append(aux)
-        ms = jax.device_get(metrics_device)
-        for m in ms:
-            self.loss_log.append(float(m["total"]))
-        mean = {k: float(np.mean([m[k] for m in ms])) for k in ms[0]}
+            sel_rows.append(sel)
+            lv_rows.append(lv)
+            valid_rows.append(valid)
+            av_rows.append(av)
+            avalid_rows.append(avalid)
+        batch_arrays = [
+            jnp.asarray(np.stack(rows))
+            for rows in (sel_rows, lv_rows, valid_rows, av_rows, avalid_rows)
+        ]
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # same policy as the per-batch sharding: scenes shard when
+            # divisible, else they replicate (the SDF point-axis constraint
+            # in the step still shards the hot term)
+            spec = P(None, "data") if "data" in str(self._batch_sharding.spec) else P()
+            batch_arrays = [
+                jax.device_put(a, NamedSharding(self.mesh, spec)) for a in batch_arrays
+            ]
+        epoch_fn = self._get_epoch_fn(batch_split, nb)
+        self.state, self.opt_state, ms_dev = epoch_fn(
+            self.state, self.opt_state, frozen_sdf, teacher, surface, pos, pc, neg, nc,
+            *batch_arrays,
+            jnp.int32(epoch), jnp.float32(kl_weight), jnp.float32(code_reg_weight),
+            jnp.float32(lr_vae), jnp.float32(lr_sdf),
+        )
+        keys = sorted(ms_dev)
+        packed_dev = jnp.stack([jnp.asarray(ms_dev[k], jnp.float32) for k in keys])
+        return keys, packed_dev, nb
+
+    def _resolve_epoch(self, keys, packed_dev, nb):
+        packed = np.asarray(packed_dev)  # ONE packed host sync per epoch
+        ti = keys.index("total")
+        for i in range(nb):
+            self.loss_log.append(float(packed[ti, i]))
+        mean = {k: float(np.mean(packed[j])) for j, k in enumerate(keys)}
         self.loss_log_epoch.append(mean["total"])
         return mean
+
+    def train_epoch(self, epoch: int, batch_split: int = 1, rng: np.random.Generator | None = None):
+        rng = rng or np.random.default_rng(epoch)
+        return self._resolve_epoch(*self._dispatch_epoch(epoch, batch_split, rng))
+
+    def train_epochs(self, start_epoch: int, end_epoch: int, batch_split: int = 1,
+                     rng: np.random.Generator | None = None, max_in_flight: int = 2):
+        """Pipelined epochs: up to ``max_in_flight`` in the device queue
+        before the oldest metrics fetch resolves (hides the relay round
+        trip). Falls back to sequential when a plateau LR schedule is
+        active (it reads the previous epoch's loss)."""
+        from msd_tpu.lr_schedules import StepLearningRateOnPlateauSchedule
+
+        epochs = list(range(start_epoch, end_epoch))
+        if any(isinstance(s, StepLearningRateOnPlateauSchedule) for s in self.lr_schedules):
+            return [self.train_epoch(e, batch_split, rng) for e in epochs]
+        rng = rng or np.random.default_rng(start_epoch)
+        pending, means = [], []
+        for e in epochs:
+            pending.append(self._dispatch_epoch(e, batch_split, rng))
+            if len(pending) >= max_in_flight:
+                means.append(self._resolve_epoch(*pending.pop(0)))
+        while pending:
+            means.append(self._resolve_epoch(*pending.pop(0)))
+        return means
 
     # ------------------------------------------------------------------
     def compute_vae_latents(self, inputs=None, batch_size: int = 1024) -> np.ndarray:
