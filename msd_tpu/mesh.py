@@ -989,7 +989,7 @@ def _spill_tmp_base(ply_path: str) -> str:
 
 
 def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size, value_codec="packed",
-                           ply_path=None):
+                           ply_path=None, want_mesh=True):
     """Hierarchical active-block discovery + streamed C++ marching
     tetrahedra. The active set is evaluated ONCE on device (values stay
     device-resident), the crossing mask crosses the relay as 1 bit/block,
@@ -1119,11 +1119,18 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
             ctypes.byref(out_verts), ctypes.byref(nv),
             ctypes.byref(out_faces), ctypes.byref(nf),
         )
+        LAST_STREAMING_STATS["t_fin_view"] = round(time.time() - t0, 3)
         if nv.value == 0:
             raise ValueError("Surface level must be within volume data range.")
-        verts_view = np.ctypeslib.as_array(out_verts, shape=(nv.value, 3))
-        verts = verts_view * np.float32(voxel_size) - np.float32(1.0)
-        faces = np.ctypeslib.as_array(out_faces, shape=(nf.value, 3)).copy()
+        verts = faces = None
+        if want_mesh:
+            t1 = time.time()
+            verts_view = np.ctypeslib.as_array(out_verts, shape=(nv.value, 3))
+            verts = verts_view * np.float32(voxel_size) - np.float32(1.0)
+            LAST_STREAMING_STATS["t_fin_verts"] = round(time.time() - t1, 3)
+            t1 = time.time()
+            faces = np.ctypeslib.as_array(out_faces, shape=(nf.value, 3)).copy()
+            LAST_STREAMING_STATS["t_fin_faces"] = round(time.time() - t1, 3)
         if spill_ply:
             t_ply = time.time()
             ply_written = (
@@ -1133,6 +1140,8 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
         LAST_STREAMING_STATS["t_finish"] = round(time.time() - t0, 3)
         LAST_STREAMING_STATS["num_verts"] = int(nv.value)
         LAST_STREAMING_STATS["num_faces"] = int(nf.value)
+        if verts is None:
+            return None, None, ply_written
         return verts.astype(np.float32, copy=False), faces, ply_written
     finally:
         lib.mt_destroy(ctypes.c_void_p(handle))
@@ -1438,10 +1447,22 @@ def create_mesh(
             if filename and scale is None and offset is None:
                 os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
                 spill_path = filename + ".ply"
+            # when the caller only wants the .ply (the reference's
+            # create_mesh contract) and the spill stream can write it, skip
+            # materializing verts/faces on the host: the ~50 MB of numpy
+            # copies intermittently stall 0.2-1.5 s on allocator page faults
+            want_mesh = bool(return_mesh) or spill_path is None
             verts, faces, ply_done = _create_mesh_streaming(
                 latent_vec, N, evaluator, sparse_safety, clamp_dist, voxel_size,
-                value_codec=value_codec, ply_path=spill_path,
+                value_codec=value_codec, ply_path=spill_path, want_mesh=want_mesh,
             )
+            if not want_mesh and not ply_done:
+                # spill failed (e.g. tmpfs full): re-run materializing so
+                # the post-hoc save_ply fallback below can write the file
+                verts, faces, ply_done = _create_mesh_streaming(
+                    latent_vec, N, evaluator, sparse_safety, clamp_dist, voxel_size,
+                    value_codec=value_codec, ply_path=None, want_mesh=True,
+                )
             logging.debug("[create_mesh] streaming mesh takes: %f", time.time() - start)
         elif b > 2:
             # sparse fast path: mesh directly from active blocks, never
