@@ -624,6 +624,13 @@ class Stage1Trainer:
                 (state, opt_state), ms = jax.lax.scan(
                     body, (state, opt_state), (jnp.arange(nb), idx_all)
                 )
+                # post-epoch mean latent magnitude over the REAL rows,
+                # folded into the packed metrics (its own host fetch would
+                # pay another relay round trip per epoch)
+                lat_mag = jnp.mean(
+                    jnp.linalg.norm(state["lat"][: self.num_scenes], axis=1)
+                )
+                ms = dict(ms, lat_mag_post=jnp.broadcast_to(lat_mag, (nb,)))
                 return state, opt_state, ms
 
             self._epoch_fns[sig] = jax.jit(epoch_fn, donate_argnums=(0, 1))
@@ -748,7 +755,9 @@ class Stage1Trainer:
             seconds = time.time() - t0
             self.timing_log.append(seconds)
 
-            lat_mag = float(np.mean(np.linalg.norm(self.latent_codes(), axis=1)))
+            lat_mag = mean.get("lat_mag_post")
+            if lat_mag is None:
+                lat_mag = float(np.mean(np.linalg.norm(self.latent_codes(), axis=1)))
             self.lat_mag_log.append(lat_mag)
             self._append_param_magnitudes()
 
