@@ -315,6 +315,9 @@ class PointEvaluator:
             bsz = SPARSE_BLOCK
             pts_per = (bsz + 1) ** 3
             assert (n_blocks * pts_per) % self.tile == 0
+            # u16 idx stream (half the bytes) whenever slab row indices fit;
+            # the consumer dispatches on the fetched dtype
+            use_u16 = n_blocks <= 60000
             local = np.arange(bsz + 1)
             lx, ly, lz = np.meshgrid(local, local, local, indexing="ij")
             offs = jnp.asarray(np.stack([lx, ly, lz], axis=-1).reshape(-1, 3).astype(np.int32))
@@ -337,12 +340,17 @@ class PointEvaluator:
                     jnp.arange(n_blocks, dtype=jnp.int32), mode="drop"
                 )
                 if codec == "packed":
-                    # sign bitmap (16 B) + small-corner bitmap (16 B) + u8
-                    # magnitudes ONLY for |v| < thresh corners: ~88 B/block
-                    # on the wire vs 125 for int8, with a finer quantum
-                    # (q = thresh/255). Non-small corners decode to
-                    # sign*thresh — they never bound a crossing edge of a
-                    # ~1-Lipschitz field, so only their sign matters.
+                    # sign bitmap (16 B) + present-corner bitmap (16 B) + u8
+                    # magnitudes ONLY for corners that are BOTH small
+                    # (|v| < thresh, q = thresh/255) AND incident to a sign
+                    # change within their 3^3 lattice window ("needed").
+                    # Every marching-tets edge connects 26-neighbors, so a
+                    # corner whose whole window is single-signed can never be
+                    # an endpoint of a crossing edge — its magnitude is never
+                    # read by vertex interpolation and doesn't ship. Absent
+                    # corners decode to sign*thresh: for non-small ones a
+                    # ~1-Lipschitz field can't put a crossing edge there
+                    # anyway, and for not-needed ones no such edge exists.
                     rowsf = vals.astype(jnp.float32)
                     w8 = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
 
@@ -358,8 +366,22 @@ class PointEvaluator:
                     magc = jnp.where(
                         rowsf == 0, 0, jnp.clip(jnp.round(jnp.abs(rowsf) / q), 1, 255)
                     ).astype(jnp.uint8)
-                    # "small" is DEFINED as mag < 255 (saturation) so the
+                    # sign change within the 3^3 window, exact at the lattice
+                    # boundary: the window-neighbor count rides the MXU as a
+                    # [n,125]@[125,125] adjacency matmul (counts <= 27 are
+                    # exact in bf16 with f32 accumulation) — 5-wide window
+                    # ops on the lane axis crawl on the VPU.
+                    s = jax.lax.dot(
+                        sign_neg.astype(jnp.bfloat16),
+                        self._window_adj(pts_per),
+                        preferred_element_type=jnp.float32,
+                    )
+                    any3 = s > 0.5
+                    all3 = s > self._window_size(pts_per) - 0.5
+                    needed = any3 & ~all3
+                    # "present" is DEFINED as (masked) mag < 255 so the
                     # bitmap and the scattered magnitudes can never disagree
+                    magc = jnp.where(needed, magc, 255).astype(jnp.uint8)
                     small = magc < 255
                     bitmaps_all = jnp.concatenate(
                         [pack_bits(sign_neg), pack_bits(small)], axis=1
@@ -373,16 +395,37 @@ class PointEvaluator:
                     capM = cap * self.packed_mag_bytes_per_block
                     # unscattered padding rows are zeros (mag<255) — mask them
                     valid_row = jnp.arange(cap) < count
-                    flat_small = ((mag_rows < 255) & valid_row[:, None]).reshape(-1)
-                    mag_count = jnp.sum(flat_small.astype(jnp.int32))
+                    small_rows = (mag_rows < 255) & valid_row[:, None]
+                    # two-level prefix sum: the within-row inclusive prefix is
+                    # a lower-triangular MXU matmul (exact: counts <= 125),
+                    # leaving only a [cap]-long scan on the row axis
+                    within = jax.lax.dot(
+                        small_rows.astype(jnp.bfloat16),
+                        self._tri_le(pts_per),
+                        preferred_element_type=jnp.float32,
+                    ).astype(jnp.int32)
+                    row_counts = within[:, -1]
+                    row_off = jnp.cumsum(row_counts) - row_counts
+                    mag_count = row_off[-1] + row_counts[-1]
                     mdest = jnp.where(
-                        flat_small, jnp.cumsum(flat_small.astype(jnp.int32)) - 1, capM
+                        small_rows, row_off[:, None] + within - 1, capM
                     )
-                    mdest = jnp.minimum(mdest, capM)
+                    mdest = jnp.minimum(mdest, capM).reshape(-1)
                     mags = jnp.zeros((capM + 1,), jnp.uint8).at[mdest].set(
                         mag_rows.reshape(-1), mode="drop"
                     )[:capM]
-                    ic = jnp.concatenate([count[None], mag_count[None], idx[:cap]])
+                    if use_u16:
+                        # halve the (latency-critical) idx fetch: u16 header
+                        # [count, Km_lo, Km_hi, 0] + u16 indices
+                        ic = jnp.concatenate([
+                            count.astype(jnp.uint16)[None],
+                            (mag_count & 0xFFFF).astype(jnp.uint16)[None],
+                            (mag_count >> 16).astype(jnp.uint16)[None],
+                            jnp.zeros((1,), jnp.uint16),
+                            idx[:cap].astype(jnp.uint16),
+                        ])
+                    else:
+                        ic = jnp.concatenate([count[None], mag_count[None], idx[:cap]])
                     return ic, bitmaps, mags
                 if codec == "int8":
                     rows = vals.astype(jnp.float32)
@@ -393,7 +436,14 @@ class PointEvaluator:
                 packed = jnp.zeros((cap + 1, code.shape[1]), jnp.int8).at[dest].set(
                     code, mode="drop"
                 )
-                idx_and_count = jnp.concatenate([count[None], idx[:cap]])
+                if use_u16:
+                    idx_and_count = jnp.concatenate([
+                        count.astype(jnp.uint16)[None],
+                        jnp.zeros((3,), jnp.uint16),
+                        idx[:cap].astype(jnp.uint16),
+                    ])
+                else:
+                    idx_and_count = jnp.concatenate([count[None], idx[:cap]])
                 return idx_and_count, packed[:cap]
 
             self._block_fns[key] = f
@@ -414,6 +464,52 @@ class PointEvaluator:
                 return inner(latent, abi_slab, valid_n, h, scale, q)
 
             self._block_fns[key] = f
+        return self._block_fns[key]
+
+    def _window_adj(self, pts_per):
+        """[125, 125] bf16 adjacency: Adj[c', c] = 1 iff lattice corner c'
+        lies in the 3^3 window of c. (neg @ Adj)[c] then counts negative
+        window corners — one MXU matmul replaces 3-D window reductions."""
+        key = ("window_adj", pts_per)
+        if key not in self._block_fns:
+            b = SPARSE_BLOCK
+            n1 = b + 1
+            coords = np.stack(
+                np.meshgrid(np.arange(n1), np.arange(n1), np.arange(n1), indexing="ij"),
+                axis=-1,
+            ).reshape(-1, 3)
+            d = np.abs(coords[:, None, :] - coords[None, :, :]).max(axis=-1)
+            adj = (d <= 1).astype(np.float32)
+            # plain numpy (lifted as a constant per trace): building device
+            # arrays here would capture a tracer when first hit inside a jit
+            import ml_dtypes
+
+            self._block_fns[key] = adj.astype(ml_dtypes.bfloat16)
+            self._block_fns[("window_size", pts_per)] = adj.sum(axis=0).astype(np.float32)
+        return self._block_fns[key]
+
+    def _window_size(self, pts_per):
+        self._window_adj(pts_per)
+        return self._block_fns[("window_size", pts_per)]
+
+    def _tri_le(self, pts_per):
+        """[125, 125] bf16 lower-triangular ones: (x @ T)[c] = inclusive
+        prefix sum of x along the corner axis, on the MXU."""
+        key = ("tri_le", pts_per)
+        if key not in self._block_fns:
+            import ml_dtypes
+
+            self._block_fns[key] = np.triu(
+                np.ones((pts_per, pts_per), np.float32)
+            ).astype(ml_dtypes.bfloat16)
+        return self._block_fns[key]
+
+    def _get_cast_i16_fn(self, shape):
+        """Tiny jitted int32 -> int16 cast so host fetches of block
+        coordinates cross the relay at half the bytes."""
+        key = ("cast_i16", shape)
+        if key not in self._block_fns:
+            self._block_fns[key] = jax.jit(lambda a: a.astype(jnp.int16))
         return self._block_fns[key]
 
     def _get_gather_fn(self, codec: str):
@@ -585,9 +681,16 @@ class PointEvaluator:
                 if stats is not None:
                     stats["t_mask"] = stats.get("t_mask", 0.0) + time.time() - t0
                 K = int(icn[0])
+                # u16 stream: 4-entry header [count, Km_lo, Km_hi, 0] + idx;
+                # i32 stream (huge slabs): [count(, Km)] + idx
+                if icn.dtype == np.uint16:
+                    Km = int(icn[1]) | (int(icn[2]) << 16)
+                    idx0 = 4
+                else:
+                    Km = int(icn[1]) if codec == "packed" else 0
+                    idx0 = 2 if codec == "packed" else 1
                 overflow = K > cap
                 if codec == "packed" and not overflow:
-                    Km = int(icn[1])
                     overflow = Km > cap * self.packed_mag_bytes_per_block
                 if overflow:
                     # rare: crossing (or magnitude) fraction above the cap
@@ -605,15 +708,18 @@ class PointEvaluator:
                         sign = np.unpackbits(
                             np.ascontiguousarray(bitmaps[:, :16]), axis=1, bitorder="little"
                         )[:, :125].astype(bool)
-                        small = np.unpackbits(
+                        present = np.unpackbits(
                             np.ascontiguousarray(bitmaps[:, 16:]), axis=1, bitorder="little"
                         )[:, :125].astype(bool)
+                        # absent corners (non-small or away from any sign
+                        # change) decode to the codec cap: their magnitude is
+                        # never read by crossing-edge interpolation
                         vals = np.full((_K, 125), q * np.float32(255.0), np.float32)
-                        vals[small] = _m().astype(np.float32) * q
+                        vals[present] = _m().astype(np.float32) * q
                         return np.where(sign, -vals, vals)
 
                     jobs.append((K, self._decode_pool().submit(decode_packed).result,
-                                 get_abi()[lo:hi][icn[2 : 2 + K]]))
+                                 get_abi()[lo:hi][icn[idx0 : idx0 + K]]))
                 else:
                     rows_res = self.fetch_parallel_submit(devs[0], K)
                     if codec == "int8":
@@ -621,7 +727,7 @@ class PointEvaluator:
                     else:
                         decode = lambda _r=rows_res: _r().view(np.float16).astype(np.float32)
                     jobs.append((K, self._decode_pool().submit(decode).result,
-                                 get_abi()[lo:hi][icn[1 : 1 + K]]))
+                                 get_abi()[lo:hi][icn[idx0 : idx0 + K]]))
             for K, resolve, abi_x_s in jobs:
                 if stats is not None:
                     stats["crossing_blocks"] = stats.get("crossing_blocks", 0) + int(K)
@@ -879,8 +985,15 @@ class PointEvaluator:
                 return (lambda: empty), 0, evaluated, abi4_dev
             return np.zeros((0, 3), np.int64), evaluated
         # concurrent part streams keep fetched bytes ~= the real active set
-        # at the relay's multiplexed (not serial) bandwidth
-        resolver = self.fetch_parallel_submit(abi4_dev, count4, part=16384)
+        # at the relay's multiplexed (not serial) bandwidth; block coords fit
+        # int16 for any practical N (nb4 < 2^15), halving the fetch
+        if nb4 < 2**15:
+            fetch_src = self._get_cast_i16_fn(abi4_dev.shape)(abi4_dev)
+            part = 32768
+        else:
+            fetch_src = abi4_dev
+            part = 16384
+        resolver = self.fetch_parallel_submit(fetch_src, count4, part=part)
         if async_fetch:
             return (lambda: resolver().astype(np.int64)), count4, evaluated, abi4_dev
         return resolver().astype(np.int64), evaluated
