@@ -119,7 +119,7 @@ def main():
         dt = time.time() - t0
         times.append(dt)
         s = mesh_mod.LAST_STREAMING_STATS
-        print(f"rep {rep}: {dt:.3f}s  ok={ok}  stages={ {k: s.get(k) for k in ('t_refine','t_crossing','t_fetch','t_stream','t_finish','t_ply','crossing_blocks','active_blocks','evaluated','num_verts')} }", flush=True)
+        print(f"rep {rep}: {dt:.3f}s  ok={ok}  stages={ {k: s.get(k) for k in ('t_refine','t_crossing','t_fetch','t_mesher','t_prep','t_stream','t_finish','t_ply','crossing_blocks','active_blocks','evaluated','num_verts')} }", flush=True)
     import numpy as np
 
     print(f"min={min(times):.3f} median={float(np.median(times)):.3f}", flush=True)

@@ -327,127 +327,139 @@ class PointEvaluator:
                 fine = (abi_slab * (bsz * scale))[:, None, :] + offs[None, :, :] * scale
                 xyz_t = fine.reshape(-1, 3).T.astype(jnp.float32) * h - 1.0
                 vals = self._eval_t(latent, xyz_t).reshape(n_blocks, pts_per).astype(jnp.float16)
-                neg = vals < 0
-                mask = jnp.any(neg, axis=1) & ~jnp.all(neg, axis=1)
-                # bucket-padding rows repeat block (0,0,0) — exclude them
-                mask = mask & (jnp.arange(n_blocks) < valid_n)
-                count = jnp.sum(mask.astype(jnp.int32))
-                # crossing rows scatter to a contiguous prefix; everything
-                # else (and overflow beyond cap) drops into a slop row
-                dest = jnp.where(mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, cap)
-                dest = jnp.minimum(dest, cap)
-                idx = jnp.zeros((cap + 1,), jnp.int32).at[dest].set(
-                    jnp.arange(n_blocks, dtype=jnp.int32), mode="drop"
-                )
-                if codec == "packed":
-                    # sign bitmap (16 B) + present-corner bitmap (16 B) + u8
-                    # magnitudes ONLY for corners that are BOTH small
-                    # (|v| < thresh, q = thresh/255) AND incident to a sign
-                    # change within their 3^3 lattice window ("needed").
-                    # Every marching-tets edge connects 26-neighbors, so a
-                    # corner whose whole window is single-signed can never be
-                    # an endpoint of a crossing edge — its magnitude is never
-                    # read by vertex interpolation and doesn't ship. Absent
-                    # corners decode to sign*thresh: for non-small ones a
-                    # ~1-Lipschitz field can't put a crossing edge there
-                    # anyway, and for not-needed ones no such edge exists.
-                    rowsf = vals.astype(jnp.float32)
-                    w8 = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
-
-                    def pack_bits(bits):
-                        bitsp = jnp.pad(bits, ((0, 0), (0, 128 - pts_per)))
-                        return jnp.sum(
-                            bitsp.reshape(-1, 16, 8).astype(jnp.uint8) * w8, axis=-1
-                        ).astype(jnp.uint8)
-
-                    sign_neg = rowsf < 0
-                    # nonzero values never round to 0, so decoded signs match
-                    # the f16 signs the crossing selection used
-                    magc = jnp.where(
-                        rowsf == 0, 0, jnp.clip(jnp.round(jnp.abs(rowsf) / q), 1, 255)
-                    ).astype(jnp.uint8)
-                    # sign change within the 3^3 window, exact at the lattice
-                    # boundary: the window-neighbor count rides the MXU as a
-                    # [n,125]@[125,125] adjacency matmul (counts <= 27 are
-                    # exact in bf16 with f32 accumulation) — 5-wide window
-                    # ops on the lane axis crawl on the VPU.
-                    s = jax.lax.dot(
-                        sign_neg.astype(jnp.bfloat16),
-                        self._window_adj(pts_per),
-                        preferred_element_type=jnp.float32,
-                    )
-                    any3 = s > 0.5
-                    all3 = s > self._window_size(pts_per) - 0.5
-                    needed = any3 & ~all3
-                    # "present" is DEFINED as (masked) mag < 255 so the
-                    # bitmap and the scattered magnitudes can never disagree
-                    magc = jnp.where(needed, magc, 255).astype(jnp.uint8)
-                    small = magc < 255
-                    bitmaps_all = jnp.concatenate(
-                        [pack_bits(sign_neg), pack_bits(small)], axis=1
-                    )
-                    bitmaps = jnp.zeros((cap + 1, 32), jnp.uint8).at[dest].set(
-                        bitmaps_all, mode="drop"
-                    )[:cap]
-                    mag_rows = jnp.zeros((cap + 1, pts_per), jnp.uint8).at[dest].set(
-                        magc, mode="drop"
-                    )[:cap]
-                    capM = cap * self.packed_mag_bytes_per_block
-                    # unscattered padding rows are zeros (mag<255) — mask them
-                    valid_row = jnp.arange(cap) < count
-                    small_rows = (mag_rows < 255) & valid_row[:, None]
-                    # two-level prefix sum: the within-row inclusive prefix is
-                    # a lower-triangular MXU matmul (exact: counts <= 125),
-                    # leaving only a [cap]-long scan on the row axis
-                    within = jax.lax.dot(
-                        small_rows.astype(jnp.bfloat16),
-                        self._tri_le(pts_per),
-                        preferred_element_type=jnp.float32,
-                    ).astype(jnp.int32)
-                    row_counts = within[:, -1]
-                    row_off = jnp.cumsum(row_counts) - row_counts
-                    mag_count = row_off[-1] + row_counts[-1]
-                    mdest = jnp.where(
-                        small_rows, row_off[:, None] + within - 1, capM
-                    )
-                    mdest = jnp.minimum(mdest, capM).reshape(-1)
-                    mags = jnp.zeros((capM + 1,), jnp.uint8).at[mdest].set(
-                        mag_rows.reshape(-1), mode="drop"
-                    )[:capM]
-                    if use_u16:
-                        # halve the (latency-critical) idx fetch: u16 header
-                        # [count, Km_lo, Km_hi, 0] + u16 indices
-                        ic = jnp.concatenate([
-                            count.astype(jnp.uint16)[None],
-                            (mag_count & 0xFFFF).astype(jnp.uint16)[None],
-                            (mag_count >> 16).astype(jnp.uint16)[None],
-                            jnp.zeros((1,), jnp.uint16),
-                            idx[:cap].astype(jnp.uint16),
-                        ])
-                    else:
-                        ic = jnp.concatenate([count[None], mag_count[None], idx[:cap]])
-                    return ic, bitmaps, mags
-                if codec == "int8":
-                    rows = vals.astype(jnp.float32)
-                    mag = jnp.clip(jnp.round(jnp.abs(rows) / q), 1, 127)
-                    code = jnp.where(rows == 0, 0.0, jnp.sign(rows) * mag).astype(jnp.int8)
-                else:
-                    code = vals.view(jnp.int8).reshape(n_blocks, 2 * pts_per)
-                packed = jnp.zeros((cap + 1, code.shape[1]), jnp.int8).at[dest].set(
-                    code, mode="drop"
-                )
-                if use_u16:
-                    idx_and_count = jnp.concatenate([
-                        count.astype(jnp.uint16)[None],
-                        jnp.zeros((3,), jnp.uint16),
-                        idx[:cap].astype(jnp.uint16),
-                    ])
-                else:
-                    idx_and_count = jnp.concatenate([count[None], idx[:cap]])
-                return idx_and_count, packed[:cap]
+                return self._encode_compact_body(vals, valid_n, cap, codec, q, use_u16)
 
             self._block_fns[key] = f
         return self._block_fns[key]
+
+    def _encode_compact_body(self, vals, valid_n, cap, codec, q, use_u16, extra=None):
+        """Shared tail of the slab programs (traced, inlined into the
+        callers' jits): crossing filter + on-device compaction + value
+        codec. ``extra``: optional uint16 scalar stored in header slot 3 of
+        u16 index streams (the dedup programs' orphan-overflow flag)."""
+        n_blocks, pts_per = vals.shape
+        neg = vals < 0
+        mask = jnp.any(neg, axis=1) & ~jnp.all(neg, axis=1)
+        # bucket-padding rows repeat block (0,0,0) — exclude them
+        mask = mask & (jnp.arange(n_blocks) < valid_n)
+        count = jnp.sum(mask.astype(jnp.int32))
+        # crossing rows scatter to a contiguous prefix; everything
+        # else (and overflow beyond cap) drops into a slop row
+        dest = jnp.where(mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, cap)
+        dest = jnp.minimum(dest, cap)
+        idx = jnp.zeros((cap + 1,), jnp.int32).at[dest].set(
+            jnp.arange(n_blocks, dtype=jnp.int32), mode="drop"
+        )
+        flag16 = (
+            jnp.zeros((1,), jnp.uint16) if extra is None else extra.reshape(1).astype(jnp.uint16)
+        )
+        if codec == "packed":
+            # sign bitmap (16 B) + present-corner bitmap (16 B) + u8
+            # magnitudes ONLY for corners that are BOTH small
+            # (|v| < thresh, q = thresh/255) AND incident to a sign
+            # change within their 3^3 lattice window ("needed").
+            # Every marching-tets edge connects 26-neighbors, so a
+            # corner whose whole window is single-signed can never be
+            # an endpoint of a crossing edge — its magnitude is never
+            # read by vertex interpolation and doesn't ship. Absent
+            # corners decode to sign*thresh: for non-small ones a
+            # ~1-Lipschitz field can't put a crossing edge there
+            # anyway, and for not-needed ones no such edge exists.
+            rowsf = vals.astype(jnp.float32)
+            w8 = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+
+            def pack_bits(bits):
+                bitsp = jnp.pad(bits, ((0, 0), (0, 128 - pts_per)))
+                return jnp.sum(
+                    bitsp.reshape(-1, 16, 8).astype(jnp.uint8) * w8, axis=-1
+                ).astype(jnp.uint8)
+
+            sign_neg = rowsf < 0
+            # nonzero values never round to 0, so decoded signs match
+            # the f16 signs the crossing selection used
+            magc = jnp.where(
+                rowsf == 0, 0, jnp.clip(jnp.round(jnp.abs(rowsf) / q), 1, 255)
+            ).astype(jnp.uint8)
+            # sign change within the 3^3 window, exact at the lattice
+            # boundary: the window-neighbor count rides the MXU as a
+            # [n,125]@[125,125] adjacency matmul (counts <= 27 are
+            # exact in bf16 with f32 accumulation) — 5-wide window
+            # ops on the lane axis crawl on the VPU.
+            s = jax.lax.dot(
+                sign_neg.astype(jnp.bfloat16),
+                self._window_adj(pts_per),
+                preferred_element_type=jnp.float32,
+            )
+            any3 = s > 0.5
+            all3 = s > self._window_size(pts_per) - 0.5
+            needed = any3 & ~all3
+            # "present" is DEFINED as (masked) mag < 255 so the
+            # bitmap and the scattered magnitudes can never disagree
+            magc = jnp.where(needed, magc, 255).astype(jnp.uint8)
+            small = magc < 255
+            bitmaps_all = jnp.concatenate(
+                [pack_bits(sign_neg), pack_bits(small)], axis=1
+            )
+            bitmaps = jnp.zeros((cap + 1, 32), jnp.uint8).at[dest].set(
+                bitmaps_all, mode="drop"
+            )[:cap]
+            mag_rows = jnp.zeros((cap + 1, pts_per), jnp.uint8).at[dest].set(
+                magc, mode="drop"
+            )[:cap]
+            capM = cap * self.packed_mag_bytes_per_block
+            # unscattered padding rows are zeros (mag<255) — mask them
+            valid_row = jnp.arange(cap) < count
+            small_rows = (mag_rows < 255) & valid_row[:, None]
+            # two-level prefix sum: the within-row inclusive prefix is
+            # a lower-triangular MXU matmul (exact: counts <= 125),
+            # leaving only a [cap]-long scan on the row axis
+            within = jax.lax.dot(
+                small_rows.astype(jnp.bfloat16),
+                self._tri_le(pts_per),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            row_counts = within[:, -1]
+            row_off = jnp.cumsum(row_counts) - row_counts
+            mag_count = row_off[-1] + row_counts[-1]
+            mdest = jnp.where(
+                small_rows, row_off[:, None] + within - 1, capM
+            )
+            mdest = jnp.minimum(mdest, capM).reshape(-1)
+            mags = jnp.zeros((capM + 1,), jnp.uint8).at[mdest].set(
+                mag_rows.reshape(-1), mode="drop"
+            )[:capM]
+            if use_u16:
+                # halve the (latency-critical) idx fetch: u16 header
+                # [count, Km_lo, Km_hi, flag] + u16 indices
+                ic = jnp.concatenate([
+                    count.astype(jnp.uint16)[None],
+                    (mag_count & 0xFFFF).astype(jnp.uint16)[None],
+                    (mag_count >> 16).astype(jnp.uint16)[None],
+                    flag16,
+                    idx[:cap].astype(jnp.uint16),
+                ])
+            else:
+                ic = jnp.concatenate([count[None], mag_count[None], idx[:cap]])
+            return ic, bitmaps, mags
+        if codec == "int8":
+            rows = vals.astype(jnp.float32)
+            mag = jnp.clip(jnp.round(jnp.abs(rows) / q), 1, 127)
+            code = jnp.where(rows == 0, 0.0, jnp.sign(rows) * mag).astype(jnp.int8)
+        else:
+            code = vals.view(jnp.int8).reshape(n_blocks, 2 * pts_per)
+        packed = jnp.zeros((cap + 1, code.shape[1]), jnp.int8).at[dest].set(
+            code, mode="drop"
+        )
+        if use_u16:
+            idx_and_count = jnp.concatenate([
+                count.astype(jnp.uint16)[None],
+                jnp.zeros((2,), jnp.uint16),
+                flag16,
+                idx[:cap].astype(jnp.uint16),
+            ])
+        else:
+            idx_and_count = jnp.concatenate([count[None], idx[:cap]])
+        return idx_and_count, packed[:cap]
 
     def _get_slab_compact_dev_fn(self, n_pad: int, cap: int, codec: str):
         """Device-sourced variant: the slab's block coordinates come from a
@@ -462,6 +474,170 @@ class PointEvaluator:
             def f(latent, abi_dev, start, valid_n, h, scale, q):
                 abi_slab = jax.lax.dynamic_slice(abi_dev, (start, 0), (n_pad, 3))
                 return inner(latent, abi_slab, valid_n, h, scale, q)
+
+            self._block_fns[key] = f
+        return self._block_fns[key]
+
+    # dense owner-row map edge: block coordinates must fit [0, MAP_N) per
+    # axis (nb4 = (N-1)/4 <= 128 covers every resolution up to 513^3; the
+    # map is 128^3 * 4 B = 8.4 MB of HBM, built once per extraction)
+    MAP_N = 128
+
+    def _get_block_map_fn(self, nrows: int):
+        """jit: (abi_dev [nrows, 3] i32 block coords, count) -> dense
+        [MAP_N^3] i32 map, map[x,y,z] = global row index of that block in
+        the active set, -1 elsewhere. Rows >= count (scatter padding) and
+        coordinates outside the map are dropped."""
+        key = ("block_map", nrows)
+        if key not in self._block_fns:
+            M = self.MAP_N
+
+            @jax.jit
+            def f(abi_dev, count):
+                rows = jnp.arange(nrows, dtype=jnp.int32)
+                x = jnp.where(rows < count, abi_dev[:, 0], M)  # OOB -> dropped
+                m = jnp.full((M, M, M), -1, jnp.int32)
+                return m.at[x, abi_dev[:, 1], abi_dev[:, 2]].set(rows, mode="drop")
+
+            self._block_fns[key] = f
+        return self._block_fns[key]
+
+    @staticmethod
+    def _dedup_shift_caps(n_pad: int, rho: float):
+        """Per-shift orphan row caps (rows, not corners): each of the 7
+        neighbor shifts gets ceil(rho * n_pad) rows rounded to 1024. The
+        measured absent-neighbor rate at 512^3 is ~0.13/axis, so the
+        default rho=0.25 is ~2x headroom; overflow falls back exactly."""
+        return -(-int(n_pad * rho) // 1024) * 1024
+
+    def _get_slab_compact_dedup_fn(self, n_pad: int, cap: int, codec: str, rho_m: int):
+        """Corner-deduplicated slab program (device-sourced active set).
+
+        Adjacent active blocks share lattice corners: of each block's
+        (b+1)^3 = 125 corners, the 61 on the +x/+y/+z faces are low
+        (4^3-lattice) corners of the 7 positive-shift neighbor blocks. The
+        program evaluates the 64 low corners per block, plus — per shift —
+        a compacted list of absent-neighbor ("orphan") corner groups, then
+        reassembles the exact 125-value rows from 7 row-gathers and 7
+        small static-column scatters before the usual crossing filter +
+        codec. Everything irregular is PER SHIFT (7 x [n] map lookups and
+        row-gathers), not per corner (61 x [n]): element-wise gathers on
+        the corner axis measured ~2.5x the matmul FLOPs they saved.
+        Lattice coordinates are bit-identical to the plain slab program
+        (owner*4 + low_off == base*4 + top_off in int32), so values — and
+        the mesh — match exactly. Any per-shift cap overflow sets header
+        flag slot 3; the consumer falls back to the exact two-phase path.
+        ``rho_m``: per-shift cap ratio in milli-units (250 = 0.25 * n_pad
+        rows per shift)."""
+        key = ("slab_compact_dedup", n_pad, cap, codec, rho_m)
+        if key not in self._block_fns:
+            bsz = SPARSE_BLOCK
+            n1 = bsz + 1
+            pts_per = n1 ** 3
+            low_per = bsz ** 3
+            assert n_pad <= 60000  # u16 headers only
+            # the 7 positive neighbor shifts; class size = 4^(zeros in sh):
+            # face 16, edge 4, corner 1
+            shifts = [(1, 0, 0), (0, 1, 0), (0, 0, 1),
+                      (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1)]
+            lowrange = np.arange(bsz)
+            # per shift: the owner-local low offsets covering this block's
+            # top corners of that class, their low positions in the owner's
+            # 64-row, and their positions in this block's 125-row
+            own_offs, own_pos, pos125 = [], [], []
+            for sh in shifts:
+                axes = [np.array([0]) if s else lowrange for s in sh]
+                gi, gj, gk = np.meshgrid(*axes, indexing="ij")
+                offs = np.stack([gi, gj, gk], axis=-1).reshape(-1, 3)
+                own_offs.append(jnp.asarray(offs.astype(np.int32)))
+                own_pos.append(jnp.asarray(
+                    (offs[:, 0] * bsz * bsz + offs[:, 1] * bsz + offs[:, 2]).astype(np.int32)
+                ))
+                top = offs + np.asarray(sh) * bsz  # this block's corner offs
+                pos125.append(
+                    (top[:, 0] * n1 * n1 + top[:, 1] * n1 + top[:, 2]).astype(np.int32)
+                )
+            ii, jj, kk = np.meshgrid(lowrange, lowrange, lowrange, indexing="ij")
+            low_offs = np.stack([ii, jj, kk], axis=-1).reshape(-1, 3)
+            lowpos125 = (low_offs[:, 0] * n1 * n1 + low_offs[:, 1] * n1
+                         + low_offs[:, 2]).astype(np.int32)
+            low_offs = jnp.asarray(low_offs.astype(np.int32))
+            capS = self._dedup_shift_caps(n_pad, rho_m / 1000.0)
+            sizes = [o.shape[0] for o in own_offs]
+            total_pts = n_pad * low_per + capS * sum(sizes)
+            total_pad = -(-total_pts // self.tile) * self.tile
+
+            @jax.jit
+            def f(latent, abi_dev, map_dev, start, valid_n, h, scale, q):
+                abi_slab = jax.lax.dynamic_slice(abi_dev, (start, 0), (n_pad, 3))
+                rows = jnp.arange(n_pad, dtype=jnp.int32)
+                valid = rows < valid_n
+                locals_, absents = [], []
+                for sh in shifts:
+                    owner = abi_slab + jnp.asarray(sh, jnp.int32)[None, :]
+                    orow = map_dev.at[owner[:, 0], owner[:, 1], owner[:, 2]].get(
+                        mode="fill", fill_value=-1
+                    )
+                    in_slab = (orow >= start) & (orow < start + valid_n)
+                    # absent neighbors row-gather the appended zero row; the
+                    # orphan scatter below overwrites those positions
+                    locals_.append(jnp.where(in_slab, orow - start, n_pad))
+                    absents.append((~in_slab) & valid)
+                # per-shift orphan compaction ([n]-length cumsums) + the one
+                # concatenated eval batch: low corners, then shift groups
+                pts_parts = [
+                    ((abi_slab * (bsz * scale))[:, None, :]
+                     + low_offs[None, :, :] * scale).reshape(-1, 3)
+                ]
+                orphan_rows, over = [], jnp.zeros((), jnp.int32)
+                for si, sh in enumerate(shifts):
+                    a = absents[si]
+                    c = jnp.cumsum(a.astype(jnp.int32))
+                    cnt = c[-1]
+                    over = over + (cnt > capS).astype(jnp.int32)
+                    odest = jnp.where(a, jnp.minimum(c - 1, capS), capS)
+                    orows = jnp.zeros((capS + 1,), jnp.int32).at[odest].set(rows)[:capS]
+                    orphan_rows.append(orows)
+                    base = jnp.take(abi_slab, orows, axis=0) + jnp.asarray(
+                        sh, jnp.int32
+                    )[None, :]
+                    pts_parts.append(
+                        ((base * (bsz * scale))[:, None, :]
+                         + own_offs[si][None, :, :] * scale).reshape(-1, 3)
+                    )
+                all_pts = jnp.concatenate(pts_parts, axis=0)
+                all_pts = jnp.pad(all_pts, ((0, total_pad - total_pts), (0, 0)))
+                xyz_t = all_pts.T.astype(jnp.float32) * h - 1.0
+                vals_flat = self._eval_t(latent, xyz_t)
+                low = vals_flat[: n_pad * low_per].reshape(n_pad, low_per)
+                low_ext = jnp.concatenate([low, jnp.zeros((1, low_per), low.dtype)], axis=0)
+                # reassemble [n, 125]: static column placement of the low
+                # block + 7 row-gathers (owners) + 7 small orphan scatters
+                vals125 = jnp.zeros((n_pad, pts_per), vals_flat.dtype)
+                vals125 = vals125.at[:, lowpos125].set(low)
+                off = n_pad * low_per
+                for si in range(len(shifts)):
+                    gath = jnp.take(low_ext, locals_[si], axis=0)      # [n, 64]
+                    vals125 = vals125.at[:, pos125[si]].set(gath[:, own_pos[si]])
+                    sz = sizes[si]
+                    ovals = vals_flat[off : off + capS * sz].reshape(capS, sz)
+                    off += capS * sz
+                    vals125 = vals125.at[
+                        jnp.minimum(orphan_rows[si], n_pad - 1)[:, None], pos125[si][None, :]
+                    ].set(ovals)
+                    # unused orphan slots hold row 0: re-assert row 0's true
+                    # values are not clobbered by re-scattering its own data
+                    # — slot rows default to 0, whose gathered values equal
+                    # the evaluated ones only if block 0's neighbor is
+                    # absent; guard by scattering row 0's correct values
+                    # last is unnecessary because unused slots evaluated
+                    # block (abi_slab[0]+sh)'s true corners — identical
+                    # values to whatever source row 0 uses when present.
+                vals = vals125.astype(jnp.float16)
+                flag = (over > 0).astype(jnp.uint16)
+                return self._encode_compact_body(
+                    vals, valid_n, cap, codec, q, use_u16=True, extra=flag
+                )
 
             self._block_fns[key] = f
         return self._block_fns[key]
@@ -648,6 +824,23 @@ class PointEvaluator:
             # slab's eval lands), and value rows fetch as concurrent part
             # streams (the relay multiplexes streams; see fetch_parallel).
             pend = []
+            # corner dedup across adjacent blocks: a dense owner-row map
+            # lets slab programs evaluate only low corners + orphans (~64%
+            # of the decoder FLOPs at 512^3). Engaged for large dev-sourced
+            # active sets whose block coords fit the map.
+            dedup_env = os.environ.get("MSD_STREAM_DEDUP", "auto")
+            rho_m = int(os.environ.get("MSD_ORPHAN_SHIFT_CAP_MILLI", 250))
+            dedup = (
+                dedup_env != "off"
+                and abi_dev is not None
+                and (N - 1) // SPARSE_BLOCK <= self.MAP_N
+                and (A >= 16384 or dedup_env == "on")
+            )
+            map_dev = (
+                self._get_block_map_fn(abi_dev.shape[0])(abi_dev, jnp.int32(A))
+                if dedup
+                else None
+            )
             for lo, hi in slabs:
                 n = hi - lo
                 n_pad = -(-n // C) * C
@@ -657,18 +850,33 @@ class PointEvaluator:
                     cap = n_pad
                 else:
                     cap = -(-int(n_pad * self.compact_cap_ratio) // G) * G
-                if abi_dev is not None and lo + n_pad <= abi_dev.shape[0]:
+                dev_ok = abi_dev is not None and lo + n_pad <= abi_dev.shape[0]
+                if dev_ok and dedup and n_pad <= 60000:
+                    out = self._get_slab_compact_dedup_fn(n_pad, cap, codec, rho_m)(
+                        latent, abi_dev, map_dev, jnp.int32(lo), jnp.int32(n),
+                        h_d, scale_d, q_d,
+                    )
+                    # 64 low + per-shift orphan groups (3 faces of 16, 3
+                    # edges of 4, 1 corner of 1 => 61 corners per cap row)
+                    n_evals = n_pad * (SPARSE_BLOCK ** 3) + self._dedup_shift_caps(
+                        n_pad, rho_m / 1000.0
+                    ) * 61
+                elif dev_ok:
                     # slab coordinates come straight from the device-resident
                     # refined active set — no host round trip at all
                     out = self._get_slab_compact_dev_fn(n_pad, cap, codec)(
                         latent, abi_dev, jnp.int32(lo), jnp.int32(n), h_d, scale_d, q_d
                     )
+                    n_evals = n_pad * (SPARSE_BLOCK + 1) ** 3
                 else:
                     buf = np.zeros((n_pad, 3), np.int32)
                     buf[:n] = get_abi()[lo:hi]
                     out = self._get_slab_compact_fn(n_pad, cap, codec)(
                         latent, jnp.asarray(buf), jnp.int32(n), h_d, scale_d, q_d
                     )
+                    n_evals = n_pad * (SPARSE_BLOCK + 1) ** 3
+                if stats is not None:
+                    stats["evaluated_stream"] = stats.get("evaluated_stream", 0) + n_evals
                 pend.append((lo, hi, cap, self._pool().submit(np.asarray, out[0]), out[1:]))
             # resolve every slab's count and enqueue ALL part fetches before
             # consuming any rows: the pool then keeps the maximum number of
@@ -681,20 +889,30 @@ class PointEvaluator:
                 if stats is not None:
                     stats["t_mask"] = stats.get("t_mask", 0.0) + time.time() - t0
                 K = int(icn[0])
-                # u16 stream: 4-entry header [count, Km_lo, Km_hi, 0] + idx;
-                # i32 stream (huge slabs): [count(, Km)] + idx
+                # u16 stream: 4-entry header [count, Km_lo, Km_hi, flag] +
+                # idx (flag = dedup orphan-cap overflow); i32 stream (huge
+                # slabs): [count(, Km)] + idx
                 if icn.dtype == np.uint16:
-                    Km = int(icn[1]) | (int(icn[2]) << 16)
+                    Km = int(icn[1]) | (int(icn[2]) << 16) if codec == "packed" else 0
+                    bad = int(icn[3])
                     idx0 = 4
                 else:
                     Km = int(icn[1]) if codec == "packed" else 0
+                    bad = 0
                     idx0 = 2 if codec == "packed" else 1
-                overflow = K > cap
+                overflow = K > cap or bad != 0
                 if codec == "packed" and not overflow:
                     overflow = Km > cap * self.packed_mag_bytes_per_block
                 if overflow:
-                    # rare: crossing (or magnitude) fraction above the cap
-                    logging.debug("slab compaction overflow (K=%d cap=%d); exact fallback", K, cap)
+                    # rare: crossing (or magnitude or dedup-orphan) fraction
+                    # above a cap
+                    logging.debug("slab compaction overflow (K=%d cap=%d bad=%d); exact fallback",
+                                  K, cap, bad)
+                    if stats is not None:
+                        stats["evaluated_stream"] = (
+                            stats.get("evaluated_stream", 0)
+                            + (-(-(hi - lo) // C) * C) * (SPARSE_BLOCK + 1) ** 3
+                        )
                     rows, abi_x_s = exact_slab(lo, hi)
                     jobs.append((rows.shape[0] if rows is not None else 0,
                                  (lambda r=rows: r), abi_x_s))
@@ -1197,19 +1415,32 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
 
         # single worker: mt_add_blocks calls must stay sequential (one Builder)
         t0 = time.time()
+        t_mesher = t_prep = 0.0
         with ThreadPoolExecutor(max_workers=1) as pool:
             fut = None
             for vals, chunk in value_iter:
+                tp = time.time()
                 vals = np.ascontiguousarray(vals, np.float32)
                 bases = np.ascontiguousarray(chunk.astype(np.int32) * b)
+                t_prep += time.time() - tp
                 if fut is not None:
+                    tm = time.time()
                     fut.result()
+                    t_mesher += time.time() - tm
                 fut = pool.submit(mesh_chunk, vals, bases)
             if fut is not None:
+                tm = time.time()
                 fut.result()
+                t_mesher += time.time() - tm
+        LAST_STREAMING_STATS["t_mesher"] = round(t_mesher, 3)
+        LAST_STREAMING_STATS["t_prep"] = round(t_prep, 3)
         LAST_STREAMING_STATS["t_stream"] = round(time.time() - t0, 3)
         crossing = int(stream_stats.get("crossing_blocks", 0))
         LAST_STREAMING_STATS["crossing_blocks"] = crossing
+        # exact count including dedup savings / padding / exact fallbacks
+        LAST_STREAMING_STATS["evaluated"] = int(
+            evaluated + stream_stats.get("evaluated_stream", A4 * (SPARSE_BLOCK + 1) ** 3)
+        )
         LAST_STREAMING_STATS["t_crossing"] = round(stream_stats.get("t_mask", 0.0), 3)
         LAST_STREAMING_STATS["t_fetch"] = round(stream_stats.get("t_fetch", 0.0), 3)
         logging.debug(

@@ -304,3 +304,58 @@ def test_sharded_create_mesh_matches_single_device(trained, tmp_path):  # noqa: 
     assert sv.shape == mv.shape and sf.shape == mf.shape
     np.testing.assert_allclose(mv, sv, rtol=0, atol=1e-6)
     np.testing.assert_array_equal(mf, sf)
+
+
+@needs_native
+def test_corner_dedup_matches_plain(trained, monkeypatch):  # noqa: F811
+    """The corner-deduplicated slab programs (low corners + orphan list,
+    rows reconstructed by gathers) must produce the IDENTICAL mesh to the
+    plain 125-corner slab path: lattice coordinates are the same integers,
+    so the decoder values — and every crossing edge — match bitwise."""
+    trainer, _ = trained
+    latent = trainer.state["lat"][2]
+    N = 129
+    monkeypatch.setenv("MSD_STREAM_DEDUP", "off")
+    ev = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    pv, pf = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=N, return_mesh=True,
+        evaluator=ev, value_codec="packed",
+    )
+    ev_plain = int(mesh_mod.LAST_STREAMING_STATS["evaluated"])
+    monkeypatch.setenv("MSD_STREAM_DEDUP", "on")
+    ev2 = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    dv, df = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=N, return_mesh=True,
+        evaluator=ev2, value_codec="packed",
+    )
+    ev_dedup = int(mesh_mod.LAST_STREAMING_STATS["evaluated"])
+    np.testing.assert_array_equal(pv, dv)
+    np.testing.assert_array_equal(pf, df)
+    # and it must actually evaluate fewer lattice points
+    assert ev_dedup < 0.8 * ev_plain, (ev_dedup, ev_plain)
+
+
+@needs_native
+def test_corner_dedup_orphan_overflow_fallback(trained, monkeypatch):  # noqa: F811
+    """An orphan list larger than the cap sets the header flag and the
+    consumer falls back to the exact two-phase slab — identical output."""
+    trainer, _ = trained
+    latent = trainer.state["lat"][2]
+    N = 129
+    monkeypatch.setenv("MSD_STREAM_DEDUP", "off")
+    ev = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    pv, pf = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=N, return_mesh=True,
+        evaluator=ev, value_codec="f16",
+    )
+    monkeypatch.setenv("MSD_STREAM_DEDUP", "on")
+    # 1 orphan slot per block cannot hold the ~9/block real orphan load,
+    # so every slab overflows into the exact (f16) two-phase fallback
+    monkeypatch.setenv("MSD_ORPHAN_SHIFT_CAP_MILLI", "0")
+    ev2 = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    dv, df = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=N, return_mesh=True,
+        evaluator=ev2, value_codec="packed",
+    )
+    np.testing.assert_array_equal(pv, dv)
+    np.testing.assert_array_equal(pf, df)
