@@ -384,10 +384,12 @@ class PointEvaluator:
             # boundary: the window-neighbor count rides the MXU as a
             # [n,125]@[125,125] adjacency matmul (counts <= 27 are
             # exact in bf16 with f32 accumulation) — 5-wide window
-            # ops on the lane axis crawl on the VPU.
+            # ops on the lane axis crawl on the VPU. Host XLA emulates
+            # bf16 dots ~50x slower than sgemm, so CPU runs f32 (exact).
+            mm_dt = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
             s = jax.lax.dot(
-                sign_neg.astype(jnp.bfloat16),
-                self._window_adj(pts_per),
+                sign_neg.astype(mm_dt),
+                self._window_adj(pts_per).astype(mm_dt),
                 preferred_element_type=jnp.float32,
             )
             any3 = s > 0.5
@@ -414,8 +416,8 @@ class PointEvaluator:
             # a lower-triangular MXU matmul (exact: counts <= 125),
             # leaving only a [cap]-long scan on the row axis
             within = jax.lax.dot(
-                small_rows.astype(jnp.bfloat16),
-                self._tri_le(pts_per),
+                small_rows.astype(mm_dt),
+                self._tri_le(pts_per).astype(mm_dt),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.int32)
             row_counts = within[:, -1]
@@ -724,6 +726,7 @@ class PointEvaluator:
         self, latent, abi, N: int, codec: str = "int8",
         n_slabs: int | None = None, stats: dict | None = None,
         abi_dev=None, abi_resolver=None, num_blocks: int | None = None,
+        counts_dev=None, count_resolver=None, refine_fallback=None,
     ):
         """Slab-pipelined streaming evaluation of the active set.
 
@@ -742,6 +745,14 @@ class PointEvaluator:
         ``t_mask`` (seconds blocked on count/index fetches) and ``t_fetch``
         (seconds blocked on value-row fetches).
 
+        Optimistic mode (``counts_dev`` + ``count_resolver``, from
+        ``refine1_optimistic``): ``num_blocks`` is the static cap bucket,
+        the true active count lives on device — per-slab validity is the
+        device scalar clip(count - lo, 0, n_pad), so slabs dispatch with NO
+        host knowledge of the count. The resolver supplies the count for
+        mesher bases/stats; a count above the bucket falls back to the
+        exact host path inside the iterator.
+
         Returns (max_blocks upper bound, iterator).
         """
         A = abi.shape[0] if abi is not None else int(num_blocks)
@@ -759,18 +770,28 @@ class PointEvaluator:
         n_chunks = -(-A // C) if A else 0
         if n_chunks == 0:
             return 0, iter(())
-        if n_slabs is None:
-            # each extra slab costs one mask-fetch round trip (~20 ms on the
-            # relay) and buys overlap of ~1/n of the eval compute;
-            # MSD_STREAM_SLABS overrides for tuning/measurement
-            n_slabs = min(int(os.environ.get("MSD_STREAM_SLABS", 3)), n_chunks)
-        if n_slabs > 1 and A > 3 * C:
-            # ramped: a small first slab lands its program (and so the first
-            # fetches) ~2x sooner; the rest split evenly
-            rest = np.linspace(C, A, n_slabs).astype(int)
-            bounds = np.concatenate([[0], rest])
+        if counts_dev is not None and n_slabs is None:
+            # optimistic mode: headers enqueue up front (their waits are
+            # concurrent, not serial round trips), so finer slabs are cheap
+            # and start the C++ mesher overlapping far earlier. Orphan-cap
+            # padding in the dedup programs is ratio-proportional, so 6x4096
+            # costs the same evals as 3x8192. Up to 8 slabs at >=4096 rows.
+            granule = max(4096, -(-A // 8 // 2048) * 2048)
+            bounds = np.arange(0, A + granule, granule).clip(max=A)
+            bounds = np.unique(bounds)
         else:
-            bounds = np.linspace(0, A, n_slabs + 1).astype(int)
+            if n_slabs is None:
+                # each extra slab costs one mask-fetch round trip (~20 ms on
+                # the relay) and buys overlap of ~1/n of the eval compute;
+                # MSD_STREAM_SLABS overrides for tuning/measurement
+                n_slabs = min(int(os.environ.get("MSD_STREAM_SLABS", 3)), n_chunks)
+            if n_slabs > 1 and A > 3 * C:
+                # ramped: a small first slab lands its program (and so the
+                # first fetches) ~2x sooner; the rest split evenly
+                rest = np.linspace(C, A, n_slabs).astype(int)
+                bounds = np.concatenate([[0], rest])
+            else:
+                bounds = np.linspace(0, A, n_slabs + 1).astype(int)
         slabs = [
             (int(bounds[s]), int(bounds[s + 1]))
             for s in range(len(bounds) - 1)
@@ -786,14 +807,22 @@ class PointEvaluator:
 
         def get_abi():
             if abi_box["abi"] is None:
-                abi_box["abi"] = abi_resolver()
+                abi_full = abi_resolver()
+                if count_resolver is not None:
+                    # optimistic fetch pulled the whole cap bucket; clip
+                    # padding rows (zeros) once the true count resolves
+                    abi_full = abi_full[: min(count_resolver(), abi_full.shape[0])]
+                abi_box["abi"] = abi_full
             return abi_box["abi"]
 
         def exact_slab(lo, hi):
             """Two-phase fallback for a cap overflow: eval + host mask fetch
             + indexed gather (exact, no cap)."""
             abi = get_abi()
+            hi = min(hi, abi.shape[0])
             n = hi - lo
+            if n <= 0:
+                return None, abi[:0]
             n_pad = -(-n // C) * C
             buf = np.zeros((n_pad, 3), np.int32)
             buf[:n] = abi[lo:hi]
@@ -830,20 +859,38 @@ class PointEvaluator:
             # active sets whose block coords fit the map.
             dedup_env = os.environ.get("MSD_STREAM_DEDUP", "auto")
             rho_m = int(os.environ.get("MSD_ORPHAN_SHIFT_CAP_MILLI", 250))
+            # "auto" engages only off-CPU: the per-shift gather/scatter
+            # reassembly is a wash-to-loss on host XLA (no MXU to starve),
+            # and it ~4x'es the CPU-suite 512^3 test. "on" always forces.
             dedup = (
                 dedup_env != "off"
                 and abi_dev is not None
                 and (N - 1) // SPARSE_BLOCK <= self.MAP_N
-                and (A >= 16384 or dedup_env == "on")
+                and ((A >= 16384 and jax.default_backend() != "cpu")
+                     or dedup_env == "on")
             )
+            count_d = counts_dev[0] if counts_dev is not None else None
             map_dev = (
-                self._get_block_map_fn(abi_dev.shape[0])(abi_dev, jnp.int32(A))
+                self._get_block_map_fn(abi_dev.shape[0])(
+                    abi_dev, count_d if count_d is not None else jnp.int32(A)
+                )
                 if dedup
                 else None
             )
             for lo, hi in slabs:
                 n = hi - lo
-                n_pad = -(-n // C) * C
+                # optimistic slabs already tile the cap bucket on a 2048
+                # granule: pad-free, so every slab dynamic-slices the device
+                # active set in bounds (C-rounding would push the last slab
+                # past the bucket and into the host path)
+                n_pad = n if counts_dev is not None else -(-n // C) * C
+                # optimistic: validity is a device scalar — rows past the
+                # (still unfetched) refine count mask out inside the program
+                valid_d = (
+                    jnp.minimum(jnp.maximum(count_d - lo, 0), n_pad).astype(jnp.int32)
+                    if count_d is not None
+                    else jnp.int32(n)
+                )
                 # crossing/active runs ~0.4 for large active sets; small sets
                 # skip the cap entirely (bytes are cheap, overflow impossible)
                 if n_pad < self.compact_cap_min_blocks:
@@ -853,7 +900,7 @@ class PointEvaluator:
                 dev_ok = abi_dev is not None and lo + n_pad <= abi_dev.shape[0]
                 if dev_ok and dedup and n_pad <= 60000:
                     out = self._get_slab_compact_dedup_fn(n_pad, cap, codec, rho_m)(
-                        latent, abi_dev, map_dev, jnp.int32(lo), jnp.int32(n),
+                        latent, abi_dev, map_dev, jnp.int32(lo), valid_d,
                         h_d, scale_d, q_d,
                     )
                     # 64 low + per-shift orphan groups (3 faces of 16, 3
@@ -865,7 +912,7 @@ class PointEvaluator:
                     # slab coordinates come straight from the device-resident
                     # refined active set — no host round trip at all
                     out = self._get_slab_compact_dev_fn(n_pad, cap, codec)(
-                        latent, abi_dev, jnp.int32(lo), jnp.int32(n), h_d, scale_d, q_d
+                        latent, abi_dev, jnp.int32(lo), valid_d, h_d, scale_d, q_d
                     )
                     n_evals = n_pad * (SPARSE_BLOCK + 1) ** 3
                 else:
@@ -878,6 +925,30 @@ class PointEvaluator:
                 if stats is not None:
                     stats["evaluated_stream"] = stats.get("evaluated_stream", 0) + n_evals
                 pend.append((lo, hi, cap, self._pool().submit(np.asarray, out[0]), out[1:]))
+            if count_resolver is not None:
+                # the count fetch was enqueued before any slab program
+                # finished, so this wait is off the critical path (slab
+                # headers land later); bucket overflow re-runs the exact
+                # host-refined path (rare — the bucket has ~1.3x headroom)
+                t0 = time.time()
+                c4 = count_resolver()
+                if stats is not None:
+                    stats["t_mask"] = stats.get("t_mask", 0.0) + time.time() - t0
+                    stats["active_blocks"] = int(c4)
+                if c4 > A:
+                    logging.warning(
+                        "optimistic refine bucket overflow (%d > %d); exact fallback", c4, A
+                    )
+                    if stats is not None:
+                        stats["evaluated_stream"] = 0
+                    abi_host, _ = refine_fallback()
+                    if stats is not None:
+                        stats["active_blocks"] = int(abi_host.shape[0])
+                    _, sub = self.stream_crossing_values(
+                        latent, abi_host, N, codec=codec, n_slabs=n_slabs, stats=stats
+                    )
+                    yield from sub
+                    return
             # resolve every slab's count and enqueue ALL part fetches before
             # consuming any rows: the pool then keeps the maximum number of
             # streams in flight across slab boundaries. Each job's resolver
@@ -1157,6 +1228,40 @@ class PointEvaluator:
             self._block_fns[key] = f
         return self._block_fns[key]
 
+    def refine1_optimistic(self, latent, N: int, safety: float, clamp_dist: float):
+        """Latency-fused refinement for the single-level (reconstruct-time
+        N~256) class: the stride-4 lattice refine result STAYS on device —
+        no count round trip — and streaming slabs dispatch immediately
+        against a static cap bucket, masking validity with the
+        device-resident count. Saves ~1-2 relay round trips (~40-60 ms)
+        vs ``refine_active4_device``; a count above the bucket (rare: the
+        bucket is ~1.3x the measured active fraction) is detected from the
+        concurrent count fetch and falls back to the exact two-phase path.
+
+        Returns (counts_dev [1] i32, abi4_dev [cap4, 3] i32, cap4,
+        prefilter_evals) or None when the class doesn't apply (two-level
+        resolutions keep the pipelined path; "auto" engages off-CPU only,
+        MSD_STREAM_OPT=on/off overrides)."""
+        b = SPARSE_BLOCK
+        h = 2.0 / (N - 1)
+        s3 = math.sqrt(3.0) / 2.0
+        if (N - 1) % b != 0 or b * h * s3 * safety >= clamp_dist:
+            return None
+        nb4 = (N - 1) // b
+        two_level = (N - 1) % (4 * b) == 0 and (4 * b) * h * s3 * safety < clamp_dist and nb4 % 4 == 0
+        if two_level or nb4 > 80:
+            return None
+        mode = os.environ.get("MSD_STREAM_OPT", "auto")
+        if mode == "off" or (mode != "on" and jax.default_backend() == "cpu"):
+            return None
+        ratio = int(os.environ.get("MSD_OPT_CAP_RATIO_MILLI", 90)) / 1000.0
+        cap4 = min(nb4 ** 3, max(self.A_CHUNK, -(-int(nb4 ** 3 * ratio) // self.A_CHUNK) * self.A_CHUNK))
+        latent = jnp.asarray(latent).reshape(-1)
+        counts_dev, abi4_dev = self._get_refine1_fn(nb4, cap4)(
+            latent, jnp.float32(h), jnp.float32(b * h * s3 * safety)
+        )
+        return counts_dev, abi4_dev, cap4, (nb4 + 1) ** 3
+
     def refine_active4_device(self, latent, N: int, safety: float, clamp_dist: float,
                               cap16: int = 8192, cap4: int = 131072, async_fetch: bool = False):
         """Fused on-device two-level refinement. Returns (abi4 [A, 3] int64
@@ -1345,15 +1450,28 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
     # asynchronously. Falls back to the host two-phase path on cap overflow
     # or small N.
     abi4 = abi4_dev = abi4_resolver = None
-    refined = evaluator.refine_active4_device(latent, N, safety, clamp_dist, async_fetch=True)
-    if refined is not None:
-        abi4_resolver, A4, evaluated, abi4_dev = refined
+    counts_dev = count_resolver = None
+    opt = evaluator.refine1_optimistic(latent, N, safety, clamp_dist)
+    if opt is not None:
+        # single-level class: refine count stays on device; slabs dispatch
+        # against the cap bucket immediately. The count fetch and the
+        # (bucket-sized) i16 active-set fetch ride the pool concurrently.
+        counts_dev, abi4_dev, A4, evaluated = opt
+        count_fut = evaluator._pool().submit(np.asarray, counts_dev)
+        count_resolver = lambda: int(count_fut.result()[0])  # noqa: E731
+        fetch_src = evaluator._get_cast_i16_fn(abi4_dev.shape)(abi4_dev)
+        raw_res = evaluator.fetch_parallel_submit(fetch_src, A4, part=32768)
+        abi4_resolver = lambda: raw_res().astype(np.int64)  # noqa: E731
     else:
-        abi4, evaluated = _sparse_active4(latent, N, evaluator, safety, clamp_dist)
-        A4 = abi4.shape[0]
+        refined = evaluator.refine_active4_device(latent, N, safety, clamp_dist, async_fetch=True)
+        if refined is not None:
+            abi4_resolver, A4, evaluated, abi4_dev = refined
+        else:
+            abi4, evaluated = _sparse_active4(latent, N, evaluator, safety, clamp_dist)
+            A4 = abi4.shape[0]
+        if A4 == 0:
+            raise ValueError("Surface level must be within volume data range.")
     t_refine = time.time() - t0
-    if A4 == 0:
-        raise ValueError("Surface level must be within volume data range.")
     # slab-pipelined eval of the active set: values stay on device, crossing
     # masks come back as 1 bit/block per slab, and only crossing rows are
     # gathered and streamed (only those produce marching-tets geometry)
@@ -1362,10 +1480,12 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
     max_blocks, value_iter = evaluator.stream_crossing_values(
         latent, abi4, N, codec=value_codec, stats=stream_stats,
         abi_dev=abi4_dev, abi_resolver=abi4_resolver, num_blocks=A4,
+        counts_dev=counts_dev, count_resolver=count_resolver,
+        refine_fallback=lambda: _sparse_active4(latent, N, evaluator, safety, clamp_dist),
     )
     total_evals = evaluated + A4 * (SPARSE_BLOCK + 1) ** 3
     LAST_STREAMING_STATS.update(
-        active_blocks=int(A4),
+        active_blocks=int(A4),  # optimistic: bucket bound, refined below
         evaluated=int(total_evals),
         total=int(N**3),
         t_refine=round(t_refine, 3),
@@ -1437,6 +1557,8 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
         LAST_STREAMING_STATS["t_stream"] = round(time.time() - t0, 3)
         crossing = int(stream_stats.get("crossing_blocks", 0))
         LAST_STREAMING_STATS["crossing_blocks"] = crossing
+        if "active_blocks" in stream_stats:  # optimistic: true refined count
+            LAST_STREAMING_STATS["active_blocks"] = int(stream_stats["active_blocks"])
         # exact count including dedup savings / padding / exact fallbacks
         LAST_STREAMING_STATS["evaluated"] = int(
             evaluated + stream_stats.get("evaluated_stream", A4 * (SPARSE_BLOCK + 1) ** 3)

@@ -359,3 +359,60 @@ def test_corner_dedup_orphan_overflow_fallback(trained, monkeypatch):  # noqa: F
     )
     np.testing.assert_array_equal(pv, dv)
     np.testing.assert_array_equal(pf, df)
+
+
+@needs_native
+def test_optimistic_single_level_matches(trained, monkeypatch):  # noqa: F811
+    """The optimistic single-level path (refine count stays on device,
+    slabs dispatch against the static cap bucket with device-scalar
+    validity) must produce the IDENTICAL mesh to the synchronous path:
+    same lattice coordinates, same decoder values, same codec."""
+    trainer, _ = trained
+    latent = trainer.state["lat"][2]
+    N = 129
+    monkeypatch.setenv("MSD_STREAM_OPT", "off")
+    ev = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    pv, pf = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=N, return_mesh=True,
+        evaluator=ev, value_codec="packed",
+    )
+    monkeypatch.setenv("MSD_STREAM_OPT", "on")
+    ev2 = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    ov, of = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=N, return_mesh=True,
+        evaluator=ev2, value_codec="packed",
+    )
+    # the true refined count (not the bucket) must land in the stats
+    assert mesh_mod.LAST_STREAMING_STATS["active_blocks"] < 32 ** 3
+    np.testing.assert_array_equal(pv, ov)
+    np.testing.assert_array_equal(pf, of)
+
+
+@needs_native
+def test_optimistic_bucket_overflow_fallback(trained, monkeypatch):  # noqa: F811
+    """A refine count above the optimistic cap bucket is detected from the
+    concurrent count fetch and falls back to the exact host-refined path —
+    identical output."""
+    trainer, _ = trained
+    latent = trainer.state["lat"][2]
+    N = 193
+    monkeypatch.setenv("MSD_STREAM_OPT", "off")
+    ev = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    pv, pf = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=N, return_mesh=True,
+        evaluator=ev, value_codec="packed",
+    )
+    active = int(mesh_mod.LAST_STREAMING_STATS["active_blocks"])
+    monkeypatch.setenv("MSD_STREAM_OPT", "on")
+    # shrink the bucket below the real active count to force the fallback
+    # (2048 * 125 pts stays tile-aligned)
+    monkeypatch.setattr(mesh_mod.PointEvaluator, "A_CHUNK", 2048)
+    monkeypatch.setenv("MSD_OPT_CAP_RATIO_MILLI", "1")
+    assert active > 2048, "fixture too small to force overflow"
+    ev2 = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    ov, of = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=N, return_mesh=True,
+        evaluator=ev2, value_codec="packed",
+    )
+    np.testing.assert_array_equal(pv, ov)
+    np.testing.assert_array_equal(pf, of)
