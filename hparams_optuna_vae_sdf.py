@@ -9,9 +9,12 @@ the same composite objective
     0.6 * SAP_holdout + 0.3 * mean|corr(latent0, label)| - 0.1 * recon
 
 (ref: :42-46, :473-511). optuna is not available in this environment, so
-the driver uses a native sampler: random exploration for the first
-``n_startup`` trials, then a TPE-flavored quantile strategy (sample near
-the top-quartile trials). Uses optuna transparently when importable.
+the driver ships a native Tree-structured Parzen Estimator sampler
+matching optuna's default algorithm: random exploration for the first
+``N_STARTUP`` trials, then per-parameter good/bad Parzen mixtures
+(truncated Gaussians with neighbor-distance bandwidths + a uniform-width
+prior component; smoothed categorical counts) scored by the expected-
+improvement ratio l(x)/g(x) over ``N_EI_CANDIDATES`` draws.
 Results persist to <search_dir>/trials.json; each trial gets its own
 experiment directory with its specs.json.
 """
@@ -49,41 +52,131 @@ SEARCH_SPACE = [
 ]
 
 
+N_STARTUP = 10  # random trials before TPE engages (optuna default: 10)
+N_EI_CANDIDATES = 24  # candidate draws from l(x) per parameter (optuna default)
+
+
+def _random_one(rng, kind, args):
+    if kind == "logfloat":
+        lo, hi = args
+        return float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+    if kind == "float":
+        lo, hi = args
+        return float(rng.uniform(lo, hi))
+    if kind == "int":
+        lo, hi = args
+        return int(rng.integers(lo, hi + 1))
+    choices = args[0]
+    return choices[int(rng.integers(0, len(choices)))]
+
+
+class _ParzenMixture:
+    """Univariate truncated-Gaussian mixture over observed values plus a
+    domain-wide prior component (the Parzen estimator of TPE).
+
+    Bandwidth per component = max distance to its sorted neighbors,
+    clipped to [(hi-lo)/min(100, 1+n), hi-lo] — the same heuristic optuna
+    uses to keep early mixtures wide and late mixtures sharp."""
+
+    def __init__(self, values, lo, hi):
+        n = len(values)
+        mus = np.sort(np.asarray(values, dtype=np.float64))
+        width = hi - lo
+        if n:
+            padded = np.concatenate([[lo], mus, [hi]])
+            sig = np.maximum(padded[2:] - padded[1:-1], padded[1:-1] - padded[:-2])
+        else:
+            sig = np.zeros(0)
+        # prior component: uniform-ish Gaussian spanning the whole domain
+        self.mus = np.concatenate([mus, [(lo + hi) / 2.0]])
+        self.sigmas = np.clip(
+            np.concatenate([sig, [width]]), width / min(100.0, 1.0 + n), width
+        )
+        self.weights = np.full(n + 1, 1.0 / (n + 1))
+        self.lo, self.hi = lo, hi
+        # truncation mass of each component inside [lo, hi]
+        self.trunc = self._cdf((hi - self.mus) / self.sigmas) - self._cdf(
+            (lo - self.mus) / self.sigmas
+        )
+
+    @staticmethod
+    def _cdf(z):
+        return 0.5 * (1.0 + np.vectorize(math.erf)(np.asarray(z) / math.sqrt(2.0)))
+
+    def sample(self, rng, size):
+        comp = rng.choice(len(self.mus), size=size, p=self.weights)
+        draws = rng.normal(self.mus[comp], self.sigmas[comp])
+        # re-draw out-of-domain points a few rounds, then clip (truncation)
+        for _ in range(8):
+            bad = (draws < self.lo) | (draws > self.hi)
+            if not bad.any():
+                break
+            draws[bad] = rng.normal(self.mus[comp[bad]], self.sigmas[comp[bad]])
+        return np.clip(draws, self.lo, self.hi)
+
+    def log_pdf(self, x):
+        x = np.asarray(x, dtype=np.float64)[:, None]
+        z = (x - self.mus[None, :]) / self.sigmas[None, :]
+        comp = (
+            -0.5 * z**2
+            - np.log(self.sigmas[None, :] * math.sqrt(2.0 * math.pi))
+            - np.log(np.maximum(self.trunc[None, :], 1e-12))
+            + np.log(self.weights[None, :])
+        )
+        m = comp.max(axis=1, keepdims=True)
+        return (m + np.log(np.exp(comp - m).sum(axis=1, keepdims=True))).ravel()
+
+
+def _tpe_one(rng, kind, args, good_vals, bad_vals):
+    """Sample candidates from the good-trial mixture l(x) and return the
+    one maximizing the EI surrogate l(x)/g(x)."""
+    if kind == "categorical":
+        choices = list(args[0])
+
+        def probs(vals):
+            cnt = np.ones(len(choices), dtype=np.float64)  # +1 smoothing
+            for v in vals:
+                cnt[choices.index(v)] += 1.0
+            return cnt / cnt.sum()
+
+        pl, pg = probs(good_vals), probs(bad_vals)
+        cand = rng.choice(len(choices), size=N_EI_CANDIDATES, p=pl)
+        best = cand[np.argmax(np.log(pl[cand]) - np.log(pg[cand]))]
+        return choices[int(best)]
+    lo, hi = args
+    log_space = kind == "logfloat"
+    tf = math.log if log_space else float
+    l_mix = _ParzenMixture([tf(v) for v in good_vals], tf(lo), tf(hi))
+    g_mix = _ParzenMixture([tf(v) for v in bad_vals], tf(lo), tf(hi))
+    cand = l_mix.sample(rng, N_EI_CANDIDATES)
+    if kind == "int":
+        cand = np.round(cand)
+    x = cand[np.argmax(l_mix.log_pdf(cand) - g_mix.log_pdf(cand))]
+    if kind == "int":
+        return int(np.clip(round(x), lo, hi))
+    v = math.exp(x) if log_space else float(x)
+    return float(np.clip(v, lo, hi))
+
+
 def sample_params(rng: np.random.Generator, history):
-    """Random for the first trials, then sample near top-quartile values."""
-    good = None
+    """Random for the first ``N_STARTUP`` trials, then per-parameter TPE:
+    completed trials split into good (top gamma) / bad, each modeled by a
+    Parzen mixture; candidates drawn from l(x), scored by l(x)/g(x)."""
     complete = [t for t in history if t.get("value") is not None]
-    if len(complete) >= 8:
-        ranked = sorted(complete, key=lambda t: -t["value"])
-        good = ranked[: max(2, len(ranked) // 4)]
+    if len(complete) < N_STARTUP:
+        return {name: _random_one(rng, kind, args) for name, kind, args in SEARCH_SPACE}
+    ranked = sorted(complete, key=lambda t: -t["value"])
+    # optuna's default gamma: ceil(0.1 n) capped at 25 good trials
+    n_good = min(max(1, math.ceil(0.1 * len(ranked))), 25)
+    good, bad = ranked[:n_good], ranked[n_good:]
     params = {}
     for name, kind, args in SEARCH_SPACE:
-        if good is not None and rng.random() < 0.7:
-            base = good[rng.integers(0, len(good))]["params"][name]
-            if kind == "categorical":
-                params[name] = base
-                continue
-            lo, hi = args[0], args[1]
-            if kind == "logfloat":
-                jitter = math.exp(rng.normal(0, 0.3))
-                params[name] = float(np.clip(base * jitter, lo, hi))
-            elif kind == "float":
-                params[name] = float(np.clip(base + rng.normal(0, 0.1 * (hi - lo)), lo, hi))
-            else:
-                params[name] = int(np.clip(round(base + rng.normal(0, 0.1 * (hi - lo))), lo, hi))
-            continue
-        if kind == "logfloat":
-            lo, hi = args
-            params[name] = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
-        elif kind == "float":
-            lo, hi = args
-            params[name] = float(rng.uniform(lo, hi))
-        elif kind == "int":
-            lo, hi = args
-            params[name] = int(rng.integers(lo, hi + 1))
+        gv = [t["params"][name] for t in good if name in t.get("params", {})]
+        bv = [t["params"][name] for t in bad if name in t.get("params", {})]
+        if not gv or not bv:
+            params[name] = _random_one(rng, kind, args)
         else:
-            choices = args[0]
-            params[name] = choices[int(rng.integers(0, len(choices)))]
+            params[name] = _tpe_one(rng, kind, args, gv, bv)
     return params
 
 

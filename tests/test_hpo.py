@@ -29,6 +29,54 @@ def test_sample_params_space():
     assert set(p2) == set(p)
 
 
+def test_tpe_converges_on_toy_objective():
+    """The native TPE sampler must concentrate samples near a toy optimum:
+    after the random-startup phase the sampled objective should beat the
+    startup mean by a clear margin (pure random would stay flat)."""
+
+    def objective(p):
+        # optimum at VAEReconWeight=0.05 (log-space), SNNLWeight=0.6,
+        # KLWarmupEpochs=40, AgeSNNLRegThreshold=0.2
+        return (
+            -((np.log(p["VAEReconWeight"]) - np.log(0.05)) ** 2)
+            - 8.0 * (p["SNNLWeight"] - 0.6) ** 2
+            - (p["KLWarmupEpochs"] - 40.0) ** 2 / 900.0
+            + (0.5 if p["AgeSNNLRegThreshold"] == 0.2 else 0.0)
+        )
+
+    rng = np.random.default_rng(7)
+    history = []
+    for i in range(60):
+        params = hpo.sample_params(rng, history)
+        history.append({"trial": i, "params": params, "value": objective(params)})
+    startup = [t["value"] for t in history[: hpo.N_STARTUP]]
+    tail = [t["value"] for t in history[-15:]]
+    assert np.mean(tail) > np.mean(startup) + 1.0
+    # the tail should also concentrate the log-space parameter near 0.05
+    tail_recon = [np.log(t["params"]["VAEReconWeight"]) for t in history[-15:]]
+    assert abs(np.median(tail_recon) - np.log(0.05)) < 1.0
+
+
+def test_tpe_handles_failed_trials():
+    """Trials with value=None (failed) must be ignored by the sampler, and
+    sampling must stay in-domain for every parameter kind."""
+    rng = np.random.default_rng(3)
+    history = []
+    for i in range(30):
+        params = hpo.sample_params(rng, history)
+        value = None if i % 3 == 0 else float(np.sin(i))
+        history.append({"trial": i, "params": params, "value": value})
+    p = hpo.sample_params(rng, history)
+    for name, kind, args in hpo.SEARCH_SPACE:
+        if kind == "categorical":
+            assert p[name] in args[0]
+        else:
+            lo, hi = args
+            assert lo <= p[name] <= hi
+        if kind == "int":
+            assert isinstance(p[name], int)
+
+
 def test_build_trial_specs():
     base = {
         "NumEpochs": 999,
