@@ -219,6 +219,36 @@ def _knn_chunk(queries, surf_pts, surf_norms, k, s_tile, use_approx=True):
     return num_pos, nearest_dist, plane_dist
 
 
+def _knn_host(queries, surf_pts, surf_norms, k, q_chunk=65536):
+    """Exact k-NN normal vote on the host via scipy cKDTree.
+
+    Same vote/magnitude math as the device `_knn_chunk`
+    (ref: PreprocessMesh.cpp:146-160).
+    Returns (num_pos [Q] int32, nearest_dist [Q] f32, plane_dist [Q] f32).
+    """
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(np.asarray(surf_pts, np.float64))
+    q = queries.shape[0]
+    num_pos = np.empty(q, np.int32)
+    nearest = np.empty(q, np.float32)
+    plane = np.empty(q, np.float32)
+    for start in range(0, q, q_chunk):
+        qs = queries[start : start + q_chunk]
+        dist, idx = tree.query(qs, k=k)
+        nn_pts = surf_pts[idx]  # [Qc, k, 3]
+        nn_norms = surf_norms[idx]
+        ray = qs[:, None, :] - nn_pts
+        ray_len = np.sqrt(np.maximum(np.sum(ray**2, axis=2), 1e-24))
+        d = np.sum(nn_norms * ray, axis=2) / ray_len
+        num_pos[start : start + q_chunk] = np.sum(d > 0, axis=1)
+        nearest[start : start + q_chunk] = dist[:, 0]
+        plane[start : start + q_chunk] = np.abs(
+            np.sum(nn_norms[:, 0, :] * ray[:, 0, :], axis=1)
+        )
+    return num_pos, nearest, plane
+
+
 def knn_sign_vote(
     queries: np.ndarray,
     surf_pts: np.ndarray,
@@ -235,6 +265,17 @@ def knn_sign_vote(
     """
     q = queries.shape[0]
     s = surf_pts.shape[0]
+    if jax.default_backend() != "tpu":
+        # Host KD-tree path (the reference's own design: nanoflann,
+        # ref PreprocessMesh.cpp:523-525). XLA:CPU lowers top_k over a
+        # [Qc, S] distance matrix to full row sorts — minutes on a
+        # small host — while a cKDTree query is milliseconds. The TPU
+        # path below keeps the MXU matmul + approx_min_k formulation.
+        num_pos, nearest, plane = _knn_host(queries, surf_pts, surf_norms, num_votes)
+        mag = np.where(nearest < stdv, plane, nearest)
+        keep = (num_pos == 0) | (num_pos == num_votes)
+        sign = np.where(num_pos <= num_votes // 2, -1.0, 1.0)
+        return (sign * mag).astype(np.float32), keep
     s_pad = ((s + s_tile - 1) // s_tile) * s_tile
     # pad surface with far-away sentinels (never in anyone's top-k)
     pts_pad = np.full((s_pad, 3), 1e6, np.float32)
@@ -340,6 +381,15 @@ def preprocess_mesh(
         faces, n_flipped = repair_mesh_winding(verts, faces)
         logging.info("repaired mesh winding: flipped %d faces", n_flipped)
         quality = dict(quality, repaired_faces=n_flipped)
+    elif repair and signed_volume(verts, faces) < 0:
+        # consistently wound but inward (negative enclosed volume): flip
+        # globally so the orientation-sensitive render pass sees front
+        # faces. (repair_mesh_winding only runs on INCONSISTENT meshes;
+        # the reference's view-corrected normals, ShaderProgram.cpp:5-141,
+        # make its sampling orientation-free, but its wrong-normal
+        # rejection stats would flag an inward mesh the same way.)
+        faces = np.ascontiguousarray(faces[:, ::-1])
+        quality = dict(quality, global_flip=True)
 
     sample_faces, render_stats = _visibility_faces(verts, faces, visibility, quality)
     if render_stats is not None:
