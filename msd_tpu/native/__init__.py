@@ -26,10 +26,16 @@ _SRCS = [
 
 
 def _lib_path() -> str:
+    from msd_tpu.utils.compile_cache import _host_fingerprint
+
     h = hashlib.sha256()
     for src in _SRCS:
         with open(src, "rb") as f:
             h.update(f.read())
+    # -march=native output is host-specific: key the cache by the CPU
+    # fingerprint too, so a re-provisioned VM rebuilds instead of
+    # loading a binary compiled for another machine's ISA.
+    h.update(_host_fingerprint().encode())
     digest = h.hexdigest()[:16]
     name = f"libmsd_native_{digest}.so"
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
