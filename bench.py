@@ -327,13 +327,17 @@ def main():
         for k in stage_keys if rep_stage_stats
     }
 
-    # N=256-class mesh (the resolution reconstruct.py actually uses)
-    t0 = time.time()
-    mesh_mod.create_mesh(
-        trainer.decoder, trainer.state["net"], latent,
-        filename=SCRATCH + "/msd_bench_mesh256", N=256, evaluator=evaluator,
-    )
-    t_mesh256 = time.time() - t0
+    # N=256-class mesh (the resolution reconstruct.py actually uses);
+    # median of 3 — single reps swing with relay bursts like the 512 case
+    t256 = []
+    for _ in range(3):
+        t0 = time.time()
+        mesh_mod.create_mesh(
+            trainer.decoder, trainer.state["net"], latent,
+            filename=SCRATCH + "/msd_bench_mesh256", N=256, evaluator=evaluator,
+        )
+        t256.append(time.time() - t0)
+    t_mesh256 = float(np.median(t256))
 
     # quality guards: chamfer vs the analytic shapes trained on — a sphere
     # plus two non-convex shapes (torus scene 1, two-sphere union scene 2)
