@@ -862,9 +862,14 @@ class PointEvaluator:
             # "auto" engages only off-CPU: the per-shift gather/scatter
             # reassembly is a wash-to-loss on host XLA (no MXU to starve),
             # and it ~4x'es the CPU-suite 512^3 test. "on" always forces.
+            # optimistic single-level shells (N~256 class) are coarse enough
+            # that >25% of active blocks lack an active +1 neighbor: the
+            # per-shift orphan caps overflow and every slab would bounce to
+            # a fallback. Dedup stays a two-level-path (512-class) feature.
             dedup = (
                 dedup_env != "off"
                 and abi_dev is not None
+                and counts_dev is None
                 and (N - 1) // SPARSE_BLOCK <= self.MAP_N
                 and ((A >= 16384 and jax.default_backend() != "cpu")
                      or dedup_env == "on")
@@ -877,7 +882,10 @@ class PointEvaluator:
                 if dedup
                 else None
             )
-            for lo, hi in slabs:
+            def dispatch_slab(lo, hi, use_dedup):
+                """One device program for slab [lo, hi): eval + crossing
+                filter + on-device compaction. Returns (cap, header-future,
+                value device buffers)."""
                 n = hi - lo
                 # optimistic slabs already tile the cap bucket on a 2048
                 # granule: pad-free, so every slab dynamic-slices the device
@@ -898,7 +906,7 @@ class PointEvaluator:
                 else:
                     cap = -(-int(n_pad * self.compact_cap_ratio) // G) * G
                 dev_ok = abi_dev is not None and lo + n_pad <= abi_dev.shape[0]
-                if dev_ok and dedup and n_pad <= 60000:
+                if dev_ok and use_dedup and n_pad <= 60000:
                     out = self._get_slab_compact_dedup_fn(n_pad, cap, codec, rho_m)(
                         latent, abi_dev, map_dev, jnp.int32(lo), valid_d,
                         h_d, scale_d, q_d,
@@ -924,7 +932,10 @@ class PointEvaluator:
                     n_evals = n_pad * (SPARSE_BLOCK + 1) ** 3
                 if stats is not None:
                     stats["evaluated_stream"] = stats.get("evaluated_stream", 0) + n_evals
-                pend.append((lo, hi, cap, self._pool().submit(np.asarray, out[0]), out[1:]))
+                return cap, self._pool().submit(np.asarray, out[0]), out[1:]
+
+            for lo, hi in slabs:
+                pend.append((lo, hi, *dispatch_slab(lo, hi, dedup)))
             if count_resolver is not None:
                 # the count fetch was enqueued before any slab program
                 # finished, so this wait is off the critical path (slab
@@ -953,27 +964,40 @@ class PointEvaluator:
             # consuming any rows: the pool then keeps the maximum number of
             # streams in flight across slab boundaries. Each job's resolver
             # returns the final decoded f32 [K, 125] rows.
+            def parse_header(icn):
+                """-> (K, Km, bad, idx0). u16 stream: 4-entry header
+                [count, Km_lo, Km_hi, flag] + idx (flag = dedup orphan-cap
+                overflow); i32 stream (huge slabs): [count(, Km)] + idx."""
+                K = int(icn[0])
+                if icn.dtype == np.uint16:
+                    Km = int(icn[1]) | (int(icn[2]) << 16) if codec == "packed" else 0
+                    return K, Km, int(icn[3]), 4
+                Km = int(icn[1]) if codec == "packed" else 0
+                return K, Km, 0, 2 if codec == "packed" else 1
+
             jobs = []
             for lo, hi, cap, ic_fut, devs in pend:
                 t0 = time.time()
                 icn = ic_fut.result()
                 if stats is not None:
                     stats["t_mask"] = stats.get("t_mask", 0.0) + time.time() - t0
-                K = int(icn[0])
-                # u16 stream: 4-entry header [count, Km_lo, Km_hi, flag] +
-                # idx (flag = dedup orphan-cap overflow); i32 stream (huge
-                # slabs): [count(, Km)] + idx
-                if icn.dtype == np.uint16:
-                    Km = int(icn[1]) | (int(icn[2]) << 16) if codec == "packed" else 0
-                    bad = int(icn[3])
-                    idx0 = 4
-                else:
-                    Km = int(icn[1]) if codec == "packed" else 0
-                    bad = 0
-                    idx0 = 2 if codec == "packed" else 1
+                K, Km, bad, idx0 = parse_header(icn)
                 overflow = K > cap or bad != 0
                 if codec == "packed" and not overflow:
                     overflow = Km > cap * self.packed_mag_bytes_per_block
+                if overflow and bad != 0:
+                    # orphan-cap overflow is a dedup artifact: one non-dedup
+                    # device program (compaction intact) re-runs the slab —
+                    # far cheaper than the exact two-phase host path below
+                    cap, ic_fut, devs = dispatch_slab(lo, hi, False)
+                    t0 = time.time()
+                    icn = ic_fut.result()
+                    if stats is not None:
+                        stats["t_mask"] = stats.get("t_mask", 0.0) + time.time() - t0
+                    K, Km, bad, idx0 = parse_header(icn)
+                    overflow = K > cap
+                    if codec == "packed" and not overflow:
+                        overflow = Km > cap * self.packed_mag_bytes_per_block
                 if overflow:
                     # rare: crossing (or magnitude or dedup-orphan) fraction
                     # above a cap

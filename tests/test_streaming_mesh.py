@@ -338,7 +338,8 @@ def test_corner_dedup_matches_plain(trained, monkeypatch):  # noqa: F811
 @needs_native
 def test_corner_dedup_orphan_overflow_fallback(trained, monkeypatch):  # noqa: F811
     """An orphan list larger than the cap sets the header flag and the
-    consumer falls back to the exact two-phase slab — identical output."""
+    consumer retries the slab with the non-dedup device program (same
+    codec, compaction intact) — identical output to a non-dedup run."""
     trainer, _ = trained
     latent = trainer.state["lat"][2]
     N = 129
@@ -346,11 +347,12 @@ def test_corner_dedup_orphan_overflow_fallback(trained, monkeypatch):  # noqa: F
     ev = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
     pv, pf = mesh_mod.create_mesh(
         trainer.decoder, trainer.state["net"], latent, N=N, return_mesh=True,
-        evaluator=ev, value_codec="f16",
+        evaluator=ev, value_codec="packed",
     )
     monkeypatch.setenv("MSD_STREAM_DEDUP", "on")
     # 1 orphan slot per block cannot hold the ~9/block real orphan load,
-    # so every slab overflows into the exact (f16) two-phase fallback
+    # so every slab's header flags and the consumer re-dispatches it
+    # through the non-dedup compact program
     monkeypatch.setenv("MSD_ORPHAN_SHIFT_CAP_MILLI", "0")
     ev2 = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
     dv, df = mesh_mod.create_mesh(
