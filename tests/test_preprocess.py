@@ -49,6 +49,30 @@ def test_preprocess_mesh_end_to_end(rng):
     assert (np.abs(all_sdf) < 3 * np.sqrt(0.005)).mean() > 0.7
 
 
+def test_preprocess_inward_winding_flipped(rng):
+    """A consistently wound but INWARD mesh (negative signed volume) is
+    flipped globally before the orientation-sensitive render pass, so the
+    visibility stats and SDF signs match the outward-wound mesh."""
+    r = 0.5
+    v, f = make_sphere_mesh(radius=r)
+    from msd_tpu.preprocess.mesh_to_sdf import signed_volume
+
+    f_out = f if signed_volume(v, f) > 0 else f[:, ::-1]
+    f_in = f_out[:, ::-1]
+    kw = dict(num_samples=8000, surface_vote_points=8000, seed=3)
+    pos_o, neg_o, info_o = preprocess_mesh(v, f_out, **kw)
+    pos_i, neg_i, info_i = preprocess_mesh(v, f_in, **kw)
+    assert info_i["quality"].get("global_flip") is True
+    assert "global_flip" not in info_o["quality"]
+    # identical RNG stream after the flip: byte-identical samples
+    np.testing.assert_array_equal(pos_o, pos_i)
+    np.testing.assert_array_equal(neg_o, neg_i)
+    assert not info_i["rejected"]
+    for arr, sgn in ((pos_i, 1), (neg_i, -1)):
+        d = np.linalg.norm(arr[:, :3], axis=1) - r
+        assert (((d > 0) == (sgn > 0)).mean()) > 0.97
+
+
 def test_preprocess_test_mode(rng):
     v, f = make_sphere_mesh(radius=0.5)
     pos, neg, info = preprocess_mesh(
