@@ -975,7 +975,11 @@ class PointEvaluator:
                 Km = int(icn[1]) if codec == "packed" else 0
                 return K, Km, 0, 2 if codec == "packed" else 1
 
-            jobs = []
+            # first pass — resolve original headers and RE-DISPATCH every
+            # orphan-flagged slab immediately (their non-dedup retry
+            # programs overlap on device; collecting a retry header here
+            # would serialize them and stall later slabs' value fetches)
+            resolved = []
             for lo, hi, cap, ic_fut, devs in pend:
                 t0 = time.time()
                 icn = ic_fut.result()
@@ -989,15 +993,23 @@ class PointEvaluator:
                     # orphan-cap overflow is a dedup artifact: one non-dedup
                     # device program (compaction intact) re-runs the slab —
                     # far cheaper than the exact two-phase host path below
-                    cap, ic_fut, devs = dispatch_slab(lo, hi, False)
+                    resolved.append((lo, hi, *dispatch_slab(lo, hi, False), None))
+                else:
+                    resolved.append((lo, hi, cap, icn, devs, overflow))
+
+            jobs = []
+            for lo, hi, cap, icn, devs, overflow in resolved:
+                if overflow is None:  # retry header still in flight
                     t0 = time.time()
-                    icn = ic_fut.result()
+                    icn = icn.result()
                     if stats is not None:
                         stats["t_mask"] = stats.get("t_mask", 0.0) + time.time() - t0
                     K, Km, bad, idx0 = parse_header(icn)
                     overflow = K > cap
                     if codec == "packed" and not overflow:
                         overflow = Km > cap * self.packed_mag_bytes_per_block
+                else:
+                    K, Km, bad, idx0 = parse_header(icn)
                 if overflow:
                     # rare: crossing (or magnitude or dedup-orphan) fraction
                     # above a cap
