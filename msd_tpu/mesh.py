@@ -63,6 +63,26 @@ def _eval_grid_chunks(decoder, params, latent, N, max_batch):
     return sdf.reshape(-1)
 
 
+def _refine_class(N: int, safety: float, clamp_dist: float):
+    """Resolution class for block refinement: (h, nb4, two_level), or None
+    when block refinement doesn't apply at this N (non-divisible lattice,
+    or a block diagonal too large for the Lipschitz bound). The single
+    shared predicate keeps refine1_optimistic and refine_active4_device
+    routing the same resolutions to the same path."""
+    b = SPARSE_BLOCK
+    h = 2.0 / (N - 1)
+    s3 = math.sqrt(3.0) / 2.0
+    if (N - 1) % b != 0 or b * h * s3 * safety >= clamp_dist:
+        return None
+    nb4 = (N - 1) // b
+    two_level = (
+        (N - 1) % (4 * b) == 0
+        and (4 * b) * h * s3 * safety < clamp_dist
+        and nb4 % 4 == 0
+    )
+    return h, nb4, two_level
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _eval_points(decoder, params, latent, pts):
     latent_rep = jnp.broadcast_to(latent.reshape(1, -1), (pts.shape[0], latent.size))
@@ -413,8 +433,8 @@ class PointEvaluator:
             valid_row = jnp.arange(cap) < count
             small_rows = (mag_rows < 255) & valid_row[:, None]
             # two-level prefix sum: the within-row inclusive prefix is
-            # a lower-triangular MXU matmul (exact: counts <= 125),
-            # leaving only a [cap]-long scan on the row axis
+            # an upper-triangular MXU matmul (x @ triu; exact: counts
+            # <= 125), leaving only a [cap]-long scan on the row axis
             within = jax.lax.dot(
                 small_rows.astype(mm_dt),
                 self._tri_le(pts_per).astype(mm_dt),
@@ -671,8 +691,11 @@ class PointEvaluator:
         return self._block_fns[("window_size", pts_per)]
 
     def _tri_le(self, pts_per):
-        """[125, 125] bf16 lower-triangular ones: (x @ T)[c] = inclusive
-        prefix sum of x along the corner axis, on the MXU."""
+        """[125, 125] bf16 UPPER-triangular ones (T[k, c] = 1 iff k <= c):
+        (x @ T)[c] = inclusive prefix sum of x along the corner axis, on
+        the MXU. (Right-multiplication needs triu, not tril — switching
+        to tril would reverse the prefix direction and corrupt the packed
+        magnitude offsets.)"""
         key = ("tri_le", pts_per)
         if key not in self._block_fns:
             import ml_dtypes
@@ -1278,13 +1301,12 @@ class PointEvaluator:
         prefilter_evals) or None when the class doesn't apply (two-level
         resolutions keep the pipelined path; "auto" engages off-CPU only,
         MSD_STREAM_OPT=on/off overrides)."""
-        b = SPARSE_BLOCK
-        h = 2.0 / (N - 1)
-        s3 = math.sqrt(3.0) / 2.0
-        if (N - 1) % b != 0 or b * h * s3 * safety >= clamp_dist:
+        cls = _refine_class(N, safety, clamp_dist)
+        if cls is None:
             return None
-        nb4 = (N - 1) // b
-        two_level = (N - 1) % (4 * b) == 0 and (4 * b) * h * s3 * safety < clamp_dist and nb4 % 4 == 0
+        b = SPARSE_BLOCK
+        h, nb4, two_level = cls
+        s3 = math.sqrt(3.0) / 2.0
         if two_level or nb4 > 80:
             return None
         mode = os.environ.get("MSD_STREAM_OPT", "auto")
@@ -1308,14 +1330,13 @@ class PointEvaluator:
         With ``async_fetch`` returns (abi4_resolver, count4, evaluated,
         abi4_dev) instead: the host copy downloads on the fetch pool while
         the caller dispatches device work against ``abi4_dev`` directly."""
-        b = SPARSE_BLOCK
-        h = 2.0 / (N - 1)
-        s3 = math.sqrt(3.0) / 2.0
-        if (N - 1) % b != 0 or b * h * s3 * safety >= clamp_dist:
+        cls = _refine_class(N, safety, clamp_dist)
+        if cls is None:
             return None
-        nb4 = (N - 1) // b
+        b = SPARSE_BLOCK
+        h, nb4, two_level = cls
+        s3 = math.sqrt(3.0) / 2.0
         latent = jnp.asarray(latent).reshape(-1)
-        two_level = (N - 1) % (4 * b) == 0 and (4 * b) * h * s3 * safety < clamp_dist and nb4 % 4 == 0
         if two_level:
             nb16 = nb4 // 4
             fn = self._get_refine_fn(nb16, cap16, cap4)

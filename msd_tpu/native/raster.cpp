@@ -94,7 +94,9 @@ void rast_render(
     float shade = 0.25f + 0.75f * lambert;
     uint8_t col[3] = {(uint8_t)(175 * shade), (uint8_t)(189 * shade), (uint8_t)(217 * shade)};
 
-    const float za = -a[2], zb = -b[2], zc = -c[2];
+    // perspective-correct depth: 1/z is affine in screen space, z is not
+    // (all three z's are > znear after the cull above)
+    const float iza = 1.0f / -a[2], izb = 1.0f / -b[2], izc = 1.0f / -c[2];
     for (int y = y0; y <= y1; y++) {
       const float py = y + 0.5f;
       for (int x = x0; x <= x1; x++) {
@@ -103,7 +105,7 @@ void rast_render(
         float w1 = ((cx - px) * (ay - py) - (ax - px) * (cy - py)) * inv_area;
         float w2 = 1.0f - w0 - w1;
         if (w0 < 0 || w1 < 0 || w2 < 0) continue;
-        float z = w0 * za + w1 * zb + w2 * zc;
+        float z = 1.0f / (w0 * iza + w1 * izb + w2 * izc);
         int64_t pix = (int64_t)y * W + x;
         if (z < zbuf[pix]) {
           zbuf[pix] = z;

@@ -236,6 +236,9 @@ def _knn_host(queries, surf_pts, surf_norms, k, q_chunk=65536):
     for start in range(0, q, q_chunk):
         qs = queries[start : start + q_chunk]
         dist, idx = tree.query(qs, k=k)
+        # cKDTree.query drops the k axis for k=1; the device path keeps it
+        dist = dist.reshape(-1, k)
+        idx = idx.reshape(-1, k)
         nn_pts = surf_pts[idx]  # [Qc, k, 3]
         nn_norms = surf_norms[idx]
         ray = qs[:, None, :] - nn_pts

@@ -499,10 +499,14 @@ class Stage1Trainer:
                 )
             num_total = b_real * P
 
-            # CodeBound lookup-time renorm of the batch rows.
+            # CodeBound lookup-time renorm of the batch rows — REAL rows
+            # only: trailing pad entries alias scene 0, and projecting it
+            # when it isn't in the batch would diverge the padded run from
+            # the unpadded trajectory.
             if self.code_bound is not None:
-                rows = project_code_bound(state["lat"][scene_idx], self.code_bound)
-                state = dict(state, lat=state["lat"].at[scene_idx].set(rows))
+                idx_real = scene_idx[:b_real]
+                rows = project_code_bound(state["lat"][idx_real], self.code_bound)
+                state = dict(state, lat=state["lat"].at[idx_real].set(rows))
 
             sample_key, loss_key = jax.random.split(key)
             if use_fused:

@@ -30,6 +30,20 @@ def test_knn_sign_vote_sphere(rng):
     np.testing.assert_allclose(got, want, atol=0.02)
 
 
+def test_knn_sign_vote_single_vote(rng):
+    """k=1 must work on the host KD-tree path (cKDTree.query drops the
+    k axis for k=1; the device path keeps it)."""
+    v, f = make_sphere_mesh(radius=0.6)
+    from msd_tpu.preprocess import sample_surface_points
+
+    surf, norms = sample_surface_points(v, f, 5000, rng)
+    queries = rng.uniform(-0.9, 0.9, size=(200, 3)).astype(np.float32)
+    sdf, keep = knn_sign_vote(queries, surf, norms, num_votes=1)
+    assert keep.all()  # a single vote is never split
+    true_sdf = np.linalg.norm(queries, axis=1) - 0.6
+    assert (((sdf > 0) == (true_sdf > 0)).mean()) > 0.97
+
+
 def test_preprocess_mesh_end_to_end(rng):
     r = 0.5
     v, f = make_sphere_mesh(radius=r)
