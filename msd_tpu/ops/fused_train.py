@@ -446,6 +446,50 @@ def fused_point_grads_t(
     )
 
 
+def make_fused_sdf_l1(decoder, clamp_dist: float, dtype=jnp.bfloat16,
+                      interpret: bool = False):
+    """Fused Stage-2 SDF-consistency term (ref: train_MLP_VAE_deep_sdf.py
+    :3097-3138 semantics, the clamped-L1 half of ``deep_sdf_loss``).
+
+    Returns ``f(net_params, lat_rows [B, L], xyz [B, P, 3], gt [B, P, 1])
+    -> sum |clip(pred) - clip(gt)| / (B*P)``, differentiable w.r.t. BOTH
+    ``lat_rows`` (gradients flow into the VAE through z_hat) and
+    ``net_params`` (the TrainSDFDecoder=true case) via one custom_vjp
+    backed by the fused forward+backward kernel — the same machinery as
+    Stage-1 minus the eikonal chain (~2 matmul sweeps instead of ~4.5).
+    The code-norm regularizer is NOT included (a scene-level scalar the
+    caller computes in plain XLA)."""
+
+    @jax.custom_vjp
+    def f(net_params, lat_rows, xyz, gt):
+        _, _, aux = _grads(net_params, lat_rows, xyz, gt)
+        return aux["sdf"]
+
+    def _grads(net_params, lat_rows, xyz, gt):
+        num_total = xyz.shape[0] * xyz.shape[1]
+        return fused_point_grads(
+            decoder, net_params, lat_rows, xyz, gt, clamp_dist,
+            use_eikonal=False, num_total=num_total, dtype=dtype,
+            interpret=interpret,
+        )
+
+    def fwd(net_params, lat_rows, xyz, gt):
+        grads_net, dlat, aux = _grads(net_params, lat_rows, xyz, gt)
+        return aux["sdf"], (grads_net, dlat, jnp.zeros_like(xyz), jnp.zeros_like(gt))
+
+    def bwd(res, ct):
+        grads_net, dlat, xyz_z, gt_z = res
+        return (
+            jax.tree.map(lambda g: (g * ct).astype(g.dtype), grads_net),
+            dlat * ct,
+            xyz_z,  # zeros: xyz/gt cotangents are never consumed (XLA DCEs)
+            gt_z,
+        )
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def _fused_point_grads_core(
     decoder, net_params, lat_rows, xyz_t, gt_t, B, P,
     clamp_dist, use_eikonal, num_total, eik_weight, dtype, interpret,

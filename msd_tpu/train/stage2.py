@@ -33,7 +33,7 @@ from msd_tpu.data.sdf_samples import SdfDataset, sample_sdf_batch
 from msd_tpu.data.splits import load_split
 from msd_tpu.losses import disentangle as dl
 from msd_tpu.losses import vae as vl
-from msd_tpu.losses.sdf import deep_sdf_loss
+from msd_tpu.losses.sdf import _safe_l2norm, deep_sdf_loss
 from msd_tpu.lr_schedules import get_learning_rate_schedules
 from msd_tpu.models import build_decoder
 from msd_tpu.models.residual_mlp_vae import ResidualMLPVAE, expand_latent_to_points
@@ -117,6 +117,9 @@ class Stage2Trainer:
         # ---- SDF decoder (ref: :691-702) ----
         self.sdf_decoder = build_decoder(specs["NetworkArch"], self.latent_size, specs["NetworkSpecs"])
         self.train_sdf_decoder = bool(g("TrainSDFDecoder", False))
+        # fused Pallas kernel for the SDF-consistency term (TPU, supported
+        # decoder configs); "UseFusedSDFKernel": false opts out
+        self.use_fused_sdf = bool(g("UseFusedSDFKernel", True))
         pretrained_sdf_path = g("PretrainedSDFDecoderPath", None) or g("PretrainedDecoderPath", None)
         pretrained_sdf_path = resolve_spec_path(pretrained_sdf_path, experiment_directory)
         key = jax.random.PRNGKey(g("Seed", 0))
@@ -518,6 +521,24 @@ class Stage2Trainer:
             if (self.scene_per_batch * P // batch_split) % mesh_size(self.mesh) == 0:
                 shard_points = batch_sharding(self.mesh)
 
+        # fused Pallas fwd+bwd for the SDF-consistency term (the step's
+        # dominant FLOPs): one VMEM-resident kernel yields the clamped-L1
+        # and dL/dz_hat (plus decoder grads when TrainSDFDecoder) — the
+        # Stage-1 kernel minus the eikonal chain
+        use_fused_sdf = (
+            self.use_fused_sdf
+            and batch_split == 1
+            and self.mesh is None
+            and jax.default_backend() == "tpu"
+        )
+        if use_fused_sdf:
+            from msd_tpu.ops.fused_train import make_fused_sdf_l1, supports_fused_train
+
+            use_fused_sdf = supports_fused_train(sdf_decoder, P)
+        self._fused_sdf_active = use_fused_sdf
+        if use_fused_sdf:
+            fused_sdf_l1 = make_fused_sdf_l1(sdf_decoder, clamp)
+
         def loss_fn(trainable, frozen_sdf, teacher, surface_pts, pos, pc, neg, nc, scene_idx,
                     label_values, label_valid, age_values, age_valid, key,
                     kl_weight, code_reg_weight):
@@ -604,8 +625,8 @@ class Stage2Trainer:
             # XLA analog of the reference's per-chunk backward accumulation
             # (ref: :3104-3138); equal chunks make the mean-of-chunk-means
             # equal the reference's chunk_scale-weighted sum.
-            lat_pts, xyz_flat = expand_latent_to_points(z_hat, xyz)
             sdf_params = trainable["sdf"] if train_sdf else frozen_sdf
+            lat_pts, xyz_flat = expand_latent_to_points(z_hat, xyz)
             gt_flat = sdf_gt.reshape(-1, 1)
 
             def sdf_chunk_loss(lp, xp, gp):
@@ -621,7 +642,18 @@ class Stage2Trainer:
                     code_reg_weight=code_reg_weight if self.do_code_regularization else 0.0,
                 )
 
-            if batch_split == 1:
+            if use_fused_sdf:
+                # per-point code reg over the expanded latents reduces to a
+                # scene-level scalar: lam*w*sum_pts||z_hat||/(B*P)
+                # = lam*w*sum_scenes||z_hat||/B (deep_sdf_loss semantics)
+                sdf_l = fused_sdf_l1(sdf_params, z_hat, xyz, sdf_gt)
+                reg_w = code_reg_weight if self.do_code_regularization else 0.0
+                sdf_reg = (
+                    self.code_reg_lambda * reg_w
+                    * jnp.sum(_safe_l2norm(z_hat, axis=1)) / z_hat.shape[0]
+                )
+                sdf_total = sdf_l + sdf_reg
+            elif batch_split == 1:
                 sdf_total, sdf_l, sdf_reg = sdf_chunk_loss(lat_pts, xyz_flat, gt_flat)
             else:
                 n = lat_pts.shape[0]

@@ -159,3 +159,44 @@ def test_fused_point_grads_t_matches_rows_layout():
     np.testing.assert_allclose(np.asarray(g_lat_a), np.asarray(g_lat_b), rtol=1e-6)
     for la, lb in zip(jax.tree.leaves(g_net_a), jax.tree.leaves(g_net_b)):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-6)
+
+
+def test_fused_sdf_l1_stage2_consistency():
+    """make_fused_sdf_l1 (the Stage-2 SDF-consistency custom_vjp) must
+    match the XLA formulation Stage2Trainer uses — value AND gradients
+    w.r.t. both z_hat (flows into the VAE) and the decoder params
+    (TrainSDFDecoder case) — including through a downstream chain."""
+    from msd_tpu.ops.fused_train import make_fused_sdf_l1
+
+    decoder, params, lat, xyz, gt = make_case(weight_norm=True)
+    B, P = xyz.shape[:2]
+    gt_c = jnp.clip(gt, -CLAMP, CLAMP)
+
+    def xla_term(p, z):
+        expanded = jnp.repeat(z, P, axis=0)
+        pred = decoder.apply(p, jnp.concatenate([expanded, xyz.reshape(-1, 3)], axis=1))
+        pred = jnp.clip(pred, -CLAMP, CLAMP)
+        return jnp.sum(jnp.abs(pred - gt_c.reshape(-1, 1))) / (B * P)
+
+    fused = make_fused_sdf_l1(decoder, CLAMP, dtype=jnp.float32, interpret=True)
+
+    # chain a nonlinear consumer so the custom_vjp cotangent is not 1.0
+    def chained(fn):
+        return lambda p, z: jnp.tanh(3.0 * fn(p, z)) * 2.0
+
+    (v_o, (g_net_o, g_lat_o)) = jax.value_and_grad(
+        chained(xla_term), argnums=(0, 1))(params, lat)
+    (v_f, (g_net_f, g_lat_f)) = jax.value_and_grad(
+        chained(lambda p, z: fused(p, z, xyz, gt)), argnums=(0, 1))(params, lat)
+
+    np.testing.assert_allclose(float(v_f), float(v_o), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_lat_f), np.asarray(g_lat_o), rtol=2e-4, atol=1e-7)
+    flat_o = jax.tree_util.tree_flatten_with_path(g_net_o)[0]
+    flat_f = jax.tree_util.tree_flatten_with_path(g_net_f)[0]
+    assert len(flat_o) == len(flat_f)
+    for (path_o, leaf_o), (path_f, leaf_f) in zip(flat_o, flat_f):
+        assert path_o == path_f
+        np.testing.assert_allclose(
+            np.asarray(leaf_f), np.asarray(leaf_o), rtol=2e-4, atol=1e-7,
+            err_msg=str(path_o),
+        )
