@@ -136,7 +136,10 @@ def _tpe_one(rng, kind, args, good_vals, bad_vals):
         def probs(vals):
             cnt = np.ones(len(choices), dtype=np.float64)  # +1 smoothing
             for v in vals:
-                cnt[choices.index(v)] += 1.0
+                # trials.json may hold values from an edited SEARCH_SPACE
+                # (resume after a choice was removed) — skip, don't crash
+                if v in choices:
+                    cnt[choices.index(v)] += 1.0
             return cnt / cnt.sum()
 
         pl, pg = probs(good_vals), probs(bad_vals)
@@ -213,7 +216,15 @@ def run_trial(trial_dir, specs, train_epochs=None):
     trainer.train(num_epochs=train_epochs or specs["NumEpochs"])
     epoch = trainer.epoch
 
-    holdout = trainer.holdout_indices if len(trainer.holdout_indices) else trainer.train_indices
+    if not len(trainer.holdout_indices):
+        # scoring the training set while calling it "holdout" would make
+        # the search maximize overfitting with no warning (same failure
+        # mode as substituting train loss for a failed holdout recon)
+        raise ValueError(
+            "HPO requires a latent holdout: set TrainLatentHoldoutFraction > 0 "
+            "in the base specs"
+        )
+    holdout = trainer.holdout_indices
     metrics = ev.compute_disentanglement_metrics(trainer, epoch, "holdout", holdout)
     corr = ev.compute_latent_label_correlation(trainer, epoch, "holdout", holdout)
     # recon term = HOLDOUT eval recon (the reference reads eval-split recon
@@ -232,7 +243,13 @@ def run_trial(trial_dir, specs, train_epochs=None):
         raise RuntimeError(
             f"holdout eval recon is non-finite ({recon}); failing trial"
         )
-    sap = metrics.get("sap") or 0.0
+    sap = metrics.get("sap") if metrics else None
+    if sap is None or not np.isfinite(sap):
+        # silently zeroing the 0.6-weighted dominant term would quietly
+        # turn the objective into 0.3*corr - 0.1*recon; fail the trial so
+        # the misconfiguration (labels/ComputeSAP/too-small holdout) is
+        # visible instead of producing a misleading "best"
+        raise RuntimeError(f"holdout SAP unavailable ({sap}); failing trial")
     corr_abs = abs(corr) if corr is not None and np.isfinite(corr) else 0.0
     value = WEIGHTS["sap"] * sap + WEIGHTS["corr"] * corr_abs - WEIGHTS["recon"] * recon
     return float(value), {"sap": sap, "corr": corr_abs, "recon": float(recon)}
@@ -252,6 +269,11 @@ def main():
 
     with open(args.base_specs) as f:
         base_specs = json.load(f)
+    if float(base_specs.get("TrainLatentHoldoutFraction", 0.0)) <= 0.0:
+        raise SystemExit(
+            "HPO scores SAP/corr/recon on the latent holdout: set "
+            "TrainLatentHoldoutFraction > 0 in the base specs"
+        )
     os.makedirs(args.search_dir, exist_ok=True)
     trials_path = os.path.join(args.search_dir, "trials.json")
     history = []

@@ -150,6 +150,12 @@ def reconstruct(
 
     pos_np, n_pos = _pad_pow2(test_sdf[0])
     neg_np, n_neg = _pad_pow2(test_sdf[1])
+    if n_pos == 0 or n_neg == 0:
+        # randint(maxval=0) reduces modulo a zero span under jit and would
+        # silently fit against the zero padding (torch raises here too)
+        raise ValueError(
+            f"reconstruct needs both sample signs: got {n_pos} pos / {n_neg} neg"
+        )
     pos = jnp.asarray(pos_np)
     neg = jnp.asarray(neg_np)
 
@@ -254,7 +260,12 @@ def reconstruct_batch(
     p_pad = _pow2(max(p.shape[0] for p, _ in test_sdfs))
     n_pad = _pow2(max(n.shape[0] for _, n in test_sdfs))
     pos_list, pos_counts, neg_list, neg_counts = [], [], [], []
-    for p, n in test_sdfs:
+    for si, (p, n) in enumerate(test_sdfs):
+        if p.shape[0] == 0 or n.shape[0] == 0:
+            raise ValueError(
+                f"reconstruct_batch shape {si} needs both sample signs: "
+                f"got {p.shape[0]} pos / {n.shape[0]} neg"
+            )
         pp, pc = _pad_to(p, p_pad)
         nn, nc = _pad_to(n, n_pad)
         pos_list.append(pp)

@@ -1217,8 +1217,12 @@ class Stage2Trainer:
                     self.last_holdout_eval_metrics = dict(hold_em, epoch=epoch)
             mesh_idx = self._eval_scene_selection("EvalMeshTrainSceneNumber", self.train_indices, 10)
             if mesh_gate and len(mesh_idx):
-                ev.generate_eval_meshes(self, epoch, "train", mesh_idx, writer=self.writer)
-                cd = ev.compute_chamfer_for_scenes(self, epoch, "train", mesh_idx, writer=self.writer)
+                _, meshes = ev.generate_eval_meshes(
+                    self, epoch, "train", mesh_idx, writer=self.writer, return_meshes=True
+                )
+                cd = ev.compute_chamfer_for_scenes(
+                    self, epoch, "train", mesh_idx, writer=self.writer, meshes=meshes
+                )
                 if cd is not None:
                     logging.info("Epoch %d train chamfer: %.6f (mesh_count=%d)", epoch, cd, len(mesh_idx))
 
@@ -1278,13 +1282,13 @@ class Stage2Trainer:
             mesh_key = "EvalMeshTestSceneNumber" if split_label == "test" else "EvalMeshValSceneNumber"
             mesh_idx = self._eval_scene_selection(mesh_key, np.arange(dataset.num_scenes), 10)
             if mesh_gate and len(mesh_idx):
-                ev.generate_eval_meshes(
+                _, meshes = ev.generate_eval_meshes(
                     self, epoch, split_label, mesh_idx, writer=self.writer,
-                    dataset=dataset, eval_latents=teacher,
+                    dataset=dataset, eval_latents=teacher, return_meshes=True,
                 )
                 cd = ev.compute_chamfer_for_scenes(
                     self, epoch, split_label, mesh_idx, writer=self.writer,
-                    dataset=dataset, eval_latents=teacher,
+                    dataset=dataset, eval_latents=teacher, meshes=meshes,
                 )
                 if cd is not None:
                     logging.info("Epoch %d %s chamfer: %.6f", epoch, split_label, cd)

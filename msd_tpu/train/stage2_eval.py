@@ -9,6 +9,7 @@ chamfer eval).
 
 from __future__ import annotations
 
+import hashlib
 import logging
 import os
 
@@ -148,9 +149,17 @@ def run_eval(
 
     B = min(trainer.scene_per_batch, len(scene_indices))
     rows = []
-    for start in range(0, len(scene_indices), B):
+    # chained fold_ins (salt, split, epoch, batch) cannot collide the way a
+    # linear 777000+epoch*1000+start formula does across epochs (start is a
+    # scene offset that can exceed 1000) or across same-epoch splits
+    split_key = jax.random.fold_in(
+        jax.random.fold_in(trainer.base_key, 777),
+        int(hashlib.sha256(split_label.encode()).hexdigest()[:8], 16),
+    )
+    epoch_key = jax.random.fold_in(split_key, epoch)
+    for bi, start in enumerate(range(0, len(scene_indices), B)):
         sel = scene_indices[start : start + B]
-        key = jax.random.fold_in(trainer.base_key, 777000 + epoch * 1000 + start)
+        key = jax.random.fold_in(epoch_key, bi)
         out = eval_batch(
             vae_params, sdf_params, inputs_dev[sel],
             teacher_dev[sel] if has_teacher else teacher_dev,
@@ -371,7 +380,9 @@ def write_age_table(trainer, epoch, split_label, scene_indices=None, dataset=Non
             x = latents[:, dim]
             vx = np.var(x)
             if vx > 0:
-                a = np.cov(x, labels_v)[0, 1] / vx
+                # least-squares slope: matched ddof=0 sums (np.cov defaults
+                # to ddof=1, which would inflate the slope by n/(n-1))
+                a = np.mean((x - x.mean()) * (labels_v - labels_v.mean())) / vx
                 pred = a * (x - x.mean()) + labels_v.mean()
             else:
                 pred = np.full_like(labels_v, labels_v.mean())
@@ -587,27 +598,32 @@ def _zhat_for_scenes(trainer, scene_indices, dataset=None, eval_latents=None):
 
 def generate_eval_meshes(
     trainer, epoch, split_label, scene_indices, resolution=None, writer=None,
-    dataset=None, eval_latents=None,
+    dataset=None, eval_latents=None, return_meshes=False,
 ):
     """Decode selected scenes' z_hat to meshes under the TensorBoard
-    reconstruction dirs (ref generate_eval_meshes, :1997-2047)."""
+    reconstruction dirs (ref generate_eval_meshes, :1997-2047).
+
+    With ``return_meshes`` returns (written_ids, {scene_idx: (verts,
+    faces)}) so a following Chamfer pass can reuse the extractions
+    instead of re-running create_mesh per scene."""
     from msd_tpu.config import get_spec_with_default as g
     from msd_tpu import mesh as mesh_mod
 
     if scene_indices is None or len(scene_indices) == 0:
-        return []
+        return ([], {}) if return_meshes else []
     specs = trainer.specs
     resolution = resolution or g(specs, "EvalGridResolution", 256)
     max_batch = g(specs, "EvalMaxBatch", 2**18)
     ds, z_hat = _zhat_for_scenes(trainer, scene_indices, dataset, eval_latents)
     if z_hat is None:
         logging.error("%s latents missing; skipping %s mesh generation.", split_label, split_label)
-        return []
+        return ([], {}) if return_meshes else []
     recon_dir = (
         ws.tb_logs_train_reconstructions if split_label == "train"
         else ws.tb_logs_test_reconstructions
     )
     written = []
+    meshes = {}
     sdf_params = trainer.sdf_params()
     for j, idx in enumerate(scene_indices):
         iid = ds.instance_ids[idx]
@@ -620,16 +636,20 @@ def generate_eval_meshes(
         )
         if res is not None and res is not False:
             written.append(iid)
-    return written
+            meshes[int(idx)] = res
+    return (written, meshes) if return_meshes else written
 
 
 def compute_chamfer_for_scenes(
     trainer, epoch, split_label, scene_indices, writer=None,
-    dataset=None, eval_latents=None,
+    dataset=None, eval_latents=None, meshes=None,
 ):
     """Mean Chamfer of selected scenes' decoded meshes vs EvalGTMeshDir
     ground truth; logs Chamfer/{split} (ref compute_chamfer_for_scenes,
-    :2049-2112). Returns the mean CD or None."""
+    :2049-2112). Returns the mean CD or None. ``meshes`` (optional,
+    {scene_idx: (verts, faces)} from ``generate_eval_meshes(...,
+    return_meshes=True)``) reuses already-extracted meshes instead of
+    re-running create_mesh per scene."""
     from msd_tpu.config import get_spec_with_default as g
     from msd_tpu import mesh as mesh_mod
     from msd_tpu.metrics.chamfer import compute_mesh_chamfer
@@ -653,10 +673,12 @@ def compute_chamfer_for_scenes(
         if not os.path.isfile(gt_path):
             logging.warning("GT mesh missing for chamfer: %s", gt_path)
             continue
-        res = mesh_mod.create_mesh(
-            trainer.sdf_decoder, sdf_params, z_hat[j],
-            N=resolution, max_batch=max_batch, return_mesh=True,
-        )
+        res = meshes.get(int(idx)) if meshes is not None else None
+        if res is None:
+            res = mesh_mod.create_mesh(
+                trainer.sdf_decoder, sdf_params, z_hat[j],
+                N=resolution, max_batch=max_batch, return_mesh=True,
+            )
         if res is None or res is False:
             continue
         cd, _ = compute_mesh_chamfer(
