@@ -63,8 +63,9 @@ def leading_axis_or_replicated(
 
     if n % mesh_size(mesh) == 0:
         return NamedSharding(mesh, P(axis_name))
-    logging.info(
-        "%s (%d rows) not divisible by %d devices; replicating",
+    logging.warning(
+        "%s (%d rows) not divisible by %d devices; REPLICATING (1x compute "
+        "per device). Pad the leading axis to a mesh multiple to shard.",
         what, n, mesh_size(mesh),
     )
     return NamedSharding(mesh, P())

@@ -1079,14 +1079,13 @@ class Stage2Trainer:
         """SAP + correlation on an eval split: encode the reconstructed
         teacher latents with the VAE, then score mu against the split's
         labels (ref eval blocks :3433-3826)."""
-        import jax as _jax
-
         from msd_tpu.metrics import sap as sap_metric
+        from msd_tpu.train.stage2_eval import _cached_mu
 
-        vae_out = self.vae.apply(
-            self.state["vae"], jnp.asarray(teacher_latents), rng=_jax.random.PRNGKey(0), train=False
-        )
-        mu = np.asarray(vae_out["mu"])
+        # shares the per-(epoch, inputs) mu cache with the stage2_eval
+        # blocks: the same teacher array is what run_eval/_codes_for see
+        # as eval_latents, so this pass is usually already computed
+        mu = np.asarray(_cached_mu(self, teacher_latents))
         results = {}
         label_matrix = self.metric_label_matrix(dataset)
         if label_matrix is not None:

@@ -36,12 +36,34 @@ def _eval_inputs(trainer, dataset=None, eval_latents=None):
     return eval_latents
 
 
+def _cached_mu(trainer, inputs):
+    """Full-split VAE mu matrix, computed at most once per (epoch, split
+    inputs). Every eval block (run_eval aside, which needs per-batch
+    sampling anyway) used to call ``compute_vae_latents`` independently —
+    five identical full-dataset encoder passes per eval epoch (the
+    reference recomputes too, train_MLP_VAE_deep_sdf.py:1911-2581; we
+    dedupe). The cache is invalidated whenever ``trainer.epoch`` moves, so
+    post-update weights can never serve stale codes. Entries hold a strong
+    reference to the inputs array so an ``id()`` can't be recycled while
+    its entry is alive."""
+    epoch = int(getattr(trainer, "epoch", -1))
+    cache = getattr(trainer, "_eval_mu_cache", None)
+    if cache is None or cache["epoch"] != epoch:
+        cache = trainer._eval_mu_cache = {"epoch": epoch, "entries": {}}
+    entry = cache["entries"].get(id(inputs))
+    if entry is not None and entry[0] is inputs:
+        return entry[1]
+    mu = trainer.compute_vae_latents(inputs=inputs)
+    cache["entries"][id(inputs)] = (inputs, mu)
+    return mu
+
+
 def _codes_for(trainer, dataset=None, eval_latents=None, scene_indices=None):
     """VAE mu's for a split, optionally restricted to scene_indices."""
     inputs = _eval_inputs(trainer, dataset, eval_latents)
     if inputs is None:
         return None
-    mu = trainer.compute_vae_latents(inputs=inputs)
+    mu = _cached_mu(trainer, inputs)
     if scene_indices is not None:
         mu = mu[np.asarray(scene_indices)]
     return mu

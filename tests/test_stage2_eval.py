@@ -51,6 +51,36 @@ def test_correlation_and_tables(trained):
     assert len(lines) == 1 + trained.vae_latent_dim
 
 
+def test_eval_mu_cached_once_per_epoch(trained, monkeypatch):
+    """All eval blocks share one full-split encoder pass per (epoch,
+    inputs): the mu matrix is computed once and reused by SAP,
+    correlation, diagnosis and age tables (the reference re-encodes per
+    block, train_MLP_VAE_deep_sdf.py:1911-2581 — ~5 identical passes)."""
+    calls = {"n": 0}
+    orig = trained.compute_vae_latents
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(trained, "compute_vae_latents", counting)
+    old_epoch = trained.epoch
+    try:
+        trained.epoch = 10  # fresh epoch -> cache starts cold
+        ev.compute_disentanglement_metrics(trained, 10, "train", trained.train_indices)
+        ev.compute_latent_label_correlation(trained, 10, "train", trained.train_indices)
+        ev.write_diagnosis_table(trained, 10, "train", trained.train_indices)
+        ev.write_age_table(trained, 10, "train", trained.train_indices)
+        ev.compute_disentanglement_metrics(trained, 10, "train_holdout", trained.holdout_indices)
+        assert calls["n"] == 1, f"expected 1 encoder pass, saw {calls['n']}"
+        # a new epoch invalidates the cache (weights may have moved)
+        trained.epoch = 11
+        ev.compute_latent_label_correlation(trained, 11, "train", trained.train_indices)
+        assert calls["n"] == 2
+    finally:
+        trained.epoch = old_epoch
+
+
 def test_mesh_eval_runs(trained, tmp_path):
     # the Stage-2 SDF decoder here is untrained, so extraction may find no
     # surface — the eval must warn-and-continue (reference behavior,
