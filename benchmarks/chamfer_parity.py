@@ -333,13 +333,57 @@ def run_msd_side(scenes, gt_points):
     }
 
 
+def load_real_dataset(data_source, train_split, test_split):
+    """Real-data mode: reference-format SdfSamples `.npz` {pos,neg} named by
+    split JSONs, GT eval points from SurfaceSamples `.ply` (the reference
+    eval protocol, evaluate.py:32-67). Train scenes come first, then test;
+    the returned tuple matches make_dataset()'s."""
+    from msd_tpu.data.mesh_io import load_ply
+    from msd_tpu.data.splits import load_split, split_triples
+    from msd_tpu.workspace import sdf_samples_subdir, surface_samples_subdir
+
+    global SCENES_TRAIN, SCENES_TEST
+    scenes, gt_points, specs = [], [], []
+    counts = []
+    for split_file in (train_split, test_split):
+        triples = split_triples(load_split(split_file))
+        counts.append(len(triples))
+        for ds_name, cls, iid in triples:
+            npz = np.load(os.path.join(
+                data_source, sdf_samples_subdir, ds_name, cls, iid + ".npz"))
+            pos = npz["pos"][np.isfinite(npz["pos"]).all(axis=1)].astype(np.float32)
+            neg = npz["neg"][np.isfinite(npz["neg"]).all(axis=1)].astype(np.float32)
+            scenes.append((pos, neg))
+            verts, _ = load_ply(os.path.join(
+                data_source, surface_samples_subdir, ds_name, cls, iid + ".ply"))
+            gt_points.append(np.asarray(verts, np.float32))
+            specs.append(("real", {"id": iid}))
+    SCENES_TRAIN, SCENES_TEST = counts
+    h = hashlib.sha256()
+    for pos, neg in scenes:
+        h.update(pos.tobytes())
+        h.update(neg.tobytes())
+    return specs, scenes, gt_points, h.hexdigest()[:16]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--side", choices=["torch", "msd", "both"], default="both")
     ap.add_argument("--out", default=os.path.join(REPO, "chamfer_parity.json"))
+    ap.add_argument("--data_source", default=None,
+                    help="run on real preprocessed data (dir holding SdfSamples/ "
+                         "and SurfaceSamples/) instead of the synthetic population")
+    ap.add_argument("--train_split", default=None, help="split JSON (real-data mode)")
+    ap.add_argument("--test_split", default=None, help="split JSON (real-data mode)")
     args = ap.parse_args()
 
-    specs, scenes, gt_points, data_hash = make_dataset()
+    if args.data_source:
+        if not (args.train_split and args.test_split):
+            ap.error("--data_source requires --train_split and --test_split")
+        specs, scenes, gt_points, data_hash = load_real_dataset(
+            args.data_source, args.train_split, args.test_split)
+    else:
+        specs, scenes, gt_points, data_hash = make_dataset()
     result = {}
     if os.path.isfile(args.out):
         with open(args.out) as f:
