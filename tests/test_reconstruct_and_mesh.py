@@ -163,3 +163,36 @@ def test_reconstruct_batch_matches_single_and_shards(trained):
     assert losses_sh.shape == (3,) and latents_sh.shape == (3, trainer.latent_size)
     assert np.isfinite(latents_sh).all()
     assert np.all(losses_sh < 0.1)
+
+
+def test_interactive_html_export(trained, tmp_path):
+    """The HTML latent explorer (interactive_visualization_latent_to_shape
+    notebook parity) is a single self-contained file with decodable frame
+    payloads for every requested dim/step."""
+    import json as _json
+    import re
+
+    from msd_tpu.explorer import export_interactive_html
+
+    trainer, _ = trained
+    out = str(tmp_path / "explorer.html")
+    export_interactive_html(
+        trainer.decoder, trainer.state["net"], trainer.state["lat"][2], out,
+        dims=[0, 1], steps=3, delta=0.05, N=49,
+    )
+    text = open(out).read()
+    assert "__PAYLOAD__" not in text and "__TITLE__" not in text
+    data = _json.loads(re.search(r"const DATA = (.*?);\n", text).group(1))
+    assert data["dims"] == [0, 1]
+    assert set(data["frames"]) == {"0", "1"}
+    assert len(data["frames"]["0"]) == 3
+    # base + center frames carry real meshes (trained sphere decoder)
+    assert data["base"] is not None and data["base"]["nv"] > 0
+    assert data["frames"]["1"][1]["nv"] == data["base"]["nv"]
+    # quantized payload decodes to the advertised sizes
+    import base64
+
+    import numpy as _np
+
+    q = _np.frombuffer(base64.b64decode(data["base"]["v"]), dtype="<u2")
+    assert q.shape[0] == data["base"]["nv"] * 3
