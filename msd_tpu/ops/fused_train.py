@@ -96,16 +96,25 @@ def split_weights(decoder, weights):
     return parts
 
 
-def _make_kernel(plan, latent_li, use_eikonal, dtype, tps):
+def _make_kernel(plan, latent_li, use_eikonal, dtype, tps, eik_tps=None):
     """Kernel body. Ref order:
     in:  xyz [8,T], gt [8,T], scal [1,4] SMEM,
          per layer: (Mp?, Mx?, c[1,out])
     out: loss_acc [8,128], per layer: (dMp?, dMx?, dc[1,out])
-    scratch: h_0..h_{nl-2}, then (if eikonal) u_0..u_{nl-2}
+    scratch: h_0..h_{nl-2}, then (if eikonal) u_0..u_{nl-2},
+    then (if eikonal is tile-gated) sbar_e carry [8, T]
+
+    ``eik_tps``: eikonal is computed only on the first ``eik_tps`` of each
+    scene's ``tps`` tiles (EikonalNumPoints subsampling — points arrive in
+    freshly-sampled random order each step, so a tile prefix is an unbiased
+    subsample). ``None`` / ``tps`` = every tile (full eikonal).
     """
     from jax.experimental import pallas as pl
 
     nl = len(plan)
+    if eik_tps is None:
+        eik_tps = tps
+    eik_gated = use_eikonal and eik_tps < tps
 
     def kernel(*refs):
         it = iter(refs)
@@ -131,6 +140,7 @@ def _make_kernel(plan, latent_li, use_eikonal, dtype, tps):
             lout.append(e)
         h_scr = [next(it) for _ in range(nl - 1)]
         u_scr = [next(it) for _ in range(nl - 1)] if use_eikonal else None
+        sbar_scr = next(it) if eik_gated else None
 
         pid = pl.program_id(0)
         clamp = scal_ref[0, 0]
@@ -195,8 +205,12 @@ def _make_kernel(plan, latent_li, use_eikonal, dtype, tps):
         l1_lane = jnp.sum(jnp.abs(yc - gt) * row0, axis=0)  # [T]
         sgn = jnp.sign(yc - gt)
 
-        # ---- u-chain + eikonal ----
-        if use_eikonal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, loss_ref.shape, 0)
+        loss_ref[:] = loss_ref[:] + jnp.where(rows == 0, l1_lane[None, :], 0.0)
+
+        def eik_body():
+            """u-chain, eikonal loss row, second-order ū/t chain; returns
+            the eikonal contribution s̄_e [1, T] to the δ-chain seed."""
             u_last = m * tau
             u_next = u_last.astype(dtype)
             for l in range(nl - 1, 0, -1):
@@ -210,22 +224,44 @@ def _make_kernel(plan, latent_li, use_eikonal, dtype, tps):
             gsq = jnp.sum(g * g, axis=0, keepdims=True)
             gn = jnp.sqrt(jnp.maximum(gsq, 1e-24))
             eik_lane = (1.0 - gn) ** 2  # [1, T]
+            loss_ref[:] = loss_ref[:] + jnp.where(rows == 1, eik_lane, 0.0)
             # g already carries the m·τ factor (u_last seed), so the ū-chain
             # below is seeded with ḡ directly; the a_last sensitivity of the
             # seed folds into s̄ as −2y·(ḡᵀg)
             gbar = (eik_coef * (gn - 1.0) / gn) * g
             gdot = jnp.sum(gbar * g, axis=0, keepdims=True)
-            sbar_e = -2.0 * y[0:1] * gdot
-        else:
-            eik_lane = jnp.zeros((1, x.shape[1]), jnp.float32)
-            sbar_e = jnp.zeros((1, x.shape[1]), jnp.float32)
 
-        prev_acc = loss_ref[:]
-        rows = jax.lax.broadcasted_iota(jnp.int32, prev_acc.shape, 0)
-        upd = jnp.where(rows == 0, l1_lane[None, :], 0.0) + jnp.where(
-            rows == 1, eik_lane, 0.0
-        )
-        loss_ref[:] = prev_acc + upd
+            # ---- ū/t chain (second-order eikonal) ----
+            gbar_c = gbar.astype(dtype)
+            lout[0]["dMx"][:] += outer(u_scr[0][:], gbar_c)
+            ubar = mm(lin[0]["Mx"][:], gbar_c)  # [w0, T]
+            for l in range(1, nl):
+                t_prev = ((h_scr[l - 1][:].astype(jnp.float32) > 0).astype(jnp.float32) * ubar).astype(dtype)
+                u_l = u_scr[l][:] if l < nl - 1 else (m * tau).astype(dtype)
+                lout[l]["dMp"][:] += outer(u_l, t_prev)
+                if l == latent_li:
+                    lout[l]["dMx"][:] += outer(u_l, gbar_c)
+                if l < nl - 1:
+                    ubar = mm(lin[l]["Mp"][:], t_prev)
+                    if l == latent_li:
+                        ubar = ubar + mm(lin[l]["Mx"][:], gbar_c)
+            return -2.0 * y[0:1] * gdot
+
+        if not use_eikonal:
+            sbar_e = jnp.zeros((1, x.shape[1]), jnp.float32)
+        elif eik_gated:
+            # EikonalNumPoints: only the first eik_tps tiles of each scene
+            # run the (expensive) eikonal chains; the rest skip the whole
+            # branch and contribute s̄_e = 0
+            sbar_scr[:] = jnp.zeros_like(sbar_scr)
+
+            @pl.when(pid % tps < eik_tps)
+            def _eik():
+                sbar_scr[:] = row0 * eik_body()
+
+            sbar_e = sbar_scr[:][0:1]
+        else:
+            sbar_e = eik_body()
 
         # ---- δ-chain ----
         sbar = m[0:1] * tau[0:1] * sgn[0:1] * inv_ntot + sbar_e  # [1, T]
@@ -241,22 +277,6 @@ def _make_kernel(plan, latent_li, use_eikonal, dtype, tps):
                 dh = mmT(lin[l]["Mp"], d_c)
                 delta = dh * (h_scr[l - 1][:].astype(jnp.float32) > 0).astype(jnp.float32)
 
-        # ---- ū/t chain (second-order eikonal) ----
-        if use_eikonal:
-            gbar_c = gbar.astype(dtype)
-            lout[0]["dMx"][:] += outer(u_scr[0][:], gbar_c)
-            ubar = mm(lin[0]["Mx"][:], gbar_c)  # [w0, T]
-            for l in range(1, nl):
-                t_prev = ((h_scr[l - 1][:].astype(jnp.float32) > 0).astype(jnp.float32) * ubar).astype(dtype)
-                u_l = u_scr[l][:] if l < nl - 1 else (m * tau).astype(dtype)
-                lout[l]["dMp"][:] += outer(u_l, t_prev)
-                if l == latent_li:
-                    lout[l]["dMx"][:] += outer(u_l, gbar_c)
-                if l < nl - 1:
-                    ubar = mm(lin[l]["Mp"][:], t_prev)
-                    if l == latent_li:
-                        ubar = ubar + mm(lin[l]["Mx"][:], gbar_c)
-
     return kernel
 
 
@@ -271,11 +291,17 @@ def build_fused_train(
     dtype=jnp.bfloat16,
     interpret: bool = False,
     tile: int = 256,
+    eik_points: int | None = None,
 ):
     """Builds fn(parts, consts, xyz_t [8,N], gt_t [8,N]) ->
     (l1_sum, eik_sum, dparts, dconsts). N = batch_scenes*points_per_scene;
     l1 gradients use 1/num_total (the reference's full-batch normalizer),
-    eikonal uses 1/N (a mean over this microbatch, like the XLA path)."""
+    eikonal uses 1/fn.n_eik (a mean over its points, like the XLA path).
+
+    ``eik_points``: EikonalNumPoints subsampling — eikonal runs on the
+    first ceil(eik_points/tile) tiles of each scene only (rounded UP to a
+    tile multiple; ``fn.eik_points_effective`` reports the rounded count).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -288,7 +314,13 @@ def build_fused_train(
     n_tiles = n // tile
     widths = [out for _, _, out in plan]
 
-    kernel = _make_kernel(plan, latent_li, use_eikonal, dtype, tps)
+    if use_eikonal and eik_points is not None and 0 < eik_points < P:
+        eik_tps = min(tps, max(1, -(-int(eik_points) // tile)))
+    else:
+        eik_tps = tps
+    n_eik = S * eik_tps * tile
+
+    kernel = _make_kernel(plan, latent_li, use_eikonal, dtype, tps, eik_tps)
 
     def tile_ix(i):
         return (0, i)
@@ -331,6 +363,8 @@ def build_fused_train(
     scratch = [pltpu.VMEM((widths[l], tile), dtype) for l in range(nl - 1)]
     if use_eikonal:
         scratch += [pltpu.VMEM((widths[l], tile), dtype) for l in range(nl - 1)]
+        if eik_tps < tps:
+            scratch.append(pltpu.VMEM((_XPAD, tile), jnp.float32))  # sbar_e carry
 
     compiler_params = None
     if not interpret:
@@ -350,7 +384,7 @@ def build_fused_train(
 
     def fn(parts, consts, xyz_t, gt_t):
         scal = jnp.array(
-            [[clamp_dist, 1.0 / num_total, 2.0 * eik_weight / n, 0.0]], jnp.float32
+            [[clamp_dist, 1.0 / num_total, 2.0 * eik_weight / n_eik, 0.0]], jnp.float32
         )
         inputs = [xyz_t, gt_t, scal]
         for l, (kind, prev, out) in enumerate(plan):
@@ -383,6 +417,8 @@ def build_fused_train(
             dparts.append(e)
         return jnp.sum(loss_acc[0]), jnp.sum(loss_acc[1]), dparts, dconsts
 
+    fn.n_eik = n_eik
+    fn.eik_points_effective = eik_tps * tile
     return fn
 
 
@@ -398,11 +434,13 @@ def fused_point_grads(
     eik_weight: float = 0.002,
     dtype=jnp.bfloat16,
     interpret: bool = False,
+    eik_points: int | None = None,
 ):
     """Fused loss + gradients for one (micro)batch.
 
     Args: lat_rows [B, L]; xyz [B, P, 3]; sdf_gt [B, P, 1] (unclipped);
-    num_total = the XLA path's clamped-L1 normalizer (full-batch points).
+    num_total = the XLA path's clamped-L1 normalizer (full-batch points);
+    eik_points = EikonalNumPoints subsample per scene (None = all P).
     Returns (grads_net pytree like net_params, dlat [B, L],
     aux {sdf, eikonal}).
     """
@@ -414,6 +452,7 @@ def fused_point_grads(
     return _fused_point_grads_core(
         decoder, net_params, lat_rows, xyz_t, gt_t, B, P,
         clamp_dist, use_eikonal, num_total, eik_weight, dtype, interpret,
+        eik_points,
     )
 
 
@@ -428,6 +467,7 @@ def fused_point_grads_t(
     eik_weight: float = 0.002,
     dtype=jnp.bfloat16,
     interpret: bool = False,
+    eik_points: int | None = None,
 ):
     """Like ``fused_point_grads`` but taking the batch in the SoA layout
     ``xyzgt_t`` [4, B, P] produced by ``sample_sdf_batch(layout="t")`` —
@@ -443,6 +483,7 @@ def fused_point_grads_t(
     return _fused_point_grads_core(
         decoder, net_params, lat_rows, xyz_t, gt_t, B, P,
         clamp_dist, use_eikonal, num_total, eik_weight, dtype, interpret,
+        eik_points,
     )
 
 
@@ -493,6 +534,7 @@ def make_fused_sdf_l1(decoder, clamp_dist: float, dtype=jnp.bfloat16,
 def _fused_point_grads_core(
     decoder, net_params, lat_rows, xyz_t, gt_t, B, P,
     clamp_dist, use_eikonal, num_total, eik_weight, dtype, interpret,
+    eik_points=None,
 ):
     plan, latent_li, L, nl = _layer_plan(decoder)
 
@@ -514,13 +556,13 @@ def _fused_point_grads_core(
             c = c + lat_rows @ parts[l]["Wz"]
         consts.append(c)
 
-    n = B * P
     fused = build_fused_train(
-        decoder, B, P, clamp_dist, num_total, use_eikonal, eik_weight, dtype, interpret
+        decoder, B, P, clamp_dist, num_total, use_eikonal, eik_weight, dtype, interpret,
+        eik_points=eik_points,
     )
     l1_sum, eik_sum, dparts, dconsts = fused(parts, consts, xyz_t, gt_t)
     sdf_l = l1_sum / num_total
-    eik_l = eik_weight * eik_sum / n if use_eikonal else jnp.float32(0.0)
+    eik_l = eik_weight * eik_sum / fused.n_eik if use_eikonal else jnp.float32(0.0)
 
     dweights, dbiases = [], []
     dlat = jnp.zeros_like(lat_rows)

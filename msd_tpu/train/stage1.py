@@ -108,6 +108,14 @@ class Stage1Trainer:
         self.do_code_regularization = get_spec_with_default(specs, "CodeRegularization", True)
         self.code_reg_lambda = get_spec_with_default(specs, "CodeRegularizationLambda", 1e-4)
         self.use_eikonal = get_spec_with_default(specs, "UseEikonal", False)
+        # EikonalNumPoints (TPU extension, default None = all points): the
+        # eikonal term is evaluated on a per-scene random subsample of this
+        # many points. The eikonal chains cost ~half the step's FLOPs
+        # (PERF.md §2 budget); points arrive in freshly-sampled random order
+        # each step, so a prefix subsample is unbiased. The fused kernel
+        # rounds it UP to its 256-lane tile.
+        _eik_pts = get_spec_with_default(specs, "EikonalNumPoints", None)
+        self.eikonal_num_points = int(_eik_pts) if _eik_pts else None
         self.use_covariance = get_spec_with_default(specs, "UseCovarianceLoss", False)
         self.lambda_cov = get_spec_with_default(specs, "CovarianceLossLambda", 1e-3)
 
@@ -324,6 +332,7 @@ class Stage1Trainer:
             g_net, dlat_rows, aux = fused_point_grads_t(
                 decoder, trainable["net"], lat_rows, xyzgt_t,
                 clamp, use_eik, num_total,
+                eik_points=self.eikonal_num_points,
             )
             if do_reg:
                 # code reg on the expanded per-point rows = P * per-scene
@@ -377,7 +386,30 @@ class Stage1Trainer:
                 return jnp.clip(pred, -clamp_dist, clamp_dist)
 
             aux = {}
-            if use_eik:
+            eik_pts = self.eikonal_num_points
+            if use_eik and eik_pts is not None and 0 < eik_pts < P:
+                # EikonalNumPoints: eikonal on the first E (randomly-ordered)
+                # points of each scene via a separate small vjp; the clamped
+                # L1 still sees every point
+                pred = pred_from_xyz(xyz_flat)
+                E = int(eik_pts)
+                expanded_e = jnp.repeat(lat_rows, E, axis=0)
+                xyz_e = xyz[:, :E].reshape(-1, 3)
+
+                def pred_from_xyz_e(x):
+                    inputs = jnp.concatenate([expanded_e, x], axis=1)
+                    p = decoder.apply(trainable["net"], inputs, **apply_kwargs)
+                    return jnp.clip(p, -clamp_dist, clamp_dist)
+
+                pred_e, vjp_e = jax.vjp(pred_from_xyz_e, xyz_e)
+                (grads_e,) = vjp_e(jnp.ones_like(pred_e))
+                w_eik = None
+                if n_real != b:
+                    w_eik = jnp.repeat(
+                        (jnp.arange(b) < n_real).astype(jnp.float32), E
+                    )[:, None]
+                eik = eikonal_loss(grads_e, weights=w_eik)
+            elif use_eik:
                 pred, vjp_fn = jax.vjp(pred_from_xyz, xyz_flat)
                 (grads_xyz,) = vjp_fn(jnp.ones_like(pred))
                 eik = eikonal_loss(grads_xyz, weights=w_pts)

@@ -100,6 +100,58 @@ def test_fused_grads_match_xla(use_eikonal, weight_norm):
         )
 
 
+def test_fused_grads_eikonal_subsample():
+    """EikonalNumPoints gating: fused kernel with eik_points=E must match an
+    oracle that runs eikonal on the first E points of each scene only."""
+    decoder, params, lat, xyz, gt = make_case(P=512)
+    B, P = xyz.shape[:2]
+    E = 256  # one 256-lane tile of the two per scene
+
+    def oracle_sub(p, z):
+        num_total = B * P
+        expanded = jnp.repeat(z, P, axis=0)
+        expanded_e = jnp.repeat(z, E, axis=0)
+        xyz_flat = xyz.reshape(-1, 3)
+        gt_c = jnp.clip(gt.reshape(-1, 1), -CLAMP, CLAMP)
+
+        def pred_fn(exp, x):
+            return jnp.clip(decoder.apply(p, jnp.concatenate([exp, x], axis=1)), -CLAMP, CLAMP)
+
+        pred = pred_fn(expanded, xyz_flat)
+        _, vjp_fn = jax.vjp(lambda x: pred_fn(expanded_e, x), xyz[:, :E].reshape(-1, 3))
+        (grads_xyz,) = vjp_fn(jnp.ones((B * E, 1)))
+        eik = eikonal_loss(grads_xyz)
+        sdf_l = jnp.sum(jnp.abs(pred - gt_c)) / num_total
+        return sdf_l + eik, (sdf_l, eik)
+
+    (_, (sdf_o, eik_o)), (g_net_o, g_lat_o) = jax.value_and_grad(
+        oracle_sub, argnums=(0, 1), has_aux=True
+    )(params, lat)
+
+    g_net, g_lat, aux = fused_point_grads(
+        decoder, params, lat, xyz, gt, CLAMP, True, B * P,
+        dtype=jnp.float32, interpret=True, eik_points=E,
+    )
+    np.testing.assert_allclose(float(aux["sdf"]), float(sdf_o), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(aux["eikonal"]), float(eik_o), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_lat), np.asarray(g_lat_o), rtol=2e-4, atol=1e-7)
+    for (po, lo), (pf, lf) in zip(
+        jax.tree_util.tree_flatten_with_path(g_net_o)[0],
+        jax.tree_util.tree_flatten_with_path(g_net)[0],
+    ):
+        assert po == pf
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lo), rtol=2e-4, atol=1e-7, err_msg=str(po)
+        )
+
+    # full-eikonal fused run must differ (the gate is actually doing something)
+    _, _, aux_full = fused_point_grads(
+        decoder, params, lat, xyz, gt, CLAMP, True, B * P,
+        dtype=jnp.float32, interpret=True,
+    )
+    assert abs(float(aux_full["eikonal"]) - float(aux["eikonal"])) > 0
+
+
 def test_fused_grads_no_latent_in():
     decoder, params, lat, xyz, gt = make_case(latent_in=())
     assert supports_fused_train(decoder, xyz.shape[1])

@@ -156,6 +156,21 @@ def test_regularizer_variants_run(tmp_path):
     assert np.isfinite(m2["total"])
 
 
+def test_eikonal_num_points_subsample(tmp_path):
+    """EikonalNumPoints (XLA path): subsampled eikonal trains, produces a
+    finite aux, and actually changes the eikonal value vs the full term."""
+    exp_dir_a, _ = _specs(tmp_path / "a", UseEikonal=True, EikonalNumPoints=16)
+    ta = Stage1Trainer(exp_dir_a)
+    assert ta.eikonal_num_points == 16
+    ma = Stage1Trainer(exp_dir_a).train_epoch(1)
+    assert np.isfinite(ma["eikonal"]) and ma["eikonal"] != 0.0
+
+    exp_dir_b, _ = _specs(tmp_path / "b", UseEikonal=True)
+    mb = Stage1Trainer(exp_dir_b).train_epoch(1)
+    assert np.isfinite(mb["eikonal"])
+    assert ma["eikonal"] != mb["eikonal"]
+
+
 def test_batch_split_gradient_accumulation(tmp_path):
     exp_dir, specs = _specs(tmp_path)
     t1 = Stage1Trainer(exp_dir)
