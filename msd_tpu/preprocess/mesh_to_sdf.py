@@ -260,15 +260,34 @@ def knn_sign_vote(
     stdv: float = math.sqrt(0.005),
     q_chunk: int = 8192,
     s_tile: int = 8192,
+    devices=None,
+    force_device: bool | None = None,
 ):
     """Signed distances with all-or-nothing vote rejection.
 
     Returns (sdf [Q] float32, keep [Q] bool): ``keep`` is False where the
     vote was split (sample rejected, ref: PreprocessMesh.cpp:162-170).
+
+    Multi-chip: the query axis is sharded over ``devices`` (default: every
+    device of the default backend) — surface points are replicated and each
+    device runs the identical per-query [q_chunk, S] vote program, so the
+    result is byte-identical to the single-device dispatch while each
+    round-trip covers ``n_dev * q_chunk`` queries. This is the TPU-native
+    analog of the reference's per-shape thread pool
+    (ref: preprocess_data.py:252-269): instead of one shape per worker
+    (which on TPU would mean per-shape padding buckets and imbalance),
+    every chip cooperates on every shape's vote.
+
+    ``force_device``: ``None`` keeps the default routing (device path on
+    TPU, host cKDTree elsewhere); ``True``/``False`` force one side —
+    tests use ``True`` to exercise the sharded path on CPU meshes.
     """
     q = queries.shape[0]
     s = surf_pts.shape[0]
-    if jax.default_backend() != "tpu":
+    use_device = (
+        jax.default_backend() == "tpu" if force_device is None else force_device
+    )
+    if not use_device:
         # Host KD-tree path (the reference's own design: nanoflann,
         # ref PreprocessMesh.cpp:523-525). XLA:CPU lowers top_k over a
         # [Qc, S] distance matrix to full row sorts — minutes on a
@@ -285,10 +304,27 @@ def knn_sign_vote(
     pts_pad[:s] = surf_pts
     norms_pad = np.zeros((s_pad, 3), np.float32)
     norms_pad[:s] = surf_norms
-    pts_d = jnp.asarray(pts_pad)
-    norms_d = jnp.asarray(norms_pad)
 
-    q_pad = ((q + q_chunk - 1) // q_chunk) * q_chunk
+    if devices is None:
+        devices = jax.devices()
+    n_dev = len(devices)
+    if n_dev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        mesh = Mesh(np.asarray(devices), ("q",))
+        q_sharding = NamedSharding(mesh, PartitionSpec("q"))
+        replicated = NamedSharding(mesh, PartitionSpec())
+        pts_d = jax.device_put(pts_pad, replicated)
+        norms_d = jax.device_put(norms_pad, replicated)
+    else:
+        q_sharding = None
+        pts_d = jax.device_put(pts_pad, devices[0])
+        norms_d = jax.device_put(norms_pad, devices[0])
+
+    # each dispatch covers one q_chunk PER DEVICE, query-sharded: the
+    # per-device program is the same [q_chunk, s_pad] vote either way
+    step = q_chunk * n_dev
+    q_pad = ((q + step - 1) // step) * step
     queries_pad = np.zeros((q_pad, 3), np.float32)
     queries_pad[:q] = queries
 
@@ -296,14 +332,18 @@ def knn_sign_vote(
     num_pos = np.empty(q_pad, np.int32)
     nearest = np.empty(q_pad, np.float32)
     plane = np.empty(q_pad, np.float32)
-    for start in range(0, q_pad, q_chunk):
+    for start in range(0, q_pad, step):
+        q_block = queries_pad[start : start + step]
+        if q_sharding is not None:
+            q_block = jax.device_put(q_block, q_sharding)
+        else:
+            q_block = jax.device_put(q_block, devices[0])
         npos, nd, pd = _knn_chunk(
-            jnp.asarray(queries_pad[start : start + q_chunk]), pts_d, norms_d,
-            num_votes, s_tile, use_approx,
+            q_block, pts_d, norms_d, num_votes, s_tile, use_approx,
         )
-        num_pos[start : start + q_chunk] = np.asarray(npos)
-        nearest[start : start + q_chunk] = np.asarray(nd)
-        plane[start : start + q_chunk] = np.asarray(pd)
+        num_pos[start : start + step] = np.asarray(npos)
+        nearest[start : start + step] = np.asarray(nd)
+        plane[start : start + step] = np.asarray(pd)
     num_pos = num_pos[:q]
     nearest = nearest[:q]
     plane = plane[:q]
@@ -330,6 +370,8 @@ def preprocess_mesh(
     center: bool = True,
     repair: bool = True,
     visibility: str = "auto",
+    knn_devices=None,
+    knn_force_device: bool | None = None,
 ) -> Tuple[np.ndarray, np.ndarray, dict]:
     """Full mesh -> {pos, neg} sample generation
     (ref: src/PreprocessMesh.cpp:282-565).
@@ -422,7 +464,10 @@ def preprocess_mesh(
     # vote set: dense surface sampling with normals
     vote_pts, vote_norms = sample_surface_points(verts, sample_faces, surface_vote_points, rng)
 
-    sdf, keep = knn_sign_vote(queries, vote_pts, vote_norms, num_votes=num_votes, stdv=stdv)
+    sdf, keep = knn_sign_vote(
+        queries, vote_pts, vote_norms, num_votes=num_votes, stdv=stdv,
+        devices=knn_devices, force_device=knn_force_device,
+    )
     xyz = queries[keep]
     sdf = sdf[keep]
 

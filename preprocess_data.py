@@ -49,7 +49,13 @@ if __name__ == "__main__":
     arg_parser.add_argument("--name", "-n", dest="source_name", default=None)
     arg_parser.add_argument("--split", dest="split_filename", required=True)
     arg_parser.add_argument("--skip", dest="skip", default=False, action="store_true")
-    arg_parser.add_argument("--threads", dest="num_threads", default=8, help="(accepted for CLI compat; processing is device-batched)")
+    arg_parser.add_argument(
+        "--threads", dest="num_threads", default=8,
+        help="(accepted for CLI compat with the reference's per-shape thread "
+        "pool, ref preprocess_data.py:252-269; here every local device "
+        "cooperates on every shape — the KNN vote's query axis is sharded "
+        "over the device mesh, see msd_tpu.preprocess.knn_sign_vote)",
+    )
     arg_parser.add_argument("--test", "-t", dest="test_sampling", default=False, action="store_true")
     arg_parser.add_argument("--surface", dest="surface_sampling", default=False, action="store_true")
     arg_parser.add_argument("--aug", dest="use_augmented", default=False, action="store_true")

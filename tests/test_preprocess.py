@@ -270,3 +270,36 @@ def test_pyrender_helper_color_depth():
     # camera sits 2 units out; nearest sphere point is at depth 2-0.7
     assert abs(depth[hit].min() - 1.3) < 0.02
     assert (color[hit].sum(axis=1) > 0).all()
+
+
+def test_knn_sign_vote_multi_device_byte_identical(rng):
+    """Query-axis sharding over the 8-device mesh must be byte-identical to
+    the single-device dispatch (SURVEY §2.6 multi-chip preprocessing)."""
+    import jax
+
+    v, f = make_sphere_mesh(radius=0.6)
+    from msd_tpu.preprocess import sample_surface_points
+
+    surf, norms = sample_surface_points(v, f, 4000, rng)
+    queries = rng.uniform(-0.9, 0.9, size=(3000, 3)).astype(np.float32)
+
+    kw = dict(num_votes=11, q_chunk=256, s_tile=1024, force_device=True)
+    sdf1, keep1 = knn_sign_vote(queries, surf, norms, devices=jax.devices()[:1], **kw)
+    sdf8, keep8 = knn_sign_vote(queries, surf, norms, devices=jax.devices(), **kw)
+    assert len(jax.devices()) == 8
+    assert sdf1.tobytes() == sdf8.tobytes()
+    np.testing.assert_array_equal(keep1, keep8)
+
+
+def test_preprocess_multi_device_npz_identical(rng):
+    """preprocess_mesh fanned over all 8 virtual devices produces a
+    byte-identical {pos,neg} npz payload vs one device."""
+    import jax
+
+    v, f = make_sphere_mesh(radius=0.5)
+    kw = dict(num_samples=6000, surface_vote_points=6000, seed=3,
+              knn_force_device=True)
+    pos1, neg1, _ = preprocess_mesh(v, f, knn_devices=jax.devices()[:1], **kw)
+    pos8, neg8, _ = preprocess_mesh(v, f, knn_devices=jax.devices(), **kw)
+    assert pos1.tobytes() == pos8.tobytes()
+    assert neg1.tobytes() == neg8.tobytes()
