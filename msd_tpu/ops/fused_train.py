@@ -96,7 +96,8 @@ def split_weights(decoder, weights):
     return parts
 
 
-def _make_kernel(plan, latent_li, use_eikonal, dtype, tps, eik_tps=None):
+def _make_kernel(plan, latent_li, use_eikonal, dtype, tps, eik_tps=None,
+                 want_wgrad=True):
     """Kernel body. Ref order:
     in:  xyz [8,T], gt [8,T], scal [1,4] SMEM,
          per layer: (Mp?, Mx?, c[1,out])
@@ -108,6 +109,13 @@ def _make_kernel(plan, latent_li, use_eikonal, dtype, tps, eik_tps=None):
     scene's ``tps`` tiles (EikonalNumPoints subsampling — points arrive in
     freshly-sampled random order each step, so a tile prefix is an unbiased
     subsample). ``None`` / ``tps`` = every tile (full eikonal).
+
+    ``want_wgrad=False`` (frozen decoder, the Stage-2 TrainSDFDecoder=false
+    hot path): no dMp/dMx outputs exist and the δ-chain skips every weight
+    outer product — only the per-scene dc accumulators (→ dlat through Wz)
+    and the dgrad propagation remain, cutting the kernel from ~3 to ~2
+    matmul sweeps. Requires use_eikonal=False (the ū/t chain is itself a
+    weight-gradient computation).
     """
     from jax.experimental import pallas as pl
 
@@ -115,6 +123,7 @@ def _make_kernel(plan, latent_li, use_eikonal, dtype, tps, eik_tps=None):
     if eik_tps is None:
         eik_tps = tps
     eik_gated = use_eikonal and eik_tps < tps
+    assert want_wgrad or not use_eikonal
 
     def kernel(*refs):
         it = iter(refs)
@@ -132,9 +141,9 @@ def _make_kernel(plan, latent_li, use_eikonal, dtype, tps, eik_tps=None):
         lout = []
         for kind, prev, out in plan:
             e = {}
-            if kind != "first":
+            if want_wgrad and kind != "first":
                 e["dMp"] = next(it)
-            if kind in ("first", "latent"):
+            if want_wgrad and kind in ("first", "latent"):
                 e["dMx"] = next(it)
             e["dc"] = next(it)
             lout.append(e)
@@ -292,6 +301,7 @@ def build_fused_train(
     interpret: bool = False,
     tile: int = 256,
     eik_points: int | None = None,
+    want_wgrad: bool = True,
 ):
     """Builds fn(parts, consts, xyz_t [8,N], gt_t [8,N]) ->
     (l1_sum, eik_sum, dparts, dconsts). N = batch_scenes*points_per_scene;
@@ -301,6 +311,10 @@ def build_fused_train(
     ``eik_points``: EikonalNumPoints subsampling — eikonal runs on the
     first ceil(eik_points/tile) tiles of each scene only (rounded UP to a
     tile multiple; ``fn.eik_points_effective`` reports the rounded count).
+
+    ``want_wgrad=False``: frozen-decoder mode — dparts come back as
+    {Mp: None, Mx: None} and the kernel skips every weight outer product
+    (~2 instead of ~3 matmul sweeps); dconsts (→ dlat) are still exact.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -320,7 +334,9 @@ def build_fused_train(
         eik_tps = tps
     n_eik = S * eik_tps * tile
 
-    kernel = _make_kernel(plan, latent_li, use_eikonal, dtype, tps, eik_tps)
+    kernel = _make_kernel(
+        plan, latent_li, use_eikonal, dtype, tps, eik_tps, want_wgrad
+    )
 
     def tile_ix(i):
         return (0, i)
@@ -350,11 +366,11 @@ def build_fused_train(
         in_specs.append(pl.BlockSpec((1, 1, op), const_ix, memory_space=pltpu.VMEM))
     for l, (kind, prev, out) in enumerate(plan):
         op = out_pad(l)
-        if kind != "first":
+        if want_wgrad and kind != "first":
             pw = widths[l - 1]
             out_specs.append(pl.BlockSpec((op, pw), fixed_ix, memory_space=pltpu.VMEM))
             out_shapes.append(jax.ShapeDtypeStruct((op, pw), jnp.float32))
-        if kind in ("first", "latent"):
+        if want_wgrad and kind in ("first", "latent"):
             out_specs.append(pl.BlockSpec((op, _XPAD), fixed_ix, memory_space=pltpu.VMEM))
             out_shapes.append(jax.ShapeDtypeStruct((op, _XPAD), jnp.float32))
         out_specs.append(pl.BlockSpec((1, 1, op), const_ix, memory_space=pltpu.VMEM))
@@ -409,9 +425,9 @@ def build_fused_train(
         dparts, dconsts = [], []
         for l, (kind, prev, out) in enumerate(plan):
             e = {"Mp": None, "Mx": None}
-            if kind != "first":
+            if want_wgrad and kind != "first":
                 e["Mp"] = next(it)[:out]
-            if kind in ("first", "latent"):
+            if want_wgrad and kind in ("first", "latent"):
                 e["Mx"] = next(it)[:out, :3]
             dconsts.append(next(it)[:, 0, :out])
             dparts.append(e)
@@ -435,12 +451,15 @@ def fused_point_grads(
     dtype=jnp.bfloat16,
     interpret: bool = False,
     eik_points: int | None = None,
+    want_net_grads: bool = True,
 ):
     """Fused loss + gradients for one (micro)batch.
 
     Args: lat_rows [B, L]; xyz [B, P, 3]; sdf_gt [B, P, 1] (unclipped);
     num_total = the XLA path's clamped-L1 normalizer (full-batch points);
-    eik_points = EikonalNumPoints subsample per scene (None = all P).
+    eik_points = EikonalNumPoints subsample per scene (None = all P);
+    want_net_grads=False returns grads_net as exact zeros and skips the
+    weight-gradient sweeps in the kernel (frozen-decoder mode).
     Returns (grads_net pytree like net_params, dlat [B, L],
     aux {sdf, eikonal}).
     """
@@ -452,7 +471,7 @@ def fused_point_grads(
     return _fused_point_grads_core(
         decoder, net_params, lat_rows, xyz_t, gt_t, B, P,
         clamp_dist, use_eikonal, num_total, eik_weight, dtype, interpret,
-        eik_points,
+        eik_points, want_net_grads,
     )
 
 
@@ -488,7 +507,7 @@ def fused_point_grads_t(
 
 
 def make_fused_sdf_l1(decoder, clamp_dist: float, dtype=jnp.bfloat16,
-                      interpret: bool = False):
+                      interpret: bool = False, train_net: bool = True):
     """Fused Stage-2 SDF-consistency term (ref: train_MLP_VAE_deep_sdf.py
     :3097-3138 semantics, the clamped-L1 half of ``deep_sdf_loss``).
 
@@ -499,7 +518,12 @@ def make_fused_sdf_l1(decoder, clamp_dist: float, dtype=jnp.bfloat16,
     backed by the fused forward+backward kernel — the same machinery as
     Stage-1 minus the eikonal chain (~2 matmul sweeps instead of ~4.5).
     The code-norm regularizer is NOT included (a scene-level scalar the
-    caller computes in plain XLA)."""
+    caller computes in plain XLA).
+
+    ``train_net=False`` (TrainSDFDecoder=false, the flagship Stage-2
+    config): the kernel skips every weight outer product — ~2/3 of its
+    backward FLOPs — and net_params cotangents come back as exact zeros
+    (the decoder is frozen, so they are never consumed)."""
 
     @jax.custom_vjp
     def f(net_params, lat_rows, xyz, gt):
@@ -511,7 +535,7 @@ def make_fused_sdf_l1(decoder, clamp_dist: float, dtype=jnp.bfloat16,
         return fused_point_grads(
             decoder, net_params, lat_rows, xyz, gt, clamp_dist,
             use_eikonal=False, num_total=num_total, dtype=dtype,
-            interpret=interpret,
+            interpret=interpret, want_net_grads=train_net,
         )
 
     def fwd(net_params, lat_rows, xyz, gt):
@@ -534,7 +558,7 @@ def make_fused_sdf_l1(decoder, clamp_dist: float, dtype=jnp.bfloat16,
 def _fused_point_grads_core(
     decoder, net_params, lat_rows, xyz_t, gt_t, B, P,
     clamp_dist, use_eikonal, num_total, eik_weight, dtype, interpret,
-    eik_points=None,
+    eik_points=None, want_net_grads=True,
 ):
     plan, latent_li, L, nl = _layer_plan(decoder)
 
@@ -546,7 +570,10 @@ def _fused_point_grads_core(
             bs.append(p["b"])
         return ws, bs
 
-    (weights, biases), vjp_eff = jax.vjp(eff, net_params)
+    if want_net_grads:
+        (weights, biases), vjp_eff = jax.vjp(eff, net_params)
+    else:
+        weights, biases = eff(net_params)
     parts = split_weights(decoder, weights)
 
     consts = []
@@ -558,11 +585,20 @@ def _fused_point_grads_core(
 
     fused = build_fused_train(
         decoder, B, P, clamp_dist, num_total, use_eikonal, eik_weight, dtype, interpret,
-        eik_points=eik_points,
+        eik_points=eik_points, want_wgrad=want_net_grads,
     )
     l1_sum, eik_sum, dparts, dconsts = fused(parts, consts, xyz_t, gt_t)
     sdf_l = l1_sum / num_total
     eik_l = eik_weight * eik_sum / fused.n_eik if use_eikonal else jnp.float32(0.0)
+
+    if not want_net_grads:
+        # frozen decoder: only the latent cotangents are consumed
+        dlat = jnp.zeros_like(lat_rows)
+        for l in range(nl):
+            if parts[l]["Wz"] is not None:
+                dlat = dlat + dconsts[l] @ parts[l]["Wz"].T
+        grads_net = jax.tree.map(jnp.zeros_like, net_params)
+        return grads_net, dlat, {"sdf": sdf_l, "eikonal": eik_l}
 
     dweights, dbiases = [], []
     dlat = jnp.zeros_like(lat_rows)

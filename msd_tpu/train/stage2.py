@@ -537,7 +537,9 @@ class Stage2Trainer:
             use_fused_sdf = supports_fused_train(sdf_decoder, P)
         self._fused_sdf_active = use_fused_sdf
         if use_fused_sdf:
-            fused_sdf_l1 = make_fused_sdf_l1(sdf_decoder, clamp)
+            # frozen decoder (the flagship config) skips the kernel's weight
+            # outer products entirely — ~1/3 of its FLOPs
+            fused_sdf_l1 = make_fused_sdf_l1(sdf_decoder, clamp, train_net=train_sdf)
 
         def loss_fn(trainable, frozen_sdf, teacher, surface_pts, pos, pc, neg, nc, scene_idx,
                     label_values, label_valid, age_values, age_valid, key,

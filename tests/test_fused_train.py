@@ -252,3 +252,41 @@ def test_fused_sdf_l1_stage2_consistency():
             np.asarray(leaf_f), np.asarray(leaf_o), rtol=2e-4, atol=1e-7,
             err_msg=str(path_o),
         )
+
+
+def test_fused_sdf_l1_frozen_decoder():
+    """train_net=False (TrainSDFDecoder=false, the flagship Stage-2 config):
+    loss and dlat must still match the XLA oracle exactly while the decoder
+    cotangents come back as exact zeros (frozen — never consumed)."""
+    from msd_tpu.ops.fused_train import make_fused_sdf_l1
+
+    decoder, params, lat, xyz, gt = make_case(weight_norm=True)
+    B, P = xyz.shape[:2]
+    gt_c = jnp.clip(gt, -CLAMP, CLAMP)
+
+    def xla_term(z):
+        expanded = jnp.repeat(z, P, axis=0)
+        pred = decoder.apply(params, jnp.concatenate([expanded, xyz.reshape(-1, 3)], axis=1))
+        pred = jnp.clip(pred, -CLAMP, CLAMP)
+        return jnp.sum(jnp.abs(pred - gt_c.reshape(-1, 1))) / (B * P)
+
+    fused = make_fused_sdf_l1(
+        decoder, CLAMP, dtype=jnp.float32, interpret=True, train_net=False
+    )
+
+    def chained(fn):
+        return lambda z: jnp.tanh(3.0 * fn(z)) * 2.0
+
+    v_o, g_lat_o = jax.value_and_grad(chained(xla_term))(lat)
+
+    def chained_fused(p, z):
+        return jnp.tanh(3.0 * fused(p, z, xyz, gt)) * 2.0
+
+    v_f, (g_net_f, g_lat_f) = jax.value_and_grad(
+        chained_fused, argnums=(0, 1)
+    )(params, lat)
+
+    np.testing.assert_allclose(float(v_f), float(v_o), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_lat_f), np.asarray(g_lat_o), rtol=2e-4, atol=1e-7)
+    for leaf in jax.tree.leaves(g_net_f):
+        assert float(jnp.max(jnp.abs(leaf))) == 0.0
