@@ -26,6 +26,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Tier markers: anything not marked ``slow``/``e2e`` is ``fast``.
+
+    ``pytest -m fast`` is the <5-min iteration signal on a 1-core host;
+    ``-m "slow or e2e"`` is the long tail; no ``-m`` runs everything
+    (SURVEY §4 test plan, fast-tier requirement).
+    """
+    for item in items:
+        if not any(m.name in ("slow", "e2e") for m in item.iter_markers()):
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

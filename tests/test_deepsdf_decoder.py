@@ -73,6 +73,7 @@ CONFIGS = [
 ]
 
 
+@pytest.mark.slow
 @needs_reference
 @pytest.mark.parametrize("cfg", CONFIGS)
 def test_forward_parity_vs_reference(cfg):

@@ -67,6 +67,7 @@ def oracle_loss(decoder, params, lat, xyz, gt, use_eikonal):
     return sdf_l + eik, (sdf_l, eik)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("use_eikonal", [False, True])
 @pytest.mark.parametrize("weight_norm", [False, True])
 def test_fused_grads_match_xla(use_eikonal, weight_norm):
@@ -100,6 +101,7 @@ def test_fused_grads_match_xla(use_eikonal, weight_norm):
         )
 
 
+@pytest.mark.slow
 def test_fused_grads_eikonal_subsample():
     """EikonalNumPoints gating: fused kernel with eik_points=E must match an
     oracle that runs eikonal on the first E points of each scene only."""

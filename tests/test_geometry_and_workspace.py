@@ -103,6 +103,7 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert jax.tree.structure(o2) == jax.tree.structure(opt)
 
 
+@pytest.mark.slow
 def test_profile_epochs_hook(tmp_path):
     import jax
 

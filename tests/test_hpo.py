@@ -98,6 +98,7 @@ def test_build_trial_specs():
     assert base["NumEpochs"] == 999  # base not mutated
 
 
+@pytest.mark.slow
 def test_run_trial_end_to_end(tmp_path):
     exp_dir, specs, teacher = _setup(
         tmp_path,
@@ -114,6 +115,7 @@ def test_run_trial_end_to_end(tmp_path):
     assert set(detail) == {"sap", "corr", "recon"}
 
 
+@pytest.mark.slow
 def test_non_finite_holdout_recon_fails_trial(tmp_path, monkeypatch):
     """A NaN holdout recon must FAIL the trial (value=None in trials.json),
     not silently substitute the train loss (which would reward overfitting

@@ -67,6 +67,7 @@ def test_native_nonzero_level_and_radii():
         np.testing.assert_allclose(radii.mean(), r, atol=3e-3)
 
 
+@pytest.mark.slow
 @needs_native
 def test_native_speedup():
     import time

@@ -120,6 +120,7 @@ def test_local_shapes_decoder_interpolation():
     np.testing.assert_allclose(np.asarray(interp[0]), np.asarray(grid[0, 0, 0, 0]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pointnet_encoders_shapes():
     pts = jnp.asarray(np.random.default_rng(0).normal(size=(4, 256, 3)).astype(np.float32))
     for enc in (
@@ -153,6 +154,7 @@ def test_fps_and_ball_query():
     assert (d <= 0.5 + 1e-5).mean() > 0.9
 
 
+@pytest.mark.slow
 def test_pointnet_latent_vae():
     pts = jnp.asarray(np.random.default_rng(0).normal(size=(4, 128, 3)).astype(np.float32))
     for enc_type in ("resnet_pointnet", "pointnet_encoder", "pointnet2"):

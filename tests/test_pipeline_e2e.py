@@ -47,6 +47,7 @@ def _run_cli(script, *args):
     return res
 
 
+@pytest.mark.e2e
 def test_full_pipeline_through_clis(tmp_path):
     # ---- synthetic source meshes + split ----------------------------------
     source_dir = tmp_path / "meshes"

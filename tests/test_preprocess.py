@@ -107,6 +107,7 @@ def test_sample_visible_surface_normalization():
     assert scale == pytest.approx(1.0 / (0.5 * 1.03), rel=1e-3)
 
 
+@pytest.mark.slow
 def test_trainable_from_preprocessed(tmp_path):
     """Closing the loop: preprocess -> train a few steps -> loss drops."""
     import json
@@ -291,6 +292,7 @@ def test_knn_sign_vote_multi_device_byte_identical(rng):
     np.testing.assert_array_equal(keep1, keep8)
 
 
+@pytest.mark.slow
 def test_preprocess_multi_device_npz_identical(rng):
     """preprocess_mesh fanned over all 8 virtual devices produces a
     byte-identical {pos,neg} npz payload vs one device."""

@@ -26,6 +26,7 @@ def trained(tmp_path_factory):
     return trainer, m
 
 
+@pytest.mark.slow
 def test_create_mesh_dense_and_sparse(trained, tmp_path):
     trainer, m = trained
     assert m["sdf"] < 0.03, m  # trained to a reasonable fit
@@ -124,6 +125,7 @@ def test_reconstruct_code_bound_and_dist_penalty(trained):
     assert float(np.linalg.norm(np.asarray(latent))) <= 0.05 + 1e-5
 
 
+@pytest.mark.slow
 def test_reconstruct_batch_matches_single_and_shards(trained):
     """reconstruct_batch fits all shapes in one program; sharded over a
     virtual 8-device mesh it produces working latents for every shape."""

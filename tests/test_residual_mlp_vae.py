@@ -35,6 +35,7 @@ def test_use_kl_false_passes_mu():
     np.testing.assert_allclose(np.asarray(out["z"]), np.asarray(out["mu"]))
 
 
+@pytest.mark.slow
 def test_vae_trains_autoencoding():
     """The VAE should be able to reconstruct teacher latents."""
     vae = ResidualMLPVAE(input_dim=16, latent_dim=8, encoder_hidden_dims=(64, 32), decoder_hidden_dims=(32, 64), use_kl=True)

@@ -93,6 +93,7 @@ def test_training_reduces_loss(tmp_path):
     assert float(np.abs(np.asarray(trainer.state["lat"])).max()) > 0
 
 
+@pytest.mark.slow
 def test_full_train_checkpoints_and_resume(tmp_path):
     exp_dir, specs = _specs(tmp_path)
     trainer = Stage1Trainer(exp_dir)
@@ -136,6 +137,7 @@ def test_checkpoint_torch_roundtrip(tmp_path):
     assert lat["latent_codes"]["weight"].shape == (6, 8)
 
 
+@pytest.mark.slow
 def test_regularizer_variants_run(tmp_path):
     exp_dir, specs = _specs(
         tmp_path,
@@ -156,6 +158,7 @@ def test_regularizer_variants_run(tmp_path):
     assert np.isfinite(m2["total"])
 
 
+@pytest.mark.slow
 def test_eikonal_num_points_subsample(tmp_path):
     """EikonalNumPoints (XLA path): subsampled eikonal trains, produces a
     finite aux, and actually changes the eikonal value vs the full term."""
@@ -187,6 +190,7 @@ def test_code_bound_projection(tmp_path):
     assert np.median(norms) < 0.2
 
 
+@pytest.mark.slow
 def test_pretrained_decoder_warm_start(tmp_path):
     """UsePretrainedSDFDecoder/PretrainedSDFDecoderDir warm start
     (ref: train_deep_sdf.py:115-132, :355-374)."""
@@ -215,6 +219,7 @@ def test_pretrained_decoder_warm_start(tmp_path):
         Stage1Trainer(exp3)
 
 
+@pytest.mark.slow
 def test_multichip_mesh_training_8dev(tmp_path):
     """Full 8-virtual-device mesh: scene-sharded latent table and
     8-device vs 1-device loss parity under the same seed."""
@@ -251,6 +256,7 @@ def test_multichip_mesh_training_8dev(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_multichip_mesh_training(tmp_path):
     """Training over a virtual 8-device mesh: sharded batch + scene-sharded
     latent table, loss finite, shardings preserved across steps."""
@@ -273,6 +279,7 @@ def test_multichip_mesh_training(tmp_path):
     assert s1["total"] == pytest.approx(m1["total"], rel=1e-4)
 
 
+@pytest.mark.slow
 def test_multichip_padded_batch_77_scenes(tmp_path):
     """Non-divisible scene counts must still SHARD (pad-and-mask), not
     replicate: 77 scenes / batch 77 on 8 devices pads to 80 with masked

@@ -141,6 +141,7 @@ def test_diagnosis_table(trained):
     assert finite_sap and all(0 <= s <= 1 for s in finite_sap)
 
 
+@pytest.mark.slow
 def test_diagnosis_table_regression(tmp_path):
     exp_dir, specs, teacher = _setup(
         tmp_path, num_scenes=16, ComputeSAP=True, LabelTaskType="regression",
@@ -159,6 +160,7 @@ def test_chamfer_for_scenes_requires_gt(trained):
     assert cd is None
 
 
+@pytest.mark.slow
 def test_eval_integrated_in_train(tmp_path):
     exp_dir, specs, teacher = _setup(
         tmp_path,
@@ -172,6 +174,7 @@ def test_eval_integrated_in_train(tmp_path):
     tr.train(num_epochs=2)  # must not crash with evals enabled
 
 
+@pytest.mark.slow
 def test_sap_corr_extra_frequency_and_debug_predictions(tmp_path, caplog):
     """SAPCORRExtraFrequency runs the lightweight train_extra SAP/eval pass
     between full evals (ref: train_MLP_VAE_deep_sdf.py:3499-3560);
@@ -207,6 +210,7 @@ def test_sap_corr_extra_frequency_and_debug_predictions(tmp_path, caplog):
     assert "extra summary" in text
 
 
+@pytest.mark.slow
 def test_sap_corr_labels_file(tmp_path):
     """SAP/corr metrics read SAPCORRLabelsFile (and SAP-age its own
     SAPAgeCORRLabelsFile), which may differ from the training LabelsFile
@@ -245,6 +249,7 @@ def test_sap_corr_labels_file(tmp_path):
     assert np.allclose(tr.dataset.labels[:, 0], base_mat[:, 0])
 
 
+@pytest.mark.slow
 def test_sap_corr_labels_file_none_skips(tmp_path, caplog):
     """Explicit SAPCORRLabelsFile=None skips metrics with the reference's
     warning (ref: :1854-1856)."""

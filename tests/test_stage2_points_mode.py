@@ -13,6 +13,7 @@ from conftest import make_sphere_mesh
 from test_stage2_trainer import _setup
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("enc", ["resnet_pointnet", "pointnet_encoder"])
 def test_points_mode_training(tmp_path, enc):
     exp_dir, specs, teacher = _setup(tmp_path, num_scenes=8)
@@ -46,6 +47,7 @@ def test_points_mode_training(tmp_path, enc):
     assert np.isfinite(m2["total"])
 
 
+@pytest.mark.slow
 def test_points_mode_run_eval(tmp_path):
     """run_eval in points mode: VAE inputs are surface clouds; with teacher
     latents present the recon/KL terms compute, and the SDF-consistency

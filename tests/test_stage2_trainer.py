@@ -77,6 +77,7 @@ def _setup(tmp_path, num_scenes=16, latent_size=8, **overrides):
     return exp_dir, specs, teacher
 
 
+@pytest.mark.slow
 def test_basic_vae_training_reduces_recon(tmp_path):
     exp_dir, specs, teacher = _setup(tmp_path)
     tr = Stage2Trainer(exp_dir)
@@ -87,6 +88,7 @@ def test_basic_vae_training_reduces_recon(tmp_path):
     assert np.isfinite(last["total"]) and np.isfinite(last["sdf"])
 
 
+@pytest.mark.slow
 def test_all_disentanglement_losses_active(tmp_path):
     exp_dir, specs, teacher = _setup(
         tmp_path,
@@ -113,6 +115,7 @@ def test_all_disentanglement_losses_active(tmp_path):
     assert np.isfinite(m2["total"])
 
 
+@pytest.mark.slow
 def test_dip_objective_and_trainable_sdf(tmp_path):
     exp_dir, specs, teacher = _setup(tmp_path, VAEObjective="dip_vae_ii", TrainSDFDecoder=True)
     tr = Stage2Trainer(exp_dir)
@@ -124,6 +127,7 @@ def test_dip_objective_and_trainable_sdf(tmp_path):
     assert not np.allclose(before, after)  # SDF decoder actually trains
 
 
+@pytest.mark.slow
 def test_checkpoint_format_and_resume(tmp_path):
     exp_dir, specs, teacher = _setup(tmp_path)
     tr = Stage2Trainer(exp_dir)
@@ -143,6 +147,7 @@ def test_checkpoint_format_and_resume(tmp_path):
     assert np.isfinite(m["total"])
 
 
+@pytest.mark.slow
 def test_holdout_split(tmp_path):
     exp_dir, specs, teacher = _setup(tmp_path, TrainLatentHoldoutFraction=0.25)
     tr = Stage2Trainer(exp_dir)
@@ -153,6 +158,7 @@ def test_holdout_split(tmp_path):
     assert np.isfinite(m["total"])
 
 
+@pytest.mark.slow
 def test_label_mixing(tmp_path):
     # pseudo labels file = inverse of real labels
     exp_dir, specs, teacher = _setup(
@@ -174,6 +180,7 @@ def test_label_mixing(tmp_path):
     assert "snnl" in m and np.isfinite(m["snnl"])
 
 
+@pytest.mark.slow
 def test_stage2_multichip_mesh(tmp_path):
     """Stage-2 over a virtual 8-device mesh: batch-sharded scenes,
     replicated VAE+SDF params, loss parity with single-device training
@@ -204,6 +211,7 @@ def test_stage2_multichip_mesh(tmp_path):
     np.testing.assert_allclose(snnl_mesh, snnl_single, rtol=5e-3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_stage2_multichip_odd_batch_point_sharding(tmp_path):
     """Scene batches that do NOT divide the mesh still scale: the SDF
     consistency term (the step's dominant FLOPs) shards over the point
@@ -231,6 +239,7 @@ def test_stage2_multichip_odd_batch_point_sharding(tmp_path):
     assert ms["sdf"] == pytest.approx(mm["sdf"], rel=1e-4, abs=1e-7)
 
 
+@pytest.mark.slow
 def test_stage2_logs_pth(tmp_path):
     """Stage-2 writes a reference-format Logs.pth and restores it on resume
     (ref: train_MLP_VAE_deep_sdf.py:140-288)."""
@@ -254,6 +263,7 @@ def test_stage2_logs_pth(tmp_path):
     assert len(tr2.loss_log_epoch) == 3
 
 
+@pytest.mark.slow
 def test_batch_split_parity(tmp_path):
     """batch_split=2 chunks the SDF-consistency term with scan+remat; the
     loss and resulting params must match batch_split=1 up to float reorder

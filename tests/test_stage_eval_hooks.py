@@ -13,6 +13,7 @@ from test_stage1_trainer import _specs, make_sphere_dataset
 from test_stage2_trainer import _setup
 
 
+@pytest.mark.slow
 def test_stage1_eval_test_hook(tmp_path):
     exp_dir, specs = _specs(tmp_path, EvalTestSceneNumber=2, EvalTestOptimizationSteps=20, EvalGridResolution=33)
     trainer = Stage1Trainer(exp_dir)
@@ -25,6 +26,7 @@ def test_stage1_eval_test_hook(tmp_path):
     assert len(os.listdir(recon_dir)) == 2
 
 
+@pytest.mark.slow
 def test_stage2_val_split_eval(tmp_path):
     exp_dir, specs, teacher = _setup(
         tmp_path,

@@ -13,6 +13,7 @@ from test_reconstruct_and_mesh import trained  # noqa: F401  (fixture)
 needs_native = pytest.mark.skipif(load_native() is None, reason="no C++ toolchain")
 
 
+@pytest.mark.slow
 @needs_native
 def test_streaming_matches_sparse(trained, tmp_path):  # noqa: F811
     trainer, _ = trained
@@ -64,6 +65,7 @@ def test_streaming_matches_sparse(trained, tmp_path):  # noqa: F811
     assert (counts == 2).all()
 
 
+@pytest.mark.slow
 @needs_native
 def test_two_level_prefilter_engages(trained):  # noqa: F811
     trainer, _ = trained
@@ -163,6 +165,7 @@ def test_streaming_ply_spill_matches_memory(trained, tmp_path):  # noqa: F811
     assert open(ref, "rb").read() == open(out + ".ply", "rb").read()
 
 
+@pytest.mark.slow
 @needs_native
 def test_compact_cap_overflow_fallback(trained):  # noqa: F811
     """A slab whose crossing count exceeds the device-side compaction cap
@@ -188,6 +191,7 @@ def test_compact_cap_overflow_fallback(trained):  # noqa: F811
     np.testing.assert_array_equal(ref[1], got[1])
 
 
+@pytest.mark.slow
 @needs_native
 def test_device_refine_matches_host(trained):  # noqa: F811
     """The fused on-device two-level refinement returns exactly the host
@@ -216,6 +220,7 @@ def test_device_refine_matches_host(trained):  # noqa: F811
     assert ev.refine_active4_device(latent, 129, 1.3, 0.01) is None
 
 
+@pytest.mark.slow
 @needs_native
 def test_packed_codec_quality(trained):  # noqa: F811
     """"packed" value codec (sign+small bitmaps + u8 magnitudes): vertices
@@ -306,6 +311,7 @@ def test_sharded_create_mesh_matches_single_device(trained, tmp_path):  # noqa: 
     np.testing.assert_array_equal(mf, sf)
 
 
+@pytest.mark.slow
 @needs_native
 def test_corner_dedup_matches_plain(trained, monkeypatch):  # noqa: F811
     """The corner-deduplicated slab programs (low corners + orphan list,
@@ -335,6 +341,7 @@ def test_corner_dedup_matches_plain(trained, monkeypatch):  # noqa: F811
     assert ev_dedup < 0.8 * ev_plain, (ev_dedup, ev_plain)
 
 
+@pytest.mark.slow
 @needs_native
 def test_corner_dedup_orphan_overflow_fallback(trained, monkeypatch):  # noqa: F811
     """An orphan list larger than the cap sets the header flag and the
@@ -390,6 +397,7 @@ def test_optimistic_single_level_matches(trained, monkeypatch):  # noqa: F811
     np.testing.assert_array_equal(pf, of)
 
 
+@pytest.mark.slow
 @needs_native
 def test_optimistic_bucket_overflow_fallback(trained, monkeypatch):  # noqa: F811
     """A refine count above the optimistic cap bucket is detected from the

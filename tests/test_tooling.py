@@ -93,6 +93,7 @@ def test_plotting_round2_functions(tmp_path, monkeypatch):
     assert fig is not None
 
 
+@pytest.mark.slow
 def test_plot_log_cli(tmp_path):
     from msd_tpu.utils.checkpoint import save_logs
 
@@ -244,6 +245,7 @@ def test_mesh_scaling_cli(tmp_path):
     assert np.isclose(allv.min(), -0.9) and np.isclose(allv.max(), 0.9)
 
 
+@pytest.mark.slow
 def test_latent_manifold_cli(tmp_path):
     """latent_manifold.py: HLLE/ICA/PCA embeddings of trained latents."""
     import json as _json
