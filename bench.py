@@ -407,6 +407,14 @@ def main():
                 "msd_backend": p["msd_tpu"].get("stack"),
                 "dataset_sha256_16": p.get("dataset_sha256_16"),
             }
+    # EikonalNumPoints speed/parity A/B (benchmarks/eikonal_subsample_ab.py)
+    eik_ab = None
+    eik_ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "eikonal_subsample.json")
+    if os.path.isfile(eik_ab_path):
+        with open(eik_ab_path) as f:
+            eik_ab = json.load(f)
+
     # derived GPU training anchor: grid-eval rate / 6 (fwd+bwd ~3x fwd
     # FLOPs, eikonal double-backward ~2x more) — see BASELINE.md
     ref_train_gpu_derived = baseline_grid_qps / 6.0
@@ -436,6 +444,7 @@ def main():
             "train_vs_reference_gpu_derived": round(train_qps / ref_train_gpu_derived, 2),
             "reference_torch_measured": torch_meas or None,
             "chamfer_parity": chamfer_parity,
+            "eikonal_subsample": eik_ab,
             "train_loss_sdf": round(float(m["sdf"]), 5),
             "chamfer_sphere": None if chamfer is None else float(chamfer),
             "chamfer_torus": None if chamfer_torus is None else float(chamfer_torus),
