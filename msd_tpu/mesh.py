@@ -750,6 +750,7 @@ class PointEvaluator:
         n_slabs: int | None = None, stats: dict | None = None,
         abi_dev=None, abi_resolver=None, num_blocks: int | None = None,
         counts_dev=None, count_resolver=None, refine_fallback=None,
+        hybrid: bool = False,
     ):
         """Slab-pipelined streaming evaluation of the active set.
 
@@ -776,6 +777,18 @@ class PointEvaluator:
         mesher bases/stats; a count above the bucket falls back to the
         exact host path inside the iterator.
 
+        Hybrid mode (``hybrid=True``, from ``refine2_optimistic``; implies
+        the optimistic inputs): the 512-class two-level variant. The cap
+        bucket is ~1.8x the typical active count, so carving granule slabs
+        over the whole bucket (single-level optimistic style) would waste
+        ~45% of the decoder evals on masked rows. Instead ONE fixed-size
+        first slab dispatches immediately (device-scalar validity) — its
+        device time covers the count fetch round trip — and the remaining
+        slabs are sized from the then-resolved true count, so padding waste
+        stays under one 2048-row granule per slab. Corner dedup stays
+        enabled (two-level shells are fine-grained, unlike the coarse
+        single-level shells that overflow its orphan caps).
+
         Returns (max_blocks upper bound, iterator).
         """
         A = abi.shape[0] if abi is not None else int(num_blocks)
@@ -793,7 +806,17 @@ class PointEvaluator:
         n_chunks = -(-A // C) if A else 0
         if n_chunks == 0:
             return 0, iter(())
-        if counts_dev is not None and n_slabs is None:
+        if hybrid:
+            assert counts_dev is not None and count_resolver is not None
+            # hybrid two-level: ONE fixed first slab dispatches now; the
+            # remaining slabs are sized inside the iterator once the count
+            # fetch (riding the pool) resolves under this slab's device time
+            first = min(
+                -(-int(os.environ.get("MSD_HYBRID_FIRST_SLAB", 16384)) // 2048) * 2048,
+                A,
+            )
+            bounds = np.unique(np.array([0, first]))
+        elif counts_dev is not None and n_slabs is None:
             # optimistic mode: headers enqueue up front (their waits are
             # concurrent, not serial round trips), so finer slabs are cheap
             # and start the C++ mesher overlapping far earlier. Orphan-cap
@@ -892,7 +915,9 @@ class PointEvaluator:
             dedup = (
                 dedup_env != "off"
                 and abi_dev is not None
-                and counts_dev is None
+                # hybrid (two-level) keeps dedup; plain optimistic
+                # (coarse single-level shells) does not — orphan caps
+                and (counts_dev is None or hybrid)
                 and (N - 1) // SPARSE_BLOCK <= self.MAP_N
                 and ((A >= 16384 and jax.default_backend() != "cpu")
                      or dedup_env == "on")
@@ -983,6 +1008,27 @@ class PointEvaluator:
                     )
                     yield from sub
                     return
+                if hybrid and c4 > slabs[-1][1]:
+                    # count resolved (under slab 0's device time): size the
+                    # remaining slabs to the TRUE active count — padding
+                    # waste is bounded by one quantum per slab, unlike
+                    # granule-slabbing the whole ~1.8x bucket. Slab sizes
+                    # quantize to a coarse fixed grid so the per-shape slab
+                    # programs stay cache-hot across meshes with different
+                    # active counts (c4 varies per latent).
+                    start = slabs[-1][1]
+                    quantum = 4096
+                    ns = max(
+                        1, min(int(os.environ.get("MSD_STREAM_SLABS", 3)) - 1,
+                               -(-(c4 - start) // C))
+                    )
+                    per = -(-(c4 - start) // ns)
+                    size = -(-per // quantum) * quantum
+                    lo = start
+                    while lo < min(c4, A):
+                        hi = min(lo + size, A)
+                        pend.append((lo, hi, *dispatch_slab(lo, hi, dedup)))
+                        lo = hi
             # resolve every slab's count and enqueue ALL part fetches before
             # consuming any rows: the pool then keeps the maximum number of
             # streams in flight across slab boundaries. Each job's resolver
@@ -1320,6 +1366,41 @@ class PointEvaluator:
         )
         return counts_dev, abi4_dev, cap4, (nb4 + 1) ** 3
 
+    def refine2_optimistic(self, latent, N: int, safety: float, clamp_dist: float,
+                           cap16: int = 8192, cap4: int = 131072):
+        """Latency-fused TWO-level refinement — the 512-class analog of
+        ``refine1_optimistic``. The fused 16->4 refine result stays on
+        device and nothing blocks: the [count16, count4] fetch rides the
+        pool and resolves while the first streaming slab (dispatched
+        immediately against the cap bucket with a device-scalar validity)
+        is already evaluating — removing the refine count round trip from
+        the 512^3 critical path. Cap overflow (either level) is detected
+        from the concurrent fetch and falls back to the exact host path
+        inside the stream iterator.
+
+        Returns (counts_dev [2] i32, abi4_dev [cap4, 3], cap4, cap16,
+        prefilter_evals) or None when the two-level criterion doesn't hold.
+        Gate: MSD_STREAM_HYBRID=auto|on|off (auto: off on CPU backends,
+        where there is no relay round trip to hide)."""
+        cls = _refine_class(N, safety, clamp_dist)
+        if cls is None:
+            return None
+        b = SPARSE_BLOCK
+        h, nb4, two_level = cls
+        if not two_level:
+            return None
+        mode = os.environ.get("MSD_STREAM_HYBRID", "auto")
+        if mode == "off" or (mode != "on" and jax.default_backend() == "cpu"):
+            return None
+        s3 = math.sqrt(3.0) / 2.0
+        nb16 = nb4 // 4
+        latent = jnp.asarray(latent).reshape(-1)
+        counts_dev, abi4_dev = self._get_refine_fn(nb16, cap16, cap4)(
+            latent, jnp.float32(h),
+            jnp.float32((4 * b) * h * s3 * safety), jnp.float32(b * h * s3 * safety),
+        )
+        return counts_dev, abi4_dev, cap4, cap16, (nb16 + 1) ** 3
+
     def refine_active4_device(self, latent, N: int, safety: float, clamp_dist: float,
                               cap16: int = 8192, cap4: int = 131072, async_fetch: bool = False):
         """Fused on-device two-level refinement. Returns (abi4 [A, 3] int64
@@ -1508,7 +1589,12 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
     # or small N.
     abi4 = abi4_dev = abi4_resolver = None
     counts_dev = count_resolver = None
+    hybrid = False
+    hybrid_box: dict = {}
     opt = evaluator.refine1_optimistic(latent, N, safety, clamp_dist)
+    hyb = None if opt is not None else evaluator.refine2_optimistic(
+        latent, N, safety, clamp_dist
+    )
     if opt is not None:
         # single-level class: refine count stays on device; slabs dispatch
         # against the cap bucket immediately. The count fetch and the
@@ -1516,6 +1602,25 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
         counts_dev, abi4_dev, A4, evaluated = opt
         count_fut = evaluator._pool().submit(np.asarray, counts_dev)
         count_resolver = lambda: int(count_fut.result()[0])  # noqa: E731
+        fetch_src = evaluator._get_cast_i16_fn(abi4_dev.shape)(abi4_dev)
+        raw_res = evaluator.fetch_parallel_submit(fetch_src, A4, part=32768)
+        abi4_resolver = lambda: raw_res().astype(np.int64)  # noqa: E731
+    elif hyb is not None:
+        # two-level hybrid (512-class): the [count16, count4] fetch rides
+        # the pool; the first streaming slab dispatches immediately and its
+        # device time hides the count round trip. An overflow at either
+        # level surfaces as "count above bucket" -> exact fallback in the
+        # stream iterator.
+        counts2_dev, abi4_dev, A4, cap16, evaluated = hyb
+        hybrid = True
+        counts_dev = counts2_dev[1:2]  # device scalar view: count4
+        count_fut = evaluator._pool().submit(np.asarray, counts2_dev)
+
+        def count_resolver():
+            c16, c4 = (int(x) for x in count_fut.result())
+            hybrid_box["c16"] = c16
+            return A4 + 1 if c16 > cap16 else c4
+
         fetch_src = evaluator._get_cast_i16_fn(abi4_dev.shape)(abi4_dev)
         raw_res = evaluator.fetch_parallel_submit(fetch_src, A4, part=32768)
         abi4_resolver = lambda: raw_res().astype(np.int64)  # noqa: E731
@@ -1539,6 +1644,7 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
         abi_dev=abi4_dev, abi_resolver=abi4_resolver, num_blocks=A4,
         counts_dev=counts_dev, count_resolver=count_resolver,
         refine_fallback=lambda: _sparse_active4(latent, N, evaluator, safety, clamp_dist),
+        hybrid=hybrid,
     )
     total_evals = evaluated + A4 * (SPARSE_BLOCK + 1) ** 3
     LAST_STREAMING_STATS.update(
@@ -1546,6 +1652,7 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
         evaluated=int(total_evals),
         total=int(N**3),
         t_refine=round(t_refine, 3),
+        hybrid=bool(hybrid),
     )
     flips = np.ascontiguousarray(_FLIP_TABLE.astype(np.uint8))
     # reserve for the active-set upper bound (crossing count isn't known
@@ -1618,7 +1725,11 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
             LAST_STREAMING_STATS["active_blocks"] = int(stream_stats["active_blocks"])
         # exact count including dedup savings / padding / exact fallbacks
         LAST_STREAMING_STATS["evaluated"] = int(
-            evaluated + stream_stats.get("evaluated_stream", A4 * (SPARSE_BLOCK + 1) ** 3)
+            evaluated
+            # hybrid: the two-level prefilter's per-superblock evals are
+            # known only once the count fetch resolved
+            + hybrid_box.get("c16", 0) * (SPARSE_BLOCK + 1) ** 3
+            + stream_stats.get("evaluated_stream", A4 * (SPARSE_BLOCK + 1) ** 3)
         )
         LAST_STREAMING_STATS["t_crossing"] = round(stream_stats.get("t_mask", 0.0), 3)
         LAST_STREAMING_STATS["t_fetch"] = round(stream_stats.get("t_fetch", 0.0), 3)

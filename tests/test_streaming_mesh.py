@@ -399,6 +399,38 @@ def test_optimistic_single_level_matches(trained, monkeypatch):  # noqa: F811
 
 @pytest.mark.slow
 @needs_native
+def test_hybrid_two_level_matches(trained, monkeypatch):  # noqa: F811
+    """The hybrid two-level path (refine counts stay on device, first slab
+    dispatches against the cap bucket with device-scalar validity, the
+    rest sized from the resolved count — with corner dedup, the 512-class
+    TPU combination) must produce the IDENTICAL mesh to the synchronous
+    two-level path: same lattice coordinates, same decoder values."""
+    trainer, _ = trained
+    latent = trainer.state["lat"][2]
+    N = 513
+    monkeypatch.setenv("MSD_STREAM_HYBRID", "off")
+    ev = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    pv, pf = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=N, return_mesh=True,
+        evaluator=ev, value_codec="packed",
+    )
+    assert mesh_mod.LAST_STREAMING_STATS["hybrid"] is False
+    monkeypatch.setenv("MSD_STREAM_HYBRID", "on")
+    monkeypatch.setenv("MSD_STREAM_DEDUP", "on")
+    ev2 = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    hv, hf = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=N, return_mesh=True,
+        evaluator=ev2, value_codec="packed",
+    )
+    assert mesh_mod.LAST_STREAMING_STATS["hybrid"] is True
+    # the true refined count (not the 131072 bucket) must land in stats
+    assert mesh_mod.LAST_STREAMING_STATS["active_blocks"] < 131072
+    np.testing.assert_array_equal(pv, hv)
+    np.testing.assert_array_equal(pf, hf)
+
+
+@pytest.mark.slow
+@needs_native
 def test_optimistic_bucket_overflow_fallback(trained, monkeypatch):  # noqa: F811
     """A refine count above the optimistic cap bucket is detected from the
     concurrent count fetch and falls back to the exact host-refined path —
