@@ -37,6 +37,8 @@ active dropout. Everything else falls back to the XLA path
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -44,6 +46,17 @@ from msd_tpu.models.common import weight_norm_effective
 
 TILE = 128          # minimum lane tile; actual tile set per build
 _XPAD = 8  # xyz rows padded to the f32 sublane
+
+
+def _eik_points_per_scene(P: int, eik_points, use_eikonal: bool) -> int:
+    """Per-scene eikonal point count after tile rounding — mirrors
+    ``build_fused_train``'s tile/eik_tps computation exactly."""
+    if not use_eikonal:
+        return 0
+    if eik_points is None or not 0 < eik_points < P:
+        return P
+    tile = 256 if P % 256 == 0 else TILE
+    return min(P // tile, max(1, -(-int(eik_points) // tile))) * tile
 
 
 def supports_fused_train(decoder, points_per_scene: int) -> bool:
@@ -97,7 +110,7 @@ def split_weights(decoder, weights):
 
 
 def _make_kernel(plan, latent_li, use_eikonal, dtype, tps, eik_tps=None,
-                 want_wgrad=True):
+                 want_wgrad=True, weighted=False):
     """Kernel body. Ref order:
     in:  xyz [8,T], gt [8,T], scal [1,4] SMEM,
          per layer: (Mp?, Mx?, c[1,out])
@@ -116,6 +129,13 @@ def _make_kernel(plan, latent_li, use_eikonal, dtype, tps, eik_tps=None,
     and the dgrad propagation remain, cutting the kernel from ~3 to ~2
     matmul sweeps. Requires use_eikonal=False (the ū/t chain is itself a
     weight-gradient computation).
+
+    ``weighted=True``: gt row 1 carries a per-point weight w (0/1 for
+    pad-and-mask mesh batches). The L1 and eikonal loss lanes and every
+    gradient seed (s̄, ḡ) are scaled by w, so w=0 points contribute exactly
+    zero to loss AND gradients; the caller supplies sum(w)-based
+    normalizers. Static flag: the unweighted kernel is byte-identical to
+    before.
     """
     from jax.experimental import pallas as pl
 
@@ -209,9 +229,12 @@ def _make_kernel(plan, latent_li, use_eikonal, dtype, tps, eik_tps=None,
         tau = (1.0 - y * y) * row0
         m = (jnp.abs(y) < clamp).astype(jnp.float32) * row0
 
-        gt = gt_ref[:]  # row 0 = clipped gt, other rows 0
+        gt = gt_ref[:] * row0  # row 0 = clipped gt (row 1 = weights if any)
+        wrow = gt_ref[1:2] if weighted else None  # [1, T]
         yc = jnp.clip(y, -clamp, clamp)
         l1_lane = jnp.sum(jnp.abs(yc - gt) * row0, axis=0)  # [T]
+        if weighted:
+            l1_lane = l1_lane * wrow[0]
         sgn = jnp.sign(yc - gt)
 
         rows = jax.lax.broadcasted_iota(jnp.int32, loss_ref.shape, 0)
@@ -233,11 +256,17 @@ def _make_kernel(plan, latent_li, use_eikonal, dtype, tps, eik_tps=None,
             gsq = jnp.sum(g * g, axis=0, keepdims=True)
             gn = jnp.sqrt(jnp.maximum(gsq, 1e-24))
             eik_lane = (1.0 - gn) ** 2  # [1, T]
+            if weighted:
+                eik_lane = eik_lane * wrow
             loss_ref[:] = loss_ref[:] + jnp.where(rows == 1, eik_lane, 0.0)
             # g already carries the m·τ factor (u_last seed), so the ū-chain
             # below is seeded with ḡ directly; the a_last sensitivity of the
             # seed folds into s̄ as −2y·(ḡᵀg)
             gbar = (eik_coef * (gn - 1.0) / gn) * g
+            if weighted:
+                # w scales the whole eikonal reverse pass (ū/t chain and
+                # the s̄_e seed both derive from ḡ)
+                gbar = gbar * wrow
             gdot = jnp.sum(gbar * g, axis=0, keepdims=True)
 
             # ---- ū/t chain (second-order eikonal) ----
@@ -273,7 +302,10 @@ def _make_kernel(plan, latent_li, use_eikonal, dtype, tps, eik_tps=None,
             sbar_e = eik_body()
 
         # ---- δ-chain ----
-        sbar = m[0:1] * tau[0:1] * sgn[0:1] * inv_ntot + sbar_e  # [1, T]
+        l1_seed = m[0:1] * tau[0:1] * sgn[0:1] * inv_ntot
+        if weighted:
+            l1_seed = l1_seed * wrow
+        sbar = l1_seed + sbar_e  # [1, T]
         delta = row0 * sbar  # [8, T]
         for l in range(nl - 1, -1, -1):
             d_c = delta.astype(dtype)
@@ -302,6 +334,8 @@ def build_fused_train(
     tile: int = 256,
     eik_points: int | None = None,
     want_wgrad: bool = True,
+    weighted: bool = False,
+    n_eik_override: int | None = None,
 ):
     """Builds fn(parts, consts, xyz_t [8,N], gt_t [8,N]) ->
     (l1_sum, eik_sum, dparts, dconsts). N = batch_scenes*points_per_scene;
@@ -332,10 +366,12 @@ def build_fused_train(
         eik_tps = min(tps, max(1, -(-int(eik_points) // tile)))
     else:
         eik_tps = tps
-    n_eik = S * eik_tps * tile
+    # weighted (pad-and-mask) batches: the eikonal mean must run over the
+    # REAL points only — the caller supplies sum(w)-based counts
+    n_eik = S * eik_tps * tile if n_eik_override is None else int(n_eik_override)
 
     kernel = _make_kernel(
-        plan, latent_li, use_eikonal, dtype, tps, eik_tps, want_wgrad
+        plan, latent_li, use_eikonal, dtype, tps, eik_tps, want_wgrad, weighted
     )
 
     def tile_ix(i):
@@ -487,11 +523,20 @@ def fused_point_grads_t(
     dtype=jnp.bfloat16,
     interpret: bool = False,
     eik_points: int | None = None,
+    weights=None,
+    n_real: int | None = None,
+    n_eik_override: int | None = None,
+    want_net_grads: bool = True,
 ):
     """Like ``fused_point_grads`` but taking the batch in the SoA layout
     ``xyzgt_t`` [4, B, P] produced by ``sample_sdf_batch(layout="t")`` —
     the kernel's [components, n] input builds with sublane row copies only
-    (no lane-shuffling transpose; ~2.5 ms/step at the flagship workload)."""
+    (no lane-shuffling transpose; ~2.5 ms/step at the flagship workload).
+
+    ``weights`` [B] (optional): per-scene 0/1 weights for pad-and-mask mesh
+    batches. Loss sums and gradients scale by w exactly; ``num_total``
+    must already count REAL points only, and the eikonal mean runs over
+    sum(w) * eik-points."""
     B, P = xyzgt_t.shape[1], xyzgt_t.shape[2]
     n = B * P
     flat = xyzgt_t.reshape(4, n)
@@ -499,15 +544,23 @@ def fused_point_grads_t(
     gt_t = jnp.zeros((_XPAD, n), jnp.float32).at[0].set(
         jnp.clip(flat[3], -clamp_dist, clamp_dist)
     )
+    if weights is not None:
+        gt_t = gt_t.at[1].set(jnp.repeat(weights.astype(jnp.float32), P))
+        if n_real is None:
+            raise ValueError("weights requires n_real (static real-scene count)")
+        if n_eik_override is None:
+            n_eik_override = int(n_real) * _eik_points_per_scene(P, eik_points, use_eikonal)
     return _fused_point_grads_core(
         decoder, net_params, lat_rows, xyz_t, gt_t, B, P,
         clamp_dist, use_eikonal, num_total, eik_weight, dtype, interpret,
-        eik_points,
+        eik_points, want_net_grads, weighted=weights is not None,
+        n_eik_override=n_eik_override,
     )
 
 
 def make_fused_sdf_l1(decoder, clamp_dist: float, dtype=jnp.bfloat16,
-                      interpret: bool = False, train_net: bool = True):
+                      interpret: bool = False, train_net: bool = True,
+                      mesh=None, axis: str | None = None):
     """Fused Stage-2 SDF-consistency term (ref: train_MLP_VAE_deep_sdf.py
     :3097-3138 semantics, the clamped-L1 half of ``deep_sdf_loss``).
 
@@ -523,7 +576,11 @@ def make_fused_sdf_l1(decoder, clamp_dist: float, dtype=jnp.bfloat16,
     ``train_net=False`` (TrainSDFDecoder=false, the flagship Stage-2
     config): the kernel skips every weight outer product — ~2/3 of its
     backward FLOPs — and net_params cotangents come back as exact zeros
-    (the decoder is frozen, so they are never consumed)."""
+    (the decoder is frozen, so they are never consumed).
+
+    ``mesh`` (optional): shard_map the kernel over the scene axis of the
+    device mesh (``fused_point_grads_sharded``); the scene batch must
+    divide the mesh size."""
 
     @jax.custom_vjp
     def f(net_params, lat_rows, xyz, gt):
@@ -532,6 +589,14 @@ def make_fused_sdf_l1(decoder, clamp_dist: float, dtype=jnp.bfloat16,
 
     def _grads(net_params, lat_rows, xyz, gt):
         num_total = xyz.shape[0] * xyz.shape[1]
+        if mesh is not None:
+            xyzgt_t = jnp.concatenate([xyz, gt], axis=2).transpose(2, 0, 1)
+            return fused_point_grads_sharded(
+                decoder, net_params, lat_rows, xyzgt_t, clamp_dist,
+                use_eikonal=False, num_total=num_total, mesh=mesh,
+                axis=axis or mesh.axis_names[0], dtype=dtype,
+                interpret=interpret, want_net_grads=train_net,
+            )
         return fused_point_grads(
             decoder, net_params, lat_rows, xyz, gt, clamp_dist,
             use_eikonal=False, num_total=num_total, dtype=dtype,
@@ -558,7 +623,7 @@ def make_fused_sdf_l1(decoder, clamp_dist: float, dtype=jnp.bfloat16,
 def _fused_point_grads_core(
     decoder, net_params, lat_rows, xyz_t, gt_t, B, P,
     clamp_dist, use_eikonal, num_total, eik_weight, dtype, interpret,
-    eik_points=None, want_net_grads=True,
+    eik_points=None, want_net_grads=True, weighted=False, n_eik_override=None,
 ):
     plan, latent_li, L, nl = _layer_plan(decoder)
 
@@ -586,6 +651,7 @@ def _fused_point_grads_core(
     fused = build_fused_train(
         decoder, B, P, clamp_dist, num_total, use_eikonal, eik_weight, dtype, interpret,
         eik_points=eik_points, want_wgrad=want_net_grads,
+        weighted=weighted, n_eik_override=n_eik_override,
     )
     l1_sum, eik_sum, dparts, dconsts = fused(parts, consts, xyz_t, gt_t)
     sdf_l = l1_sum / num_total
@@ -624,3 +690,79 @@ def _fused_point_grads_core(
 
     (grads_net,) = vjp_eff((dweights, dbiases))
     return grads_net, dlat, {"sdf": sdf_l, "eikonal": eik_l}
+
+
+def fused_point_grads_sharded(
+    decoder,
+    net_params,
+    lat_rows,
+    xyzgt_t,
+    clamp_dist: float,
+    use_eikonal: bool,
+    num_total: int,
+    mesh,
+    axis: str = "data",
+    eik_weight: float = 0.002,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+    eik_points: int | None = None,
+    weights=None,
+    n_real: int | None = None,
+    want_net_grads: bool = True,
+):
+    """shard_map of the fused kernel over the scene axis of a device mesh.
+
+    The multi-chip form of ``fused_point_grads_t``: ``lat_rows`` [B, L] and
+    ``xyzgt_t`` [4, B, P] shard on the scene axis (B divisible by the mesh
+    size), decoder params replicate. Each chip runs the single-chip Pallas
+    kernel on its local scenes; decoder gradients and the loss sums are
+    psum'ed over ICI while latent gradients stay scene-sharded (they are
+    per-scene rows — no collective needed). ``num_total`` / ``weights`` /
+    ``n_real`` follow ``fused_point_grads_t`` semantics with GLOBAL counts:
+    each shard normalizes locally by the global count, so the psum of the
+    shard losses equals the single-chip value exactly.
+
+    Returns (grads_net replicated, dlat [B, L] scene-sharded, aux).
+    """
+    from jax.sharding import PartitionSpec
+
+    # check_vma=False: pallas_call's out_shapes carry no varying-mesh-axes
+    # annotation; the psum placement here is hand-verified instead
+    shard_map = functools.partial(jax.shard_map, check_vma=False)
+
+    # every shard normalizes by the GLOBAL counts (num_total and this),
+    # so the psum of the shard losses equals the single-chip values
+    B = lat_rows.shape[0]
+    eik_per_scene = _eik_points_per_scene(xyzgt_t.shape[2], eik_points, use_eikonal)
+    n_eik_global = (int(n_real) if weights is not None else B) * eik_per_scene
+
+    def local(net_params_l, lat_l, xyzgt_l, w_l):
+        g_net, dlat, aux = fused_point_grads_t(
+            decoder, net_params_l, lat_l, xyzgt_l, clamp_dist, use_eikonal,
+            num_total, eik_weight=eik_weight, dtype=dtype, interpret=interpret,
+            eik_points=eik_points, weights=w_l, n_real=n_real,
+            n_eik_override=n_eik_global or None, want_net_grads=want_net_grads,
+        )
+        if want_net_grads:
+            g_net = jax.lax.psum(g_net, axis)
+        aux = {k: jax.lax.psum(v, axis) for k, v in aux.items()}
+        return g_net, dlat, aux
+
+    if weights is None:
+        fn = shard_map(
+            lambda p, z, x: local(p, z, x, None),
+            mesh=mesh,
+            in_specs=(PartitionSpec(), PartitionSpec(axis), PartitionSpec(None, axis, None)),
+            out_specs=(PartitionSpec(), PartitionSpec(axis), PartitionSpec()),
+        )
+        return fn(net_params, lat_rows, xyzgt_t)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            PartitionSpec(), PartitionSpec(axis),
+            PartitionSpec(None, axis, None), PartitionSpec(axis),
+        ),
+        out_specs=(PartitionSpec(), PartitionSpec(axis), PartitionSpec()),
+    )
+    return fn(net_params, lat_rows, xyzgt_t, weights)

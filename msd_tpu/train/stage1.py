@@ -305,17 +305,33 @@ class Stage1Trainer:
         latent_dropout = decoder.latent_dropout
 
         # fused Pallas fwd+bwd path (TPU, bf16, supported configs): one
-        # VMEM-resident kernel produces loss + every gradient per microbatch
+        # VMEM-resident kernel produces loss + every gradient per microbatch.
+        # Multi-chip: the kernel shard_maps over the scene axis (decoder
+        # grads psum over ICI, latent rows stay sharded); padded batches
+        # mask pad scenes via the kernel's per-scene weight row.
+        # MSD_FUSED_FORCE=interpret: tests exercise the fused path on CPU
+        # meshes through the Pallas interpreter (f32, exact-parity checks)
+        fused_force = os.environ.get("MSD_FUSED_FORCE") == "interpret"
         use_fused = (
             self.use_fused_train
-            and jax.default_backend() == "tpu"
-            and self.precision == "bfloat16"
-            and self.mesh is None
+            and (fused_force
+                 or (jax.default_backend() == "tpu" and self.precision == "bfloat16"))
             and not train_dropout
             and not latent_dropout
             and not use_iso
             and not use_gmi
         )
+        if use_fused and self.mesh is not None:
+            from msd_tpu.parallel import mesh_size
+
+            n_dev = mesh_size(self.mesh)
+            b = self.scene_per_batch
+            if self._batch_pad != b:
+                # padded batch: weighted kernel, single chunk only (the XLA
+                # path raises on batch_split > 1 with padding too)
+                use_fused = batch_split == 1 and self._batch_pad % n_dev == 0
+            else:
+                use_fused = b % batch_split == 0 and (b // batch_split) % n_dev == 0
         if use_fused:
             from msd_tpu.ops.fused_train import supports_fused_train
 
@@ -325,25 +341,50 @@ class Stage1Trainer:
         reg_lambda = self.code_reg_lambda
         clamp = self.clamp_dist
 
-        def fused_grad_fn(trainable, idx_chunk, xyzgt_t, key, epoch_f, num_total):
-            from msd_tpu.ops.fused_train import fused_point_grads_t
+        def fused_grad_fn(trainable, idx_chunk, xyzgt_t, key, epoch_f, num_total,
+                          weights=None, n_real=None):
+            from msd_tpu.ops.fused_train import (
+                fused_point_grads_sharded, fused_point_grads_t,
+            )
 
             lat_rows = trainable["lat"][idx_chunk]
-            g_net, dlat_rows, aux = fused_point_grads_t(
-                decoder, trainable["net"], lat_rows, xyzgt_t,
-                clamp, use_eik, num_total,
+            kern_kw = dict(
                 eik_points=self.eikonal_num_points,
             )
+            if fused_force:
+                kern_kw.update(dtype=jnp.float32, interpret=True)
+            if self.mesh is not None:
+                # scene-sharded shard_map: each chip runs the kernel on its
+                # local scenes, decoder grads psum over ICI; the lat-table
+                # gather above and the scatter below stay in XLA (the batch
+                # scenes land on arbitrary table shards)
+                g_net, dlat_rows, aux = fused_point_grads_sharded(
+                    decoder, trainable["net"], lat_rows, xyzgt_t,
+                    clamp, use_eik, num_total, self.mesh,
+                    axis=self.mesh.axis_names[0],
+                    weights=weights, n_real=n_real,
+                    **kern_kw,
+                )
+            else:
+                g_net, dlat_rows, aux = fused_point_grads_t(
+                    decoder, trainable["net"], lat_rows, xyzgt_t,
+                    clamp, use_eik, num_total,
+                    **kern_kw,
+                )
             if do_reg:
                 # code reg on the expanded per-point rows = P * per-scene
-                # norms (ref: train_deep_sdf.py:609-616); safe-norm grad
+                # norms (ref: train_deep_sdf.py:609-616); safe-norm grad.
+                # Pad scenes (weights=0) contribute nothing.
                 s = jnp.sum(lat_rows * lat_rows, axis=1)
                 norms = jnp.sqrt(jnp.maximum(s, 1e-24))
                 coef = reg_lambda * jnp.minimum(1.0, epoch_f / 100.0) * P / num_total
-                aux["reg"] = coef * jnp.sum(norms)
-                dlat_rows = dlat_rows + jnp.where(
+                aux["reg"] = coef * jnp.sum(norms if weights is None else norms * weights)
+                dreg = jnp.where(
                     (s > 1e-24)[:, None], coef * lat_rows / norms[:, None], 0.0
                 )
+                if weights is not None:
+                    dreg = dreg * weights[:, None]
+                dlat_rows = dlat_rows + dreg
             else:
                 aux["reg"] = jnp.float32(0.0)
             grads = {
@@ -547,9 +588,17 @@ class Stage1Trainer:
                 batch_t = sample_sdf_batch(
                     pos, pc, neg, nc, scene_idx, P, sample_key, layout="t"
                 )  # [4, B, P]
+                w_scenes = (
+                    (jnp.arange(scene_idx.shape[0]) < b_real).astype(jnp.float32)
+                    if padded else None
+                )
+                nr = b_real if padded else None
 
                 def grad_fn(trainable, idx_chunk, data_c, k):
-                    return fused_grad_fn(trainable, idx_chunk, data_c, k, epoch_f, num_total)
+                    return fused_grad_fn(
+                        trainable, idx_chunk, data_c, k, epoch_f, num_total,
+                        weights=w_scenes, n_real=nr,
+                    )
 
                 data = batch_t
             else:

@@ -524,13 +524,19 @@ class Stage2Trainer:
         # fused Pallas fwd+bwd for the SDF-consistency term (the step's
         # dominant FLOPs): one VMEM-resident kernel yields the clamped-L1
         # and dL/dz_hat (plus decoder grads when TrainSDFDecoder) — the
-        # Stage-1 kernel minus the eikonal chain
+        # Stage-1 kernel minus the eikonal chain. Multi-chip: shard_mapped
+        # over the scene axis when the batch divides the mesh
+        # (MSD_FUSED_FORCE=interpret exercises it on CPU test meshes).
+        fused_force = os.environ.get("MSD_FUSED_FORCE") == "interpret"
         use_fused_sdf = (
             self.use_fused_sdf
             and batch_split == 1
-            and self.mesh is None
-            and jax.default_backend() == "tpu"
+            and (fused_force or jax.default_backend() == "tpu")
         )
+        if use_fused_sdf and self.mesh is not None:
+            from msd_tpu.parallel import mesh_size
+
+            use_fused_sdf = self.scene_per_batch % mesh_size(self.mesh) == 0
         if use_fused_sdf:
             from msd_tpu.ops.fused_train import make_fused_sdf_l1, supports_fused_train
 
@@ -539,7 +545,10 @@ class Stage2Trainer:
         if use_fused_sdf:
             # frozen decoder (the flagship config) skips the kernel's weight
             # outer products entirely — ~1/3 of its FLOPs
-            fused_sdf_l1 = make_fused_sdf_l1(sdf_decoder, clamp, train_net=train_sdf)
+            fused_kw = dict(train_net=train_sdf, mesh=self.mesh)
+            if fused_force:
+                fused_kw.update(dtype=jnp.float32, interpret=True)
+            fused_sdf_l1 = make_fused_sdf_l1(sdf_decoder, clamp, **fused_kw)
 
         def loss_fn(trainable, frozen_sdf, teacher, surface_pts, pos, pc, neg, nc, scene_idx,
                     label_values, label_valid, age_values, age_valid, key,

@@ -179,6 +179,107 @@ def test_fused_grads_no_latent_in():
         )
 
 
+def test_fused_grads_weighted_pad_mask():
+    """weights=[1,1,1,0] (pad-and-mask mesh batches): losses and every
+    gradient must equal an oracle over the REAL scenes only; the pad
+    scene's latent row must receive exactly zero gradient."""
+    decoder, params, lat, xyz, gt = make_case(B=4)
+    B, P = xyz.shape[:2]
+    n_real = 3
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    num_total = n_real * P
+
+    def oracle(p, z):
+        zr = z[:n_real]
+        expanded = jnp.repeat(zr, P, axis=0)
+        xyz_flat = xyz[:n_real].reshape(-1, 3)
+        gt_c = jnp.clip(gt[:n_real].reshape(-1, 1), -CLAMP, CLAMP)
+
+        def pred_fn(x):
+            return jnp.clip(decoder.apply(p, jnp.concatenate([expanded, x], axis=1)), -CLAMP, CLAMP)
+
+        pred, vjp_fn = jax.vjp(pred_fn, xyz_flat)
+        (grads_xyz,) = vjp_fn(jnp.ones_like(pred))
+        eik = eikonal_loss(grads_xyz)
+        sdf_l = jnp.sum(jnp.abs(pred - gt_c)) / num_total
+        return sdf_l + eik, (sdf_l, eik)
+
+    (_, (sdf_o, eik_o)), (g_net_o, g_lat_o) = jax.value_and_grad(
+        oracle, argnums=(0, 1), has_aux=True
+    )(params, lat)
+
+    from msd_tpu.ops.fused_train import fused_point_grads_t
+
+    xyzgt_t = jnp.concatenate([xyz, gt], axis=2).transpose(2, 0, 1)
+    g_net, g_lat, aux = fused_point_grads_t(
+        decoder, params, lat, xyzgt_t, CLAMP, True, num_total,
+        dtype=jnp.float32, interpret=True, weights=w, n_real=n_real,
+    )
+    np.testing.assert_allclose(float(aux["sdf"]), float(sdf_o), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(aux["eikonal"]), float(eik_o), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_lat), np.asarray(g_lat_o), rtol=2e-4, atol=1e-7)
+    assert float(jnp.max(jnp.abs(g_lat[n_real:]))) == 0.0
+    for (po, lo), (pf, lf) in zip(
+        jax.tree_util.tree_flatten_with_path(g_net_o)[0],
+        jax.tree_util.tree_flatten_with_path(g_net)[0],
+    ):
+        assert po == pf
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lo), rtol=2e-4, atol=1e-7, err_msg=str(po)
+        )
+
+
+@pytest.mark.slow
+def test_fused_grads_sharded_matches_single():
+    """shard_map'd fused kernel over the 8-device CPU mesh == the
+    single-device kernel (decoder grads psum'ed, latent rows sharded),
+    including a padded batch masked via per-scene weights."""
+    import jax as _jax
+    from jax.sharding import Mesh
+
+    from msd_tpu.ops.fused_train import fused_point_grads_sharded, fused_point_grads_t
+
+    decoder, params, lat, xyz, gt = make_case(B=8)
+    B, P = xyz.shape[:2]
+    mesh = Mesh(np.array(_jax.devices()[:8]), ("data",))
+    xyzgt_t = jnp.concatenate([xyz, gt], axis=2).transpose(2, 0, 1)
+
+    # unweighted
+    g1, d1, a1 = fused_point_grads_t(
+        decoder, params, lat, xyzgt_t, CLAMP, True, B * P,
+        dtype=jnp.float32, interpret=True,
+    )
+    g8, d8, a8 = fused_point_grads_sharded(
+        decoder, params, lat, xyzgt_t, CLAMP, True, B * P, mesh,
+        dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(float(a8["sdf"]), float(a1["sdf"]), rtol=1e-6)
+    np.testing.assert_allclose(float(a8["eikonal"]), float(a1["eikonal"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d8), np.asarray(d1), rtol=1e-5, atol=1e-8)
+    for l1_, l8_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        np.testing.assert_allclose(np.asarray(l8_), np.asarray(l1_), rtol=1e-5, atol=1e-8)
+
+    # padded: 6 real + 2 pad scenes == single-device over the 6 real
+    n_real = 6
+    w = (jnp.arange(B) < n_real).astype(jnp.float32)
+    num_total = n_real * P
+    g1p, d1p, a1p = fused_point_grads_t(
+        decoder, params, lat[:n_real],
+        jnp.concatenate([xyz[:n_real], gt[:n_real]], axis=2).transpose(2, 0, 1),
+        CLAMP, True, num_total, dtype=jnp.float32, interpret=True,
+    )
+    g8p, d8p, a8p = fused_point_grads_sharded(
+        decoder, params, lat, xyzgt_t, CLAMP, True, num_total, mesh,
+        dtype=jnp.float32, interpret=True, weights=w, n_real=n_real,
+    )
+    np.testing.assert_allclose(float(a8p["sdf"]), float(a1p["sdf"]), rtol=1e-6)
+    np.testing.assert_allclose(float(a8p["eikonal"]), float(a1p["eikonal"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d8p[:n_real]), np.asarray(d1p), rtol=1e-5, atol=1e-8)
+    assert float(jnp.max(jnp.abs(d8p[n_real:]))) == 0.0
+    for l1_, l8_ in zip(jax.tree.leaves(g1p), jax.tree.leaves(g8p)):
+        np.testing.assert_allclose(np.asarray(l8_), np.asarray(l1_), rtol=1e-5, atol=1e-8)
+
+
 def test_supports_gating():
     decoder, *_ = make_case()
     assert supports_fused_train(decoder, 256)

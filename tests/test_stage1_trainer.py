@@ -280,6 +280,43 @@ def test_multichip_mesh_training(tmp_path):
 
 
 @pytest.mark.slow
+def test_multichip_fused_kernel_matches_xla(tmp_path, monkeypatch):
+    """The shard_mapped fused train kernel (forced through the Pallas
+    interpreter on the CPU mesh — f32, exact math) must track the XLA mesh
+    path on the same specs/seed, INCLUDING a padded batch (6 scenes on a
+    4-device mesh -> pad 8, masked via the kernel's per-scene weight row),
+    with eikonal + code regularization on."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    net = {
+        "dims": [64] * 5, "dropout": [], "dropout_prob": 0.0,
+        "norm_layers": [0, 1, 2, 3, 4], "latent_in": [2], "xyz_in_all": False,
+        "use_tanh": False, "latent_dropout": False, "weight_norm": True,
+    }
+    exp_dir, _ = _specs(
+        tmp_path, ScenesPerBatch=6, NumEpochs=2, UseEikonal=True,
+        NetworkSpecs=net,
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    t_xla = Stage1Trainer(exp_dir, mesh=mesh)
+    mx = t_xla.train_epoch(1)
+    assert not t_xla._fused_active
+
+    monkeypatch.setenv("MSD_FUSED_FORCE", "interpret")
+    t_f = Stage1Trainer(exp_dir, mesh=mesh)
+    mf = t_f.train_epoch(1)
+    assert t_f._fused_active
+    for k in ("total", "sdf", "eikonal", "reg"):
+        assert mf[k] == pytest.approx(mx[k], rel=5e-4, abs=1e-7), (k, mf[k], mx[k])
+    np.testing.assert_allclose(
+        t_f.latent_codes(), t_xla.latent_codes(), rtol=1e-3, atol=1e-6
+    )
+
+
+@pytest.mark.slow
 def test_multichip_padded_batch_77_scenes(tmp_path):
     """Non-divisible scene counts must still SHARD (pad-and-mask), not
     replicate: 77 scenes / batch 77 on 8 devices pads to 80 with masked

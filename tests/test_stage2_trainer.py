@@ -212,6 +212,34 @@ def test_stage2_multichip_mesh(tmp_path):
 
 
 @pytest.mark.slow
+def test_stage2_multichip_fused_sdf_matches_xla(tmp_path, monkeypatch):
+    """The shard_mapped fused SDF-consistency kernel (frozen decoder, via
+    the Pallas interpreter on the CPU mesh) must track the XLA mesh path
+    on the same specs/seed."""
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    net = {
+        "dims": [32] * 5, "dropout": [], "dropout_prob": 0.0,
+        "norm_layers": [], "latent_in": [2], "xyz_in_all": False,
+        "use_tanh": False, "latent_dropout": False, "weight_norm": True,
+    }
+    exp_dir, specs, teacher = _setup(tmp_path, NetworkSpecs=net)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    tr_xla = Stage2Trainer(exp_dir, mesh=mesh)
+    mx = tr_xla.train_epoch(1, rng=np.random.default_rng(1))
+    assert not tr_xla._fused_sdf_active
+
+    monkeypatch.setenv("MSD_FUSED_FORCE", "interpret")
+    tr_f = Stage2Trainer(exp_dir, mesh=mesh)
+    mf = tr_f.train_epoch(1, rng=np.random.default_rng(1))
+    assert tr_f._fused_sdf_active
+    for k in ("total", "sdf", "vae_recon"):
+        assert mf[k] == pytest.approx(mx[k], rel=5e-4, abs=1e-7), (k, mf[k], mx[k])
+
+
+@pytest.mark.slow
 def test_stage2_multichip_odd_batch_point_sharding(tmp_path):
     """Scene batches that do NOT divide the mesh still scale: the SDF
     consistency term (the step's dominant FLOPs) shards over the point
