@@ -342,6 +342,23 @@ def load_real_dataset(data_source, train_split, test_split):
     from msd_tpu.data.splits import load_split, split_triples
     from msd_tpu.workspace import sdf_samples_subdir, surface_samples_subdir
 
+    import glob as _glob
+
+    def _resolve(subdir, ds_name, cls, iid, ext):
+        """Find <iid><ext> under <data_source>/<subdir>: exact split-triple
+        path first, then one/two levels of source-name directories — flat
+        split JSONs (this repo's own preprocessing layout,
+        SdfSamples/<source_name>/<iid>.npz) carry no dataset/class
+        components."""
+        base = os.path.join(data_source, subdir)
+        cands = [os.path.join(base, *[p for p in (ds_name, cls) if p], iid + ext)]
+        cands += sorted(_glob.glob(os.path.join(base, "*", iid + ext)))
+        cands += sorted(_glob.glob(os.path.join(base, "*", "*", iid + ext)))
+        for c in cands:
+            if os.path.isfile(c):
+                return c
+        raise FileNotFoundError(f"{iid}{ext} not found under {base}")
+
     global SCENES_TRAIN, SCENES_TEST
     scenes, gt_points, specs = [], [], []
     counts = []
@@ -349,13 +366,11 @@ def load_real_dataset(data_source, train_split, test_split):
         triples = split_triples(load_split(split_file))
         counts.append(len(triples))
         for ds_name, cls, iid in triples:
-            npz = np.load(os.path.join(
-                data_source, sdf_samples_subdir, ds_name, cls, iid + ".npz"))
+            npz = np.load(_resolve(sdf_samples_subdir, ds_name, cls, iid, ".npz"))
             pos = npz["pos"][np.isfinite(npz["pos"]).all(axis=1)].astype(np.float32)
             neg = npz["neg"][np.isfinite(npz["neg"]).all(axis=1)].astype(np.float32)
             scenes.append((pos, neg))
-            verts, _ = load_ply(os.path.join(
-                data_source, surface_samples_subdir, ds_name, cls, iid + ".ply"))
+            verts, _ = load_ply(_resolve(surface_samples_subdir, ds_name, cls, iid, ".ply"))
             gt_points.append(np.asarray(verts, np.float32))
             specs.append(("real", {"id": iid}))
     SCENES_TRAIN, SCENES_TEST = counts

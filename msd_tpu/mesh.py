@@ -812,7 +812,7 @@ class PointEvaluator:
             # remaining slabs are sized inside the iterator once the count
             # fetch (riding the pool) resolves under this slab's device time
             first = min(
-                -(-int(os.environ.get("MSD_HYBRID_FIRST_SLAB", 16384)) // 2048) * 2048,
+                max(2048, -(-int(os.environ.get("MSD_HYBRID_FIRST_SLAB", 16384)) // 2048) * 2048),
                 A,
             )
             bounds = np.unique(np.array([0, first]))

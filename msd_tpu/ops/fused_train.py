@@ -48,17 +48,6 @@ TILE = 128          # minimum lane tile; actual tile set per build
 _XPAD = 8  # xyz rows padded to the f32 sublane
 
 
-def _eik_points_per_scene(P: int, eik_points, use_eikonal: bool) -> int:
-    """Per-scene eikonal point count after tile rounding — mirrors
-    ``build_fused_train``'s tile/eik_tps computation exactly."""
-    if not use_eikonal:
-        return 0
-    if eik_points is None or not 0 < eik_points < P:
-        return P
-    tile = 256 if P % 256 == 0 else TILE
-    return min(P // tile, max(1, -(-int(eik_points) // tile))) * tile
-
-
 def supports_fused_train(decoder, points_per_scene: int) -> bool:
     return (
         type(decoder).__name__ == "DeepSDFDecoder"
@@ -335,7 +324,7 @@ def build_fused_train(
     eik_points: int | None = None,
     want_wgrad: bool = True,
     weighted: bool = False,
-    n_eik_override: int | None = None,
+    eik_scenes: int | None = None,
 ):
     """Builds fn(parts, consts, xyz_t [8,N], gt_t [8,N]) ->
     (l1_sum, eik_sum, dparts, dconsts). N = batch_scenes*points_per_scene;
@@ -366,9 +355,14 @@ def build_fused_train(
         eik_tps = min(tps, max(1, -(-int(eik_points) // tile)))
     else:
         eik_tps = tps
-    # weighted (pad-and-mask) batches: the eikonal mean must run over the
-    # REAL points only — the caller supplies sum(w)-based counts
-    n_eik = S * eik_tps * tile if n_eik_override is None else int(n_eik_override)
+    # ``eik_scenes``: scene count for the eikonal-mean normalizer when it
+    # differs from S — the REAL (unpadded) scenes of a weighted batch, or
+    # the GLOBAL batch when each shard of a mesh normalizes by the global
+    # count. Derived here from the kernel's own eik_tps/tile so the
+    # normalizer can never diverge from what the kernel actually gates on.
+    n_eik = (S if eik_scenes is None else int(eik_scenes)) * eik_tps * tile
+    if not use_eikonal:
+        n_eik = 1  # never used (eik row stays zero); avoids a 0-divide
 
     kernel = _make_kernel(
         plan, latent_li, use_eikonal, dtype, tps, eik_tps, want_wgrad, weighted
@@ -525,7 +519,7 @@ def fused_point_grads_t(
     eik_points: int | None = None,
     weights=None,
     n_real: int | None = None,
-    n_eik_override: int | None = None,
+    eik_scenes: int | None = None,
     want_net_grads: bool = True,
 ):
     """Like ``fused_point_grads`` but taking the batch in the SoA layout
@@ -548,13 +542,13 @@ def fused_point_grads_t(
         gt_t = gt_t.at[1].set(jnp.repeat(weights.astype(jnp.float32), P))
         if n_real is None:
             raise ValueError("weights requires n_real (static real-scene count)")
-        if n_eik_override is None:
-            n_eik_override = int(n_real) * _eik_points_per_scene(P, eik_points, use_eikonal)
+        if eik_scenes is None:
+            eik_scenes = int(n_real)
     return _fused_point_grads_core(
         decoder, net_params, lat_rows, xyz_t, gt_t, B, P,
         clamp_dist, use_eikonal, num_total, eik_weight, dtype, interpret,
         eik_points, want_net_grads, weighted=weights is not None,
-        n_eik_override=n_eik_override,
+        eik_scenes=eik_scenes,
     )
 
 
@@ -623,7 +617,7 @@ def make_fused_sdf_l1(decoder, clamp_dist: float, dtype=jnp.bfloat16,
 def _fused_point_grads_core(
     decoder, net_params, lat_rows, xyz_t, gt_t, B, P,
     clamp_dist, use_eikonal, num_total, eik_weight, dtype, interpret,
-    eik_points=None, want_net_grads=True, weighted=False, n_eik_override=None,
+    eik_points=None, want_net_grads=True, weighted=False, eik_scenes=None,
 ):
     plan, latent_li, L, nl = _layer_plan(decoder)
 
@@ -651,7 +645,7 @@ def _fused_point_grads_core(
     fused = build_fused_train(
         decoder, B, P, clamp_dist, num_total, use_eikonal, eik_weight, dtype, interpret,
         eik_points=eik_points, want_wgrad=want_net_grads,
-        weighted=weighted, n_eik_override=n_eik_override,
+        weighted=weighted, eik_scenes=eik_scenes,
     )
     l1_sum, eik_sum, dparts, dconsts = fused(parts, consts, xyz_t, gt_t)
     sdf_l = l1_sum / num_total
@@ -732,16 +726,14 @@ def fused_point_grads_sharded(
 
     # every shard normalizes by the GLOBAL counts (num_total and this),
     # so the psum of the shard losses equals the single-chip values
-    B = lat_rows.shape[0]
-    eik_per_scene = _eik_points_per_scene(xyzgt_t.shape[2], eik_points, use_eikonal)
-    n_eik_global = (int(n_real) if weights is not None else B) * eik_per_scene
+    eik_scenes_global = int(n_real) if weights is not None else lat_rows.shape[0]
 
     def local(net_params_l, lat_l, xyzgt_l, w_l):
         g_net, dlat, aux = fused_point_grads_t(
             decoder, net_params_l, lat_l, xyzgt_l, clamp_dist, use_eikonal,
             num_total, eik_weight=eik_weight, dtype=dtype, interpret=interpret,
             eik_points=eik_points, weights=w_l, n_real=n_real,
-            n_eik_override=n_eik_global or None, want_net_grads=want_net_grads,
+            eik_scenes=eik_scenes_global, want_net_grads=want_net_grads,
         )
         if want_net_grads:
             g_net = jax.lax.psum(g_net, axis)

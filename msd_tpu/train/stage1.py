@@ -430,9 +430,9 @@ class Stage1Trainer:
             eik_pts = self.eikonal_num_points
             if use_eik and eik_pts is not None and 0 < eik_pts < P:
                 # EikonalNumPoints: eikonal on the first E (randomly-ordered)
-                # points of each scene via a separate small vjp; the clamped
-                # L1 still sees every point
-                pred = pred_from_xyz(xyz_flat)
+                # points of each scene via a small vjp; the remaining P-E
+                # points run the plain forward only (no double evaluation of
+                # the prefix) and the clamped L1 sees every point
                 E = int(eik_pts)
                 expanded_e = jnp.repeat(lat_rows, E, axis=0)
                 xyz_e = xyz[:, :E].reshape(-1, 3)
@@ -444,6 +444,19 @@ class Stage1Trainer:
 
                 pred_e, vjp_e = jax.vjp(pred_from_xyz_e, xyz_e)
                 (grads_e,) = vjp_e(jnp.ones_like(pred_e))
+                expanded_r = jnp.repeat(lat_rows, P - E, axis=0)
+                xyz_r = xyz[:, E:].reshape(-1, 3)
+                pred_r = jnp.clip(
+                    decoder.apply(
+                        trainable["net"],
+                        jnp.concatenate([expanded_r, xyz_r], axis=1),
+                        **apply_kwargs,
+                    ),
+                    -clamp_dist, clamp_dist,
+                )
+                pred = jnp.concatenate(
+                    [pred_e.reshape(b, E, 1), pred_r.reshape(b, P - E, 1)], axis=1
+                ).reshape(-1, 1)
                 w_eik = None
                 if n_real != b:
                     w_eik = jnp.repeat(

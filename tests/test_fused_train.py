@@ -229,6 +229,40 @@ def test_fused_grads_weighted_pad_mask():
         )
 
 
+def test_fused_grads_weighted_no_eikonal():
+    """Weighted kernel with use_eikonal=False (the default spec): must not
+    divide by a zero eikonal count (code-review regression) and must match
+    the masked-L1 oracle."""
+    decoder, params, lat, xyz, gt = make_case(B=4)
+    B, P = xyz.shape[:2]
+    n_real = 3
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    num_total = n_real * P
+
+    def oracle(z):
+        expanded = jnp.repeat(z[:n_real], P, axis=0)
+        pred = jnp.clip(
+            decoder.apply(params, jnp.concatenate(
+                [expanded, xyz[:n_real].reshape(-1, 3)], axis=1)),
+            -CLAMP, CLAMP,
+        )
+        gt_c = jnp.clip(gt[:n_real].reshape(-1, 1), -CLAMP, CLAMP)
+        return jnp.sum(jnp.abs(pred - gt_c)) / num_total
+
+    v_o, g_lat_o = jax.value_and_grad(oracle)(lat)
+
+    from msd_tpu.ops.fused_train import fused_point_grads_t
+
+    xyzgt_t = jnp.concatenate([xyz, gt], axis=2).transpose(2, 0, 1)
+    _, g_lat, aux = fused_point_grads_t(
+        decoder, params, lat, xyzgt_t, CLAMP, False, num_total,
+        dtype=jnp.float32, interpret=True, weights=w, n_real=n_real,
+    )
+    np.testing.assert_allclose(float(aux["sdf"]), float(v_o), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_lat), np.asarray(g_lat_o), rtol=2e-4, atol=1e-7)
+    assert float(jnp.max(jnp.abs(g_lat[n_real:]))) == 0.0
+
+
 @pytest.mark.slow
 def test_fused_grads_sharded_matches_single():
     """shard_map'd fused kernel over the 8-device CPU mesh == the
