@@ -1562,8 +1562,36 @@ def _spill_tmp_base(ply_path: str) -> str:
     return os.path.join(scratch, f"msd_spill_{os.getpid()}_{os.path.basename(ply_path)}")
 
 
-def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size, value_codec="packed",
-                           ply_path=None, want_mesh=True):
+def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
+                           value_codec="packed", ply_path=None, want_mesh=True):
+    """See ``_create_mesh_streaming_impl``. One-shot resilience wrapper:
+    if the hybrid two-level dispatch (round-4, MSD_STREAM_HYBRID) blows up
+    for any non-semantic reason, disable it for the rest of the process and
+    retry once through the synchronous path — a hybrid-specific failure
+    must never sink an extraction the classic path can serve."""
+    try:
+        return _create_mesh_streaming_impl(
+            latent, N, evaluator, safety, clamp_dist, voxel_size,
+            value_codec=value_codec, ply_path=ply_path, want_mesh=want_mesh,
+        )
+    except ValueError:
+        raise  # "surface level not in range" — real, caller-handled
+    except Exception:
+        if os.environ.get("MSD_STREAM_HYBRID", "auto") == "off":
+            raise
+        logging.exception(
+            "streaming extraction failed with hybrid dispatch enabled; "
+            "disabling MSD_STREAM_HYBRID for this process and retrying"
+        )
+        os.environ["MSD_STREAM_HYBRID"] = "off"
+        return _create_mesh_streaming_impl(
+            latent, N, evaluator, safety, clamp_dist, voxel_size,
+            value_codec=value_codec, ply_path=ply_path, want_mesh=want_mesh,
+        )
+
+
+def _create_mesh_streaming_impl(latent, N, evaluator, safety, clamp_dist, voxel_size,
+                                value_codec="packed", ply_path=None, want_mesh=True):
     """Hierarchical active-block discovery + streamed C++ marching
     tetrahedra. The active set is evaluated ONCE on device (values stay
     device-resident), the crossing mask crosses the relay as 1 bit/block,
