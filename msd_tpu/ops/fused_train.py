@@ -706,6 +706,12 @@ def fused_point_grads_sharded(
 ):
     """shard_map of the fused kernel over the scene axis of a device mesh.
 
+    The TPU-native analog of the reference's ``torch.nn.DataParallel``
+    wrap of the decoder (ref: train_deep_sdf.py:352) — scatter the batch,
+    run replicas, all-reduce parameter grads — except the per-chip program
+    here is the fused Pallas kernel and the all-reduce is an XLA psum over
+    ICI rather than NCCL.
+
     The multi-chip form of ``fused_point_grads_t``: ``lat_rows`` [B, L] and
     ``xyzgt_t`` [4, B, P] shard on the scene axis (B divisible by the mesh
     size), decoder params replicate. Each chip runs the single-chip Pallas
