@@ -205,6 +205,24 @@ def main():
     t_train = time.time() - t0
     train_qps = train_steps * points_per_step / t_train
 
+    # ---- supplementary: EikonalNumPoints=4096 step timing ----
+    # The headline train_step_ms keeps the reference-exact workload (eikonal
+    # on every point, train_deep_sdf.py:724-729). E=4096 is the evidenced
+    # parity setting (benchmarks/eikonal_subsample_ab.py: equal-or-better
+    # full-point eikonal residual and Chamfer on the guard shapes) and cuts
+    # the second-order chains to 1/4 of the points.
+    train_step_ms_eik = None
+    try:
+        eik_specs = dict(specs, Description="bench-eik4096", EikonalNumPoints=4096)
+        tr_eik = Stage1Trainer("/tmp/msd_bench_eik", specs=eik_specs, dataset=dataset)
+        tr_eik.train_epoch(1)  # warmup/compile
+        t0 = time.time()
+        tr_eik.train_epochs(2, 12)
+        train_step_ms_eik = (time.time() - t0) / (10 * steps_per_epoch) * 1000.0
+        del tr_eik
+    except Exception as exc:
+        print(f"eik4096 bench skipped: {exc}", file=sys.stderr)
+
     # shape the field so the meshes are meaningful — the non-convex guard
     # shapes (torus/union) need more epochs than the spheres to fit; ~100
     # epochs is ~30 s at 73 ms/step. (Longer training does NOT shrink the
@@ -428,6 +446,9 @@ def main():
             "backend": backend,
             "train_queries_per_sec": round(train_qps),
             "train_step_ms": round(1e3 * points_per_step / train_qps, 1),
+            "train_step_ms_eik4096": (
+                None if train_step_ms_eik is None else round(train_step_ms_eik, 1)
+            ),
             "train_matmul_precision": "bfloat16 (f32 is 4.1x slower at identical loss; MatmulPrecision spec key)",
             "raw_fused_kernel_queries_per_sec": None if raw_qps is None else round(raw_qps),
             "grid512_seconds": round(t_grid, 3),

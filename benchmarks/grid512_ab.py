@@ -10,6 +10,9 @@ settings in one process so relay drift cannot masquerade as a win
 Default comparison: MSD_STREAM_HYBRID on vs off (the round-4 hybrid
 two-level dispatch). --knob/--values generalize to any env knob, e.g.
     python benchmarks/grid512_ab.py --knob MSD_STREAM_SLABS --values 2,3,4
+A value may also be a compound env assignment "K1=v1+K2=v2" (ignoring
+--knob), so interacting knobs can be A/B'd jointly in one window:
+    --values 'MSD_STREAM_DEDUP=auto+MSD_VALUE_CODEC=packed,MSD_STREAM_DEDUP=off+MSD_VALUE_CODEC=int8'
 
 Prints one JSON line: per-setting {median, min, p90} wall seconds plus the
 median per-stage breakdown (t_refine/t_crossing/t_stream/t_fetch/t_finish).
@@ -86,11 +89,25 @@ def main():
         "/dev/shm" if os.access("/dev/shm", os.W_OK) else "/tmp")
 
     values = args.values.split(",")
+
+    def parse_setting(v):
+        if "=" in v:
+            return dict(kv.split("=", 1) for kv in v.split("+"))
+        return {args.knob: v}
+
+    settings_env = {v: parse_setting(v) for v in values}
+    all_keys = sorted({k for env in settings_env.values() for k in env})
+
+    def apply_setting(v):
+        for k in all_keys:
+            os.environ.pop(k, None)
+        os.environ.update(settings_env[v])
+
     times = {v: [] for v in values}
     stages = {v: [] for v in values}
     # warm every setting's programs before any timed rep
     for v in values:
-        os.environ[args.knob] = v
+        apply_setting(v)
         mesh_mod.create_mesh(
             trainer.decoder, trainer.state["net"], latent,
             filename=os.path.join(scratch, "grid_ab_warm"), N=args.n,
@@ -98,7 +115,7 @@ def main():
         )
     for rep in range(args.reps):
         for v in values:
-            os.environ[args.knob] = v
+            apply_setting(v)
             t0 = time.time()
             ok = mesh_mod.create_mesh(
                 trainer.decoder, trainer.state["net"], latent,

@@ -908,6 +908,11 @@ class PointEvaluator:
             # "auto" engages only off-CPU: the per-shift gather/scatter
             # reassembly is a wash-to-loss on host XLA (no MXU to starve),
             # and it ~4x'es the CPU-suite 512^3 test. "on" always forces.
+            # It also requires a multi-core host: a same-window A/B on the
+            # 1-core host (grid512_dedup_ab.json, round 4) measured dedup
+            # SLOWER (median 0.865 vs 0.760 s) — the per-shift slab shapes
+            # triple the host-side result plumbing, which serializes with
+            # the mesher thread when there is only one core.
             # optimistic single-level shells (N~256 class) are coarse enough
             # that >25% of active blocks lack an active +1 neighbor: the
             # per-shift orphan caps overflow and every slab would bounce to
@@ -919,7 +924,8 @@ class PointEvaluator:
                 # (coarse single-level shells) does not — orphan caps
                 and (counts_dev is None or hybrid)
                 and (N - 1) // SPARSE_BLOCK <= self.MAP_N
-                and ((A >= 16384 and jax.default_backend() != "cpu")
+                and ((A >= 16384 and jax.default_backend() != "cpu"
+                      and (os.cpu_count() or 1) >= 2)
                      or dedup_env == "on")
             )
             count_d = counts_dev[0] if counts_dev is not None else None
@@ -1380,8 +1386,13 @@ class PointEvaluator:
 
         Returns (counts_dev [2] i32, abi4_dev [cap4, 3], cap4, cap16,
         prefilter_evals) or None when the two-level criterion doesn't hold.
-        Gate: MSD_STREAM_HYBRID=auto|on|off (auto: off on CPU backends,
-        where there is no relay round trip to hide)."""
+        Gate: MSD_STREAM_HYBRID=on|off, DEFAULT OFF — a same-window A/B on
+        the 1-core host (benchmarks/grid512_ab.py, round 4) measured the
+        hybrid dispatch SLOWER at the median (0.915 vs 0.787 s) and far
+        noisier at p90 (1.14 vs 0.81 s): the fixed first slab saves the
+        ~40 ms refine round trip but serializes the remaining slab sizing
+        behind the count fetch, which the relay occasionally stalls. Kept
+        behind the knob for relay conditions where the trade reverses."""
         cls = _refine_class(N, safety, clamp_dist)
         if cls is None:
             return None
@@ -1389,8 +1400,7 @@ class PointEvaluator:
         h, nb4, two_level = cls
         if not two_level:
             return None
-        mode = os.environ.get("MSD_STREAM_HYBRID", "auto")
-        if mode == "off" or (mode != "on" and jax.default_backend() == "cpu"):
+        if os.environ.get("MSD_STREAM_HYBRID", "off") != "on":
             return None
         s3 = math.sqrt(3.0) / 2.0
         nb16 = nb4 // 4
@@ -1562,13 +1572,27 @@ def _spill_tmp_base(ply_path: str) -> str:
     return os.path.join(scratch, f"msd_spill_{os.getpid()}_{os.path.basename(ply_path)}")
 
 
+def _resolve_value_codec(value_codec: str) -> str:
+    """Streaming value wire format, after the env override and host-aware
+    "auto" default: "packed" (finer wire quantum, fewer bytes) when the
+    decode thread has its own core; "int8" on 1-core hosts, where packed's
+    bitmap decode serializes with the mesher thread — measured 0.18-0.3 s
+    slower at the median in three same-window A/Bs
+    (grid512_codec_ab.json, grid512_combined_ab.json, round 4)."""
+    value_codec = os.environ.get("MSD_VALUE_CODEC", value_codec)
+    if value_codec == "auto":
+        value_codec = "packed" if (os.cpu_count() or 1) >= 2 else "int8"
+    return value_codec
+
+
 def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
-                           value_codec="packed", ply_path=None, want_mesh=True):
+                           value_codec="auto", ply_path=None, want_mesh=True):
     """See ``_create_mesh_streaming_impl``. One-shot resilience wrapper:
     if the hybrid two-level dispatch (round-4, MSD_STREAM_HYBRID) blows up
     for any non-semantic reason, disable it for the rest of the process and
     retry once through the synchronous path — a hybrid-specific failure
     must never sink an extraction the classic path can serve."""
+    value_codec = _resolve_value_codec(value_codec)
     try:
         return _create_mesh_streaming_impl(
             latent, N, evaluator, safety, clamp_dist, voxel_size,
@@ -1577,7 +1601,7 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
     except ValueError:
         raise  # "surface level not in range" — real, caller-handled
     except Exception:
-        if os.environ.get("MSD_STREAM_HYBRID", "auto") == "off":
+        if os.environ.get("MSD_STREAM_HYBRID", "off") != "on":
             raise
         logging.exception(
             "streaming extraction failed with hybrid dispatch enabled; "
@@ -2077,7 +2101,7 @@ def create_mesh(
     clamp_dist: float = 0.1,
     sparse_safety: float = 1.3,
     evaluator: Optional[PointEvaluator] = None,
-    value_codec: str = "packed",
+    value_codec: str = "auto",
     eval_dtype=None,
 ):
     """Latent -> SDF grid -> marching tetrahedra -> .ply
@@ -2087,7 +2111,9 @@ def create_mesh(
 
     ``eval_dtype`` selects the fused-kernel matmul dtype (default bfloat16;
     pass jnp.float32 with ``value_codec="f16"`` for Chamfer-sensitive evals
-    that need the full-precision field)."""
+    that need the full-precision field). ``value_codec="auto"`` resolves by
+    host core count ("packed" multi-core, "int8" on 1-core hosts — see
+    PERF.md round-4 codec A/B); "packed"/"int8"/"f16" force a wire format."""
     start = time.time()
     if evaluator is None and jax.default_backend() == "tpu":
         evaluator = _cached_evaluator(decoder, params, dtype=eval_dtype)
