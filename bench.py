@@ -198,9 +198,12 @@ def main():
 
     # ---- training throughput ----
     steps_per_epoch = num_scenes // specs["ScenesPerBatch"]
-    trainer.train_epoch(1)  # warmup/compile
+    # warmup/compile the 10-epoch block program (train_epochs dispatches
+    # blocks of epochs as ONE jitted program — the per-epoch host RPCs
+    # through the relay otherwise put a ~40-60 ms floor under the step)
+    trainer.train_epochs(1, 11, block=10)
     t0 = time.time()
-    trainer.train_epochs(2, 12)  # pipelined: metrics fetches overlap compute
+    trainer.train_epochs(11, 21, block=10)
     train_steps = 10 * steps_per_epoch
     t_train = time.time() - t0
     train_qps = train_steps * points_per_step / t_train
@@ -215,9 +218,9 @@ def main():
     try:
         eik_specs = dict(specs, Description="bench-eik4096", EikonalNumPoints=4096)
         tr_eik = Stage1Trainer("/tmp/msd_bench_eik", specs=eik_specs, dataset=dataset)
-        tr_eik.train_epoch(1)  # warmup/compile
+        tr_eik.train_epochs(1, 11, block=10)  # warmup/compile the block program
         t0 = time.time()
-        tr_eik.train_epochs(2, 12)
+        tr_eik.train_epochs(11, 21, block=10)
         train_step_ms_eik = (time.time() - t0) / (10 * steps_per_epoch) * 1000.0
         del tr_eik
     except Exception as exc:
@@ -228,7 +231,7 @@ def main():
     # epochs is ~30 s at 73 ms/step. (Longer training does NOT shrink the
     # active-block set — the shell width is set by the Lipschitz refinement
     # threshold, not by field noise.)
-    means = trainer.train_epochs(12, 101)
+    means = trainer.train_epochs(21, 101, block=10)
     m = means[-1]
 
     latent = trainer.state["lat"][0]
@@ -268,10 +271,9 @@ def main():
             "/tmp/msd_bench_s2", specs=s2_specs, dataset=dataset,
             teacher_latents=np.asarray(trainer.state["lat"]),
         )
-        tr2.train_epoch(1)  # warmup/compile
+        tr2.train_epochs(1, 6, block=5)  # warmup/compile the block program
         t0 = time.time()
-        for e in range(2, 7):
-            tr2.train_epoch(e)
+        tr2.train_epochs(6, 11, block=5)
         stage2_step_ms = (time.time() - t0) / (5 * steps_per_epoch) * 1000.0
     except Exception as exc:
         print(f"stage2 bench skipped: {exc}", file=sys.stderr)

@@ -122,13 +122,15 @@ def main():
     }
     steps_per_epoch = args.scenes // args.scenes_per_batch
 
-    # warmup/compile both before any timing
+    # warmup/compile both before any timing (incl. the 5-epoch block
+    # program that the timed train_epochs calls dispatch)
     for t in trainers.values():
         t.train_epoch(1)
+        t.train_epochs(2, 7, block=5)
 
     # interleaved same-window step timing: 4 alternating blocks of 5 epochs
     times = {"full": 0.0, "sub": 0.0}
-    epochs_done = {"full": 1, "sub": 1}
+    epochs_done = {"full": 6, "sub": 6}
     timed_epochs = {"full": 0, "sub": 0}
     for _ in range(4):
         for name, tr in trainers.items():
@@ -141,7 +143,8 @@ def main():
     # finish training to args.epochs (untimed)
     for name, tr in trainers.items():
         if epochs_done[name] < args.epochs:
-            tr.train_epochs(epochs_done[name] + 1, args.epochs + 1)
+            # block=5 reuses the already-compiled 5-epoch block program
+            tr.train_epochs(epochs_done[name] + 1, args.epochs + 1, block=5)
             epochs_done[name] = args.epochs
 
     step_ms = {

@@ -237,6 +237,7 @@ class Stage1Trainer:
 
         self._writer = None
         self._epoch_fns = {}  # keyed on (batch_split, nb)
+        self._epoch_block_fns = {}  # keyed on (batch_split, nb, n_epochs)
 
     # ------------------------------------------------------------------
     def _apply_mesh_placement(self):
@@ -788,6 +789,143 @@ class Stage1Trainer:
         self.loss_log_epoch.append(mean["total"])
         return mean
 
+    # ------------------------------------------------------------------
+    def _get_epoch_block_fn(self, batch_split: int, nb: int, n_epochs: int):
+        """One jitted program for a BLOCK of n_epochs epochs: an outer
+        lax.scan over epochs of the per-epoch batch scan.
+
+        Through the axon relay every host-side device interaction is a
+        blocking RPC (measured ~25 ms D2H, ~25-40 ms per scalar device_put,
+        ~5 ms per dispatch on this host) — the per-epoch dispatch path makes
+        ~8 of them, a ~40-60 ms/epoch host floor that dominates once the
+        device step is fast (the stage-2 step sits entirely under it:
+        stage2_step_breakdown.json measured step(P) flat in P — 59.5 ms at
+        P=16384 vs 58.8 at P=4096 — against a 25.6 ms kernel). Batching E
+        epochs into one program divides every per-epoch RPC by E: one
+        schedule upload [E,3], one index upload [E,nb,B], one dispatch, one
+        packed [K,E,nb] metrics fetch."""
+        sig = (batch_split, nb, n_epochs)
+        if sig not in self._epoch_block_fns:
+            step = self._build_step(batch_split)
+            base_key = self.base_key
+
+            def block_fn(state, opt_state, pos, pc, neg, nc, idx_all, start_i, sched):
+                # idx_all [E, nb, B]; sched [E, 3] = (epoch_f, lr_net, lr_lat)
+                def epoch_body(carry, einp):
+                    st, opt = carry
+                    e_idx, idx_e, sched_e = einp
+
+                    def body(c, binp):
+                        st2, opt2 = c
+                        i, idx = binp
+                        # identical key stream to the per-epoch path:
+                        # fold_in(base_key, global_batch_idx), pre-incremented
+                        key = jax.random.fold_in(
+                            base_key, start_i + e_idx * nb + i + 1
+                        )
+                        st2, opt2, m = step(
+                            st2, opt2, pos, pc, neg, nc, idx, key,
+                            sched_e[0], sched_e[1], sched_e[2],
+                        )
+                        return (st2, opt2), m
+
+                    (st, opt), ms = jax.lax.scan(
+                        body, (st, opt), (jnp.arange(nb), idx_e)
+                    )
+                    lat_mag = jnp.mean(
+                        jnp.linalg.norm(st["lat"][: self.num_scenes], axis=1)
+                    )
+                    ms = dict(ms, lat_mag_post=jnp.broadcast_to(lat_mag, (nb,)))
+                    # per-epoch per-parameter weight norms, folded into the
+                    # packed metrics so train()'s param_mag_log keeps honest
+                    # per-epoch values without a device fetch per epoch
+                    # (ref: train_deep_sdf.py:202-208)
+                    flat = jax.tree_util.tree_flatten_with_path(st["net"])[0]
+                    for path, leaf in flat:
+                        name = ".".join(
+                            p.key if hasattr(p, "key") else str(p) for p in path
+                        )
+                        ms["pm_" + name] = jnp.broadcast_to(
+                            jnp.linalg.norm(leaf), (nb,)
+                        )
+                    return (st, opt), ms
+
+                (state, opt_state), ms = jax.lax.scan(
+                    epoch_body, (state, opt_state),
+                    (jnp.arange(n_epochs), idx_all, sched),
+                )
+                return state, opt_state, ms  # metrics [E, nb]
+
+            self._epoch_block_fns[sig] = jax.jit(block_fn, donate_argnums=(0, 1))
+        return self._epoch_block_fns[sig]
+
+    def _dispatch_epoch_block(self, epochs, batch_split: int, rng: np.random.Generator):
+        """Enqueue a block of epochs as ONE jitted program (see
+        _get_epoch_block_fn). LR schedules are evaluated host-side up front —
+        plateau schedules (which need each epoch's loss) are excluded by
+        train_epochs before this is called."""
+        E = len(epochs)
+        lrs = [
+            (
+                float(self.lr_schedules[0].get_learning_rate(e, self.loss_log_epoch)),
+                float(self.lr_schedules[1].get_learning_rate(e, self.loss_log_epoch)),
+            )
+            for e in epochs
+        ]
+        pos, pc, neg, nc = self.dataset.device_arrays()
+        nb = self.num_scenes // self.scene_per_batch
+        if nb == 0:
+            raise RuntimeError(
+                f"ScenesPerBatch={self.scene_per_batch} > num_scenes={self.num_scenes}"
+            )
+        idx_rows = []
+        for _ in epochs:
+            perm = rng.permutation(self.num_scenes)
+            idx = perm[: nb * self.scene_per_batch].reshape(nb, self.scene_per_batch)
+            if self.mesh is not None:
+                pad = self._batch_pad - self.scene_per_batch
+                if pad:
+                    idx = np.concatenate([idx, np.zeros((nb, pad), idx.dtype)], axis=1)
+            idx_rows.append(idx)
+        idx_all = np.stack(idx_rows)  # [E, nb, B]
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            idx_all = jax.device_put(
+                jnp.asarray(idx_all), NamedSharding(self.mesh, P(None, None, "data"))
+            )
+        else:
+            idx_all = jnp.asarray(idx_all)
+        sched = jnp.asarray(
+            np.array([[float(e), lr[0], lr[1]] for e, lr in zip(epochs, lrs)], np.float32)
+        )
+        block_fn = self._get_epoch_block_fn(batch_split, nb, E)
+        start_i = self.global_batch_idx
+        self.global_batch_idx += E * nb
+        self.state, self.opt_state, ms_dev = block_fn(
+            self.state, self.opt_state, pos, pc, neg, nc, idx_all,
+            jnp.int32(start_i), sched,
+        )
+        keys = sorted(ms_dev)
+        packed_dev = jnp.stack([jnp.asarray(ms_dev[k], jnp.float32) for k in keys])
+        for lr in lrs:
+            self.lr_log.append(list(lr))
+        return keys, packed_dev, nb, E
+
+    def _resolve_epoch_block(self, keys, packed_dev, nb, E):
+        """Fetch one dispatched block's packed metrics (ONE transfer) and
+        fold them into the logs; returns the per-epoch mean metric dicts."""
+        packed = np.asarray(packed_dev)  # [K, E, nb]
+        ti = keys.index("total")
+        means = []
+        for e in range(E):
+            for i in range(nb):
+                self.loss_log.append(float(packed[ti, e, i]))
+            mean = {k: float(np.mean(packed[j, e])) for j, k in enumerate(keys)}
+            self.loss_log_epoch.append(mean["total"])
+            means.append(mean)
+        return means
+
     def _lr_needs_epoch_loss(self) -> bool:
         """Plateau schedules read the previous epoch's loss -> no pipelining."""
         return any(
@@ -806,25 +944,34 @@ class Stage1Trainer:
         return self._resolve_epoch(*self._dispatch_epoch(epoch, batch_split, rng))
 
     def train_epochs(self, start_epoch: int, end_epoch: int, batch_split: int = 1,
-                     rng: np.random.Generator | None = None, max_in_flight: int = 2):
-        """Run epochs [start_epoch, end_epoch) PIPELINED: up to
-        ``max_in_flight`` epochs are enqueued before the oldest metrics
-        fetch resolves, hiding the ~28 ms relay round trip behind device
-        compute. Returns the list of mean metrics dicts (in epoch order).
+                     rng: np.random.Generator | None = None, max_in_flight: int = 2,
+                     block: int | None = None):
+        """Run epochs [start_epoch, end_epoch) in BLOCKS of ``block`` epochs
+        per dispatched program (default MSD_EPOCH_BLOCK, 8), pipelined up to
+        ``max_in_flight`` blocks deep. Blocking divides the per-epoch host
+        RPC cost (uploads/dispatch/metrics fetch through the relay) by the
+        block size — see _get_epoch_block_fn. Returns the list of per-epoch
+        mean metrics dicts (in epoch order).
 
-        Falls back to sequential execution when a plateau LR schedule is
-        active (its LR for epoch e+1 depends on epoch e's loss)."""
+        Falls back to sequential single-epoch execution when a plateau LR
+        schedule is active (its LR for epoch e+1 depends on epoch e's
+        loss)."""
         epochs = list(range(start_epoch, end_epoch))
         if self._lr_needs_epoch_loss():
             return [self.train_epoch(e, batch_split, rng) for e in epochs]
         rng = rng or np.random.default_rng(start_epoch)
+        if block is None:
+            block = max(1, int(os.environ.get("MSD_EPOCH_BLOCK", "8")))
         pending, means = [], []
-        for e in epochs:
-            pending.append(self._dispatch_epoch(e, batch_split, rng))
+        i = 0
+        while i < len(epochs):
+            n = min(block, len(epochs) - i)
+            pending.append(self._dispatch_epoch_block(epochs[i : i + n], batch_split, rng))
+            i += n
             if len(pending) >= max_in_flight:
-                means.append(self._resolve_epoch(*pending.pop(0)))
+                means.extend(self._resolve_epoch_block(*pending.pop(0)))
         while pending:
-            means.append(self._resolve_epoch(*pending.pop(0)))
+            means.extend(self._resolve_epoch_block(*pending.pop(0)))
         return means
 
     # ------------------------------------------------------------------
@@ -842,78 +989,129 @@ class Stage1Trainer:
         profile_epochs = set(get_spec_with_default(specs, "ProfileEpochs", []) or [])
         profile_dir = os.path.join(self.experiment_directory, ws.tb_logs_dir, "profile")
 
-        for epoch in range(start_epoch, num_epochs + 1):
+        # Non-plateau schedules run in epoch BLOCKS (one dispatched program
+        # per block, see _get_epoch_block_fn) between "event" epochs —
+        # checkpoints, log/eval frequencies, profile epochs — which must be
+        # a block's last epoch so their host-side work sees the right state.
+        # timing_log gets the block mean per epoch (still seconds/epoch).
+        use_blocks = not self._lr_needs_epoch_loss()
+        block_cap = max(1, int(os.environ.get("MSD_EPOCH_BLOCK", "8")))
+
+        def _is_event(e):
+            return (
+                e in self.checkpoints
+                or e % self.log_frequency == 0
+                or bool(eval_hooks and eval_train_frequency and e % eval_train_frequency == 0)
+                or bool(eval_hooks and eval_test_frequency and e % eval_test_frequency == 0)
+            )
+
+        epoch = start_epoch
+        while epoch <= num_epochs:
             t0 = time.time()
             self.epoch = epoch
             if epoch in profile_epochs:
                 with jax.profiler.trace(profile_dir):
-                    mean = self.train_epoch(epoch, batch_split=batch_split, rng=rng)
+                    means = [self.train_epoch(epoch, batch_split=batch_split, rng=rng)]
+            elif not use_blocks:
+                means = [self.train_epoch(epoch, batch_split=batch_split, rng=rng)]
             else:
-                mean = self.train_epoch(epoch, batch_split=batch_split, rng=rng)
-            seconds = time.time() - t0
-            self.timing_log.append(seconds)
+                end = epoch
+                while (
+                    end < num_epochs
+                    and end - epoch + 1 < block_cap
+                    and not _is_event(end)
+                    and (end + 1) not in profile_epochs
+                ):
+                    end += 1
+                means = self.train_epochs(
+                    epoch, end + 1, batch_split=batch_split, rng=rng,
+                    block=end - epoch + 1,
+                )
+            per_epoch_seconds = (time.time() - t0) / len(means)
 
-            lat_mag = mean.get("lat_mag_post")
-            if lat_mag is None:
-                lat_mag = float(np.mean(np.linalg.norm(self.latent_codes(), axis=1)))
-            self.lat_mag_log.append(lat_mag)
-            self._append_param_magnitudes()
-
-            logging.info(
-                "epoch %d loss=%.6f sdf=%.6f time=%.2fs", epoch, mean["total"], mean["sdf"], seconds
-            )
-            w = self.writer
-            w.add_scalar("Loss/train", mean["total"], epoch)
-            w.add_scalar("Loss/train_sdf", mean["sdf"], epoch)
-            w.add_scalar("Loss/train_reg", mean["reg"], epoch)
-            if self.use_eikonal:
-                w.add_scalar("Loss/train_eikonal", mean["eikonal"], epoch)
-            if self.use_covariance:
-                w.add_scalar("Loss/train_covariance", mean["covariance"], epoch)
-            if self.use_gmm_prior:
-                w.add_scalar("Loss/train_gmm", mean["gmm"], epoch)
-                w.add_scalar("Loss/train_gmm_nll", mean["gmm_nll"], epoch)
-                w.add_scalar("Loss/train_gmm_entropy", mean["gmm_entropy"], epoch)
-            if self.use_isometry:
-                w.add_scalar("Loss/train_isometry", mean["iso"], epoch)
-                w.add_scalar("Loss/train_isometry_G1", mean["iso_g1"], epoch)
-                w.add_scalar("Loss/train_isometry_G2", mean["iso_g2"], epoch)
-            if self.use_grad_metric_iso:
-                w.add_scalar("Loss/train_grad_metric_iso", mean["grad_metric_iso"], epoch)
-            w.add_scalar("Learning Rate/Params", self.lr_log[-1][0], epoch)
-            w.add_scalar("Learning Rate/Latent", self.lr_log[-1][1], epoch)
-            w.add_scalar("Mean Latent Magnitude/train", lat_mag, epoch)
-            w.add_scalar("Time/epoch (min)", seconds / 60, epoch)
-            # per-parameter weight norms + aggregate grad norm
-            # (ref: train_deep_sdf.py:877-888)
-            for name, mag in self._param_magnitudes().items():
-                w.add_scalar(f"WeightsNorm/{name}", mag, epoch)
-            if "net_grad_norm" in mean:
-                w.add_scalar("GradsNorm/allNetParams.grad", mean["net_grad_norm"], epoch)
-
-            if epoch in self.checkpoints:
-                self.save_checkpoint(str(epoch))
-            if epoch % self.log_frequency == 0:
-                self.save_checkpoint("latest")
-                self.save_logs()
-
-            if eval_hooks:
-                if eval_train_frequency and epoch % eval_train_frequency == 0:
-                    self._eval_train(epoch)
-                if eval_test_frequency and epoch % eval_test_frequency == 0:
-                    self._eval_test(epoch)
-            w.flush()
+            lrs = self.lr_log[-len(means):]  # one entry per dispatched epoch
+            for off, mean in enumerate(means):
+                self.epoch = epoch + off
+                self._post_epoch(
+                    epoch + off, mean, per_epoch_seconds, lrs[off], eval_hooks,
+                    eval_train_frequency, eval_test_frequency,
+                )
+            epoch += len(means)
 
         self.save_checkpoint("latest")
         self.save_logs()
 
+    def _post_epoch(self, epoch, mean, seconds, lr_pair, eval_hooks,
+                    eval_train_frequency, eval_test_frequency):
+        """Per-epoch bookkeeping after training: logs, TensorBoard scalars,
+        checkpoints, eval hooks (ref: train_deep_sdf.py:834-956)."""
+        self.timing_log.append(seconds)
+
+        lat_mag = mean.get("lat_mag_post")
+        if lat_mag is None:
+            lat_mag = float(np.mean(np.linalg.norm(self.latent_codes(), axis=1)))
+        self.lat_mag_log.append(lat_mag)
+        self._append_param_magnitudes(mean)
+
+        logging.info(
+            "epoch %d loss=%.6f sdf=%.6f time=%.2fs", epoch, mean["total"], mean["sdf"], seconds
+        )
+        w = self.writer
+        w.add_scalar("Loss/train", mean["total"], epoch)
+        w.add_scalar("Loss/train_sdf", mean["sdf"], epoch)
+        w.add_scalar("Loss/train_reg", mean["reg"], epoch)
+        if self.use_eikonal:
+            w.add_scalar("Loss/train_eikonal", mean["eikonal"], epoch)
+        if self.use_covariance:
+            w.add_scalar("Loss/train_covariance", mean["covariance"], epoch)
+        if self.use_gmm_prior:
+            w.add_scalar("Loss/train_gmm", mean["gmm"], epoch)
+            w.add_scalar("Loss/train_gmm_nll", mean["gmm_nll"], epoch)
+            w.add_scalar("Loss/train_gmm_entropy", mean["gmm_entropy"], epoch)
+        if self.use_isometry:
+            w.add_scalar("Loss/train_isometry", mean["iso"], epoch)
+            w.add_scalar("Loss/train_isometry_G1", mean["iso_g1"], epoch)
+            w.add_scalar("Loss/train_isometry_G2", mean["iso_g2"], epoch)
+        if self.use_grad_metric_iso:
+            w.add_scalar("Loss/train_grad_metric_iso", mean["grad_metric_iso"], epoch)
+        w.add_scalar("Learning Rate/Params", lr_pair[0], epoch)
+        w.add_scalar("Learning Rate/Latent", lr_pair[1], epoch)
+        w.add_scalar("Mean Latent Magnitude/train", lat_mag, epoch)
+        w.add_scalar("Time/epoch (min)", seconds / 60, epoch)
+        # per-parameter weight norms + aggregate grad norm
+        # (ref: train_deep_sdf.py:877-888)
+        for name, mag in self._param_magnitudes(mean).items():
+            w.add_scalar(f"WeightsNorm/{name}", mag, epoch)
+        if "net_grad_norm" in mean:
+            w.add_scalar("GradsNorm/allNetParams.grad", mean["net_grad_norm"], epoch)
+
+        if epoch in self.checkpoints:
+            self.save_checkpoint(str(epoch))
+        if epoch % self.log_frequency == 0:
+            self.save_checkpoint("latest")
+            self.save_logs()
+
+        if eval_hooks:
+            if eval_train_frequency and epoch % eval_train_frequency == 0:
+                self._eval_train(epoch)
+            if eval_test_frequency and epoch % eval_test_frequency == 0:
+                self._eval_test(epoch)
+        w.flush()
+
     # ------------------------------------------------------------------
-    def _append_param_magnitudes(self):
-        """Per-parameter weight norms history (ref: train_deep_sdf.py:202-208)."""
-        for name, mag in self._param_magnitudes().items():
+    def _append_param_magnitudes(self, mean=None):
+        """Per-parameter weight norms history (ref: train_deep_sdf.py:202-208).
+
+        When the epoch's metrics dict carries pm_* entries (epoch-block
+        dispatch folds per-epoch norms into the packed metrics), use those
+        instead of a device fetch."""
+        for name, mag in self._param_magnitudes(mean).items():
             self.param_mag_log.setdefault(name, []).append(mag)
 
-    def _param_magnitudes(self):
+    def _param_magnitudes(self, mean=None):
+        if mean is not None and any(k.startswith("pm_") for k in mean):
+            # epoch-block metrics carry this epoch's norms already — no fetch
+            return {k[3:]: v for k, v in mean.items() if k.startswith("pm_")}
         flat = jax.tree_util.tree_flatten_with_path(self.state["net"])[0]
         names = [
             ".".join(p.key if hasattr(p, "key") else str(p) for p in path)

@@ -370,6 +370,8 @@ class Stage2Trainer:
         self.epoch = 0
         self._writer = None
         self._epoch_fns = {}  # keyed on batch_split
+        self._epoch_block_fns = {}  # keyed on (batch_split, nb, n_epochs)
+        self._static_dev_inputs = None  # cached (teacher, surface, frozen_sdf)
         self.last_train_sap = None
         self.last_holdout_sap = None
         self.last_eval_metrics = None
@@ -801,6 +803,26 @@ class Stage2Trainer:
         )
 
     # ------------------------------------------------------------------
+    def _epoch_static_inputs(self):
+        """(teacher, surface, frozen_sdf) device arrays, cached — these are
+        constant across training, and re-uploading them per epoch costs
+        blocking relay RPCs (see Stage1Trainer._get_epoch_block_fn)."""
+        if self._static_dev_inputs is None:
+            teacher = jnp.asarray(self.teacher_latents)
+            if self.vae_input_mode == "points":
+                surface = jnp.asarray(self.dataset.surface_points, jnp.float32)
+            else:
+                surface = jnp.zeros((1, 1, 3), jnp.float32)  # unused placeholder
+            # When the SDF decoder trains, loss_fn reads trainable["sdf"] and
+            # frozen_sdf is unused — pass a scalar placeholder rather than
+            # aliasing the donated state buffers (donation would invalidate
+            # them).
+            frozen_sdf = (
+                self.sdf_params_frozen if not self.train_sdf_decoder else jnp.zeros(())
+            )
+            self._static_dev_inputs = (teacher, surface, frozen_sdf)
+        return self._static_dev_inputs
+
     def _dispatch_epoch(self, epoch: int, batch_split: int, rng: np.random.Generator):
         """Enqueue one epoch (ONE jitted scan) and return the un-fetched
         packed metrics; no host sync here (jax dispatch is async)."""
@@ -827,15 +849,7 @@ class Stage2Trainer:
         self._last_lr_vae = lr_vae
 
         pos, pc, neg, nc = self.dataset.device_arrays()
-        teacher = jnp.asarray(self.teacher_latents)
-        if self.vae_input_mode == "points":
-            surface = jnp.asarray(self.dataset.surface_points, jnp.float32)
-        else:
-            surface = jnp.zeros((1, 1, 3), jnp.float32)  # unused placeholder
-        # When the SDF decoder trains, loss_fn reads trainable["sdf"] and
-        # frozen_sdf is unused — pass a scalar placeholder rather than
-        # aliasing the donated state buffers (donation would invalidate them).
-        frozen_sdf = self.sdf_params_frozen if not self.train_sdf_decoder else jnp.zeros(())
+        teacher, surface, frozen_sdf = self._epoch_static_inputs()
         train_idx = self.train_indices
         perm = rng.permutation(len(train_idx))
         nb = len(train_idx) // self.scene_per_batch
@@ -884,29 +898,166 @@ class Stage2Trainer:
         self.loss_log_epoch.append(mean["total"])
         return mean
 
+    # ------------------------------------------------------------------
+    def _get_epoch_block_fn(self, batch_split: int, nb: int, n_epochs: int):
+        """One jitted program for a BLOCK of n_epochs epochs (outer lax.scan
+        over epochs of the per-epoch batch scan). Rationale and RPC-cost
+        arithmetic: Stage1Trainer._get_epoch_block_fn. For stage-2 the win is
+        decisive: stage2_step_breakdown.json measured the per-epoch host
+        dispatch path at ~58 ms/step — flat in the point count — over a
+        25.6 ms device kernel, i.e. the step was entirely host-bound."""
+        sig = (batch_split, nb, n_epochs)
+        if sig not in self._epoch_block_fns:
+            step = self._build_step(batch_split)
+            base_key = self.base_key
+
+            def block_fn(state, opt_state, frozen_sdf, teacher, surface, pos, pc, neg, nc,
+                         sel_blk, lab_blk, sched):
+                # sel_blk [E, nb, B] i32; lab_blk [E, 4, nb, B] f32 rows =
+                # (label_values, label_valid, age_values, age_valid);
+                # sched [E, 5] = (epoch, kl_w, code_reg_w, lr_vae, lr_sdf)
+                def epoch_body(carry, einp):
+                    st, opt = carry
+                    sel_e, lab_e, sched_e = einp
+                    epoch_i = sched_e[0].astype(jnp.int32)
+
+                    def body(c, binp):
+                        st2, opt2 = c
+                        i, sel, lv, valid, av, avalid = binp
+                        # identical key stream to the per-epoch path
+                        key = jax.random.fold_in(base_key, epoch_i * 100003 + i)
+                        st2, opt2, aux = step(
+                            st2, opt2, frozen_sdf, teacher, surface, pos, pc, neg, nc,
+                            sel, lv, valid, av, avalid, key,
+                            sched_e[1], sched_e[2], sched_e[3], sched_e[4],
+                        )
+                        return (st2, opt2), aux
+
+                    (st, opt), ms = jax.lax.scan(
+                        body, (st, opt),
+                        (jnp.arange(nb), sel_e, lab_e[0], lab_e[1].astype(bool),
+                         lab_e[2], lab_e[3].astype(bool)),
+                    )
+                    return (st, opt), ms
+
+                (state, opt_state), ms = jax.lax.scan(
+                    epoch_body, (state, opt_state), (sel_blk, lab_blk, sched)
+                )
+                return state, opt_state, ms  # metrics [E, nb]
+
+            self._epoch_block_fns[sig] = jax.jit(block_fn, donate_argnums=(0, 1))
+        return self._epoch_block_fns[sig]
+
+    def _dispatch_epoch_block(self, epochs, batch_split: int, rng: np.random.Generator):
+        """Enqueue a block of epochs as ONE jitted program: one i32 upload
+        (scene selections), one f32 upload (labels/valids), one schedule
+        upload, one dispatch, one packed metrics fetch. Plateau LR schedules
+        are excluded by train_epochs before this is called."""
+        E = len(epochs)
+        sched_rows = []
+        for e in epochs:
+            lr_vae = float(self.lr_schedules[0].get_learning_rate(e, self.loss_log_epoch))
+            lr_sdf = float(
+                (self.lr_schedules[1] if len(self.lr_schedules) > 1 else self.lr_schedules[0])
+                .get_learning_rate(e, self.loss_log_epoch)
+            )
+            if self.use_kl:
+                kl_weight = self.vae_kl_weight * vl.linear_warmup(e, self.vae_kl_warmup_epochs)
+            else:
+                kl_weight = 0.0
+            if self.do_code_regularization:
+                code_reg_weight = (
+                    1.0 if self.code_reg_warmup_epochs <= 0
+                    else min(1.0, e / float(self.code_reg_warmup_epochs))
+                )
+            else:
+                code_reg_weight = 0.0
+            sched_rows.append([float(e), kl_weight, code_reg_weight, lr_vae, lr_sdf])
+        # eval blocks reuse the last trained epoch's weights (ref: :3395-3401)
+        self._last_kl_weight = sched_rows[-1][1]
+        self._last_code_reg_weight = sched_rows[-1][2]
+        self._last_lr_vae = sched_rows[-1][3]
+
+        pos, pc, neg, nc = self.dataset.device_arrays()
+        teacher, surface, frozen_sdf = self._epoch_static_inputs()
+        train_idx = self.train_indices
+        nb = len(train_idx) // self.scene_per_batch
+        if nb == 0:
+            raise RuntimeError("ScenesPerBatch larger than (non-holdout) train set")
+        sel_blk = np.empty((E, nb, self.scene_per_batch), np.int64)
+        lab_blk = np.empty((E, 4, nb, self.scene_per_batch), np.float32)
+        for eidx in range(E):
+            perm = rng.permutation(len(train_idx))
+            for bidx in range(nb):
+                sel = train_idx[perm[bidx * self.scene_per_batch : (bidx + 1) * self.scene_per_batch]]
+                lv, valid, av, avalid = self._batch_labels(sel, rng)
+                sel_blk[eidx, bidx] = sel
+                lab_blk[eidx, :, bidx] = np.stack([lv, valid, av, avalid]).astype(np.float32)
+        arrays = [jnp.asarray(sel_blk), jnp.asarray(lab_blk)]
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if "data" in str(self._batch_sharding.spec):
+                specs = [P(None, None, "data"), P(None, None, None, "data")]
+            else:
+                specs = [P(), P()]
+            arrays = [
+                jax.device_put(a, NamedSharding(self.mesh, s))
+                for a, s in zip(arrays, specs)
+            ]
+        sched = jnp.asarray(np.array(sched_rows, np.float32))
+        block_fn = self._get_epoch_block_fn(batch_split, nb, E)
+        self.state, self.opt_state, ms_dev = block_fn(
+            self.state, self.opt_state, frozen_sdf, teacher, surface, pos, pc, neg, nc,
+            arrays[0], arrays[1], sched,
+        )
+        keys = sorted(ms_dev)
+        packed_dev = jnp.stack([jnp.asarray(ms_dev[k], jnp.float32) for k in keys])
+        return keys, packed_dev, nb, E
+
+    def _resolve_epoch_block(self, keys, packed_dev, nb, E):
+        packed = np.asarray(packed_dev)  # ONE packed host sync per block
+        ti = keys.index("total")
+        means = []
+        for e in range(E):
+            for i in range(nb):
+                self.loss_log.append(float(packed[ti, e, i]))
+            mean = {k: float(np.mean(packed[j, e])) for j, k in enumerate(keys)}
+            self.loss_log_epoch.append(mean["total"])
+            means.append(mean)
+        return means
+
     def train_epoch(self, epoch: int, batch_split: int = 1, rng: np.random.Generator | None = None):
         rng = rng or np.random.default_rng(epoch)
         return self._resolve_epoch(*self._dispatch_epoch(epoch, batch_split, rng))
 
     def train_epochs(self, start_epoch: int, end_epoch: int, batch_split: int = 1,
-                     rng: np.random.Generator | None = None, max_in_flight: int = 2):
-        """Pipelined epochs: up to ``max_in_flight`` in the device queue
-        before the oldest metrics fetch resolves (hides the relay round
-        trip). Falls back to sequential when a plateau LR schedule is
-        active (it reads the previous epoch's loss)."""
+                     rng: np.random.Generator | None = None, max_in_flight: int = 2,
+                     block: int | None = None):
+        """Epochs in BLOCKS of ``block`` per dispatched program (default
+        MSD_EPOCH_BLOCK, 8), pipelined ``max_in_flight`` blocks deep —
+        blocking divides the per-epoch host RPC cost by the block size (see
+        _get_epoch_block_fn). Falls back to sequential single epochs when a
+        plateau LR schedule is active (it reads the previous epoch's
+        loss)."""
         from msd_tpu.lr_schedules import StepLearningRateOnPlateauSchedule
 
         epochs = list(range(start_epoch, end_epoch))
         if any(isinstance(s, StepLearningRateOnPlateauSchedule) for s in self.lr_schedules):
             return [self.train_epoch(e, batch_split, rng) for e in epochs]
         rng = rng or np.random.default_rng(start_epoch)
+        if block is None:
+            block = max(1, int(os.environ.get("MSD_EPOCH_BLOCK", "8")))
         pending, means = [], []
-        for e in epochs:
-            pending.append(self._dispatch_epoch(e, batch_split, rng))
+        i = 0
+        while i < len(epochs):
+            n = min(block, len(epochs) - i)
+            pending.append(self._dispatch_epoch_block(epochs[i : i + n], batch_split, rng))
+            i += n
             if len(pending) >= max_in_flight:
-                means.append(self._resolve_epoch(*pending.pop(0)))
+                means.extend(self._resolve_epoch_block(*pending.pop(0)))
         while pending:
-            means.append(self._resolve_epoch(*pending.pop(0)))
+            means.extend(self._resolve_epoch_block(*pending.pop(0)))
         return means
 
     # ------------------------------------------------------------------
@@ -1023,6 +1174,7 @@ class Stage2Trainer:
             self.state["sdf"] = sdf_params
         else:
             self.sdf_params_frozen = sdf_params
+        self._static_dev_inputs = None  # frozen params may have changed
         try:
             self.opt_state, _ = ckpt.load_optimizer(
                 self.experiment_directory, continue_from + ".pth", adam_init(self.state)
@@ -1121,36 +1273,87 @@ class Stage2Trainer:
     def train(self, start_epoch: int = 1, num_epochs: int | None = None, batch_split: int = 1):
         num_epochs = num_epochs or self.num_epochs
         rng = np.random.default_rng(get_spec_with_default(self.specs, "Seed", 0) + start_epoch)
-        for epoch in range(start_epoch, num_epochs + 1):
+
+        # Non-plateau schedules run in epoch BLOCKS (one dispatched program
+        # per block, Stage1Trainer._get_epoch_block_fn rationale). Any epoch
+        # that triggers host-side work — checkpoints, log saves, any
+        # *Frequency-gated eval inside _run_evals — must be a block's LAST
+        # epoch; every spec key ending in "Frequency" is treated as an event
+        # cadence so new eval gates can never be silently skipped.
+        from msd_tpu.lr_schedules import StepLearningRateOnPlateauSchedule
+
+        use_blocks = not any(
+            isinstance(s, StepLearningRateOnPlateauSchedule) for s in self.lr_schedules
+        )
+        block_cap = max(1, int(os.environ.get("MSD_EPOCH_BLOCK", "8")))
+        freqs = sorted(
+            {
+                int(v)
+                for k, v in self.specs.items()
+                if k.endswith("Frequency") and isinstance(v, (int, float)) and int(v) > 0
+            }
+            | {self.log_frequency}
+        )
+
+        def _is_event(e):
+            return e in self.checkpoints or any(e % f == 0 for f in freqs)
+
+        epoch = start_epoch
+        while epoch <= num_epochs:
             t0 = time.time()
             self.epoch = epoch
-            mean = self.train_epoch(epoch, batch_split=batch_split, rng=rng)
-            seconds = time.time() - t0
-            self._append_epoch_logs(mean, getattr(self, "_last_lr_vae", 0.0), seconds)
-            logging.info(
-                "epoch %d total=%.6f vae_recon=%.6f sdf=%.6f time=%.2fs",
-                epoch, mean["total"], mean["vae_recon"], mean["sdf"], seconds,
-            )
-            w = self.writer
-            w.add_scalar("Loss/train", mean["total"], epoch)
-            w.add_scalar("Loss/train_sdf", mean["sdf"], epoch)
-            w.add_scalar("Loss/train_sdf_reg", mean["sdf_reg"], epoch)
-            w.add_scalar("Loss/vae_recon", mean["vae_recon"], epoch)
-            w.add_scalar("Loss/vae_kl", mean["vae_kl"], epoch)
-            w.add_scalar("Mean Latent Magnitude/vae_mu", mean["vae_lat_mag"], epoch)
-            for k in ("snnl", "snnl_age", "attr", "cov", "corr_leak", "age_corr_leak",
-                      "cross_cov", "rank", "matchstd", "sens", "dip"):
-                if k in mean:
-                    w.add_scalar(f"Loss/{k}", mean[k], epoch)
-            if epoch in self.checkpoints:
-                self.save_checkpoint(str(epoch))
-            if epoch % self.log_frequency == 0:
-                self.save_checkpoint("latest")
-                self.save_logs()
-            self._run_evals(epoch)
-            w.flush()
+            lr_override = None
+            if not use_blocks:
+                means = [self.train_epoch(epoch, batch_split=batch_split, rng=rng)]
+                # plateau schedules are stateful — reuse the LR the dispatch
+                # computed rather than re-evaluating the schedule
+                lr_override = getattr(self, "_last_lr_vae", 0.0)
+            else:
+                end = epoch
+                while end < num_epochs and end - epoch + 1 < block_cap and not _is_event(end):
+                    end += 1
+                means = self.train_epochs(
+                    epoch, end + 1, batch_split=batch_split, rng=rng,
+                    block=end - epoch + 1,
+                )
+            per_epoch_seconds = (time.time() - t0) / len(means)
+            for off, mean in enumerate(means):
+                self._post_epoch(epoch + off, mean, per_epoch_seconds, lr_override)
+            epoch += len(means)
         self.save_checkpoint("latest")
         self.save_logs()
+
+    def _post_epoch(self, epoch, mean, seconds, lr_vae=None):
+        """Per-epoch bookkeeping: logs, TensorBoard scalars, checkpoints and
+        eval blocks (ref: train_MLP_VAE_deep_sdf.py:3319-3913)."""
+        self.epoch = epoch
+        if lr_vae is None:
+            # blocked path: non-plateau schedules only, whose LR is a pure
+            # stateless function of the epoch
+            lr_vae = float(self.lr_schedules[0].get_learning_rate(epoch, self.loss_log_epoch))
+        self._append_epoch_logs(mean, lr_vae, seconds)
+        logging.info(
+            "epoch %d total=%.6f vae_recon=%.6f sdf=%.6f time=%.2fs",
+            epoch, mean["total"], mean["vae_recon"], mean["sdf"], seconds,
+        )
+        w = self.writer
+        w.add_scalar("Loss/train", mean["total"], epoch)
+        w.add_scalar("Loss/train_sdf", mean["sdf"], epoch)
+        w.add_scalar("Loss/train_sdf_reg", mean["sdf_reg"], epoch)
+        w.add_scalar("Loss/vae_recon", mean["vae_recon"], epoch)
+        w.add_scalar("Loss/vae_kl", mean["vae_kl"], epoch)
+        w.add_scalar("Mean Latent Magnitude/vae_mu", mean["vae_lat_mag"], epoch)
+        for k in ("snnl", "snnl_age", "attr", "cov", "corr_leak", "age_corr_leak",
+                  "cross_cov", "rank", "matchstd", "sens", "dip"):
+            if k in mean:
+                w.add_scalar(f"Loss/{k}", mean[k], epoch)
+        if epoch in self.checkpoints:
+            self.save_checkpoint(str(epoch))
+        if epoch % self.log_frequency == 0:
+            self.save_checkpoint("latest")
+            self.save_logs()
+        self._run_evals(epoch)
+        w.flush()
 
     def _eval_scene_selection(self, key: str, pool, default: int = 0):
         """Stable random subset of a scene pool, sized by a *SceneNumber spec
