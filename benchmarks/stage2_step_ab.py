@@ -10,7 +10,9 @@ one process with interleaved timed blocks so relay drift cannot masquerade
 as a win: trainer A is the stock frozen-decoder config, trainer B is the
 same config with ``make_fused_sdf_l1`` forced back to ``train_net=True``
 (the round-3 behavior — gradients are computed and discarded; the optimizer
-and loss are identical, so the loss trajectories must match exactly).
+and loss are identical, so the loss trajectories must agree to bf16
+accumulation-order noise — the two modes auto-select different point tiles
+since the round-4 tile tuning, so bitwise equality no longer holds).
 
 Prints one JSON line {frozen_ms, full_kernel_ms, speedup, loss_delta}.
 """

@@ -642,9 +642,19 @@ def _fused_point_grads_core(
             c = c + lat_rows @ parts[l]["Wz"]
         consts.append(c)
 
+    # Points-per-tile by FLOP mix (same-window kernel-only scans, round 4):
+    # the eikonal kernel's ~4.5 matmul sweeps already keep the MXU at ~78%
+    # util at tile 256 (512/1024 measured neutral-to-worse, and coarser
+    # tiles coarsen the EikonalNumPoints tile-prefix rounding); the
+    # no-eikonal (stage-2 SDF-consistency) kernel has fewer sweeps per tile
+    # and wins from longer tiles — frozen 25.9 -> 21.7 ms at 1024, full
+    # 34.7 -> 31.4 ms at 512 (1024 regresses: the wgrad outer products'
+    # scratch occupancy). build_fused_train falls back to the 128 lane tile
+    # whenever P isn't tile-divisible.
+    tile = 256 if use_eikonal else (512 if want_net_grads else 1024)
     fused = build_fused_train(
         decoder, B, P, clamp_dist, num_total, use_eikonal, eik_weight, dtype, interpret,
-        eik_points=eik_points, want_wgrad=want_net_grads,
+        tile=tile, eik_points=eik_points, want_wgrad=want_net_grads,
         weighted=weighted, eik_scenes=eik_scenes,
     )
     l1_sum, eik_sum, dparts, dconsts = fused(parts, consts, xyz_t, gt_t)
