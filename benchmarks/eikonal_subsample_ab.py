@@ -136,7 +136,10 @@ def main():
         for name, tr in trainers.items():
             e0 = epochs_done[name] + 1
             t0 = time.time()
-            tr.train_epochs(e0, e0 + 5)
+            # block=5 pinned: the warmup compiled exactly this program, and
+            # a smaller MSD_EPOCH_BLOCK env default would otherwise compile
+            # fresh programs inside the timed window
+            tr.train_epochs(e0, e0 + 5, block=5)
             times[name] += time.time() - t0
             epochs_done[name] = e0 + 4
             timed_epochs[name] += 5

@@ -344,8 +344,11 @@ def build_fused_train(
 
     plan, latent_li, L, nl = _layer_plan(decoder)
     S, P = batch_scenes, points_per_scene
-    if P % tile:
-        tile = TILE
+    # step down through divisible tiles (1024 -> 512 -> 256 -> 128) rather
+    # than jumping straight to the 128 lane tile: auto-selected large tiles
+    # must not regress small-P configs below the old 256 default
+    while tile > TILE and P % tile:
+        tile //= 2
     n = S * P
     tps = P // tile
     n_tiles = n // tile

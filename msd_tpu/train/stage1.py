@@ -912,20 +912,6 @@ class Stage1Trainer:
             self.lr_log.append(list(lr))
         return keys, packed_dev, nb, E
 
-    def _resolve_epoch_block(self, keys, packed_dev, nb, E):
-        """Fetch one dispatched block's packed metrics (ONE transfer) and
-        fold them into the logs; returns the per-epoch mean metric dicts."""
-        packed = np.asarray(packed_dev)  # [K, E, nb]
-        ti = keys.index("total")
-        means = []
-        for e in range(E):
-            for i in range(nb):
-                self.loss_log.append(float(packed[ti, e, i]))
-            mean = {k: float(np.mean(packed[j, e])) for j, k in enumerate(keys)}
-            self.loss_log_epoch.append(mean["total"])
-            means.append(mean)
-        return means
-
     def _lr_needs_epoch_loss(self) -> bool:
         """Plateau schedules read the previous epoch's loss -> no pipelining."""
         return any(
@@ -956,23 +942,15 @@ class Stage1Trainer:
         Falls back to sequential single-epoch execution when a plateau LR
         schedule is active (its LR for epoch e+1 depends on epoch e's
         loss)."""
+        from msd_tpu.train import epoch_blocks
+
         epochs = list(range(start_epoch, end_epoch))
         if self._lr_needs_epoch_loss():
             return [self.train_epoch(e, batch_split, rng) for e in epochs]
         rng = rng or np.random.default_rng(start_epoch)
-        if block is None:
-            block = max(1, int(os.environ.get("MSD_EPOCH_BLOCK", "8")))
-        pending, means = [], []
-        i = 0
-        while i < len(epochs):
-            n = min(block, len(epochs) - i)
-            pending.append(self._dispatch_epoch_block(epochs[i : i + n], batch_split, rng))
-            i += n
-            if len(pending) >= max_in_flight:
-                means.extend(self._resolve_epoch_block(*pending.pop(0)))
-        while pending:
-            means.extend(self._resolve_epoch_block(*pending.pop(0)))
-        return means
+        return epoch_blocks.run_blocked_epochs(
+            self, epochs, batch_split, rng, max_in_flight, block
+        )
 
     # ------------------------------------------------------------------
     def train(self, start_epoch: int = 1, num_epochs: int | None = None, batch_split: int = 1, eval_hooks=True):
@@ -994,8 +972,10 @@ class Stage1Trainer:
         # checkpoints, log/eval frequencies, profile epochs — which must be
         # a block's last epoch so their host-side work sees the right state.
         # timing_log gets the block mean per epoch (still seconds/epoch).
+        from msd_tpu.train.epoch_blocks import block_cap as _block_cap
+
         use_blocks = not self._lr_needs_epoch_loss()
-        block_cap = max(1, int(os.environ.get("MSD_EPOCH_BLOCK", "8")))
+        block_cap = _block_cap()
 
         def _is_event(e):
             return (

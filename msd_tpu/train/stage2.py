@@ -1015,18 +1015,6 @@ class Stage2Trainer:
         packed_dev = jnp.stack([jnp.asarray(ms_dev[k], jnp.float32) for k in keys])
         return keys, packed_dev, nb, E
 
-    def _resolve_epoch_block(self, keys, packed_dev, nb, E):
-        packed = np.asarray(packed_dev)  # ONE packed host sync per block
-        ti = keys.index("total")
-        means = []
-        for e in range(E):
-            for i in range(nb):
-                self.loss_log.append(float(packed[ti, e, i]))
-            mean = {k: float(np.mean(packed[j, e])) for j, k in enumerate(keys)}
-            self.loss_log_epoch.append(mean["total"])
-            means.append(mean)
-        return means
-
     def train_epoch(self, epoch: int, batch_split: int = 1, rng: np.random.Generator | None = None):
         rng = rng or np.random.default_rng(epoch)
         return self._resolve_epoch(*self._dispatch_epoch(epoch, batch_split, rng))
@@ -1042,23 +1030,15 @@ class Stage2Trainer:
         loss)."""
         from msd_tpu.lr_schedules import StepLearningRateOnPlateauSchedule
 
+        from msd_tpu.train import epoch_blocks
+
         epochs = list(range(start_epoch, end_epoch))
         if any(isinstance(s, StepLearningRateOnPlateauSchedule) for s in self.lr_schedules):
             return [self.train_epoch(e, batch_split, rng) for e in epochs]
         rng = rng or np.random.default_rng(start_epoch)
-        if block is None:
-            block = max(1, int(os.environ.get("MSD_EPOCH_BLOCK", "8")))
-        pending, means = [], []
-        i = 0
-        while i < len(epochs):
-            n = min(block, len(epochs) - i)
-            pending.append(self._dispatch_epoch_block(epochs[i : i + n], batch_split, rng))
-            i += n
-            if len(pending) >= max_in_flight:
-                means.extend(self._resolve_epoch_block(*pending.pop(0)))
-        while pending:
-            means.extend(self._resolve_epoch_block(*pending.pop(0)))
-        return means
+        return epoch_blocks.run_blocked_epochs(
+            self, epochs, batch_split, rng, max_in_flight, block
+        )
 
     # ------------------------------------------------------------------
     def compute_vae_latents(self, inputs=None, batch_size: int = 1024) -> np.ndarray:
@@ -1282,10 +1262,12 @@ class Stage2Trainer:
         # cadence so new eval gates can never be silently skipped.
         from msd_tpu.lr_schedules import StepLearningRateOnPlateauSchedule
 
+        from msd_tpu.train.epoch_blocks import block_cap as _block_cap
+
         use_blocks = not any(
             isinstance(s, StepLearningRateOnPlateauSchedule) for s in self.lr_schedules
         )
-        block_cap = max(1, int(os.environ.get("MSD_EPOCH_BLOCK", "8")))
+        block_cap = _block_cap()
         freqs = sorted(
             {
                 int(v)

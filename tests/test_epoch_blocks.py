@@ -67,6 +67,37 @@ def test_stage2_block_matches_sequential(tmp_path):
     assert ta._last_code_reg_weight == tb._last_code_reg_weight
 
 
+def test_stage1_train_blocked_checkpoints_match_sequential(tmp_path):
+    """train()'s event-boundary chunking must make every checkpoint epoch a
+    block's LAST epoch: the state persisted under ModelParameters/<E>.pth by
+    the blocked loop must equal the state a per-epoch loop persists there.
+    (A mid-block event would silently checkpoint future-epoch weights.)"""
+    import torch
+
+    # SnapshotFrequency=3 + LogFrequency=4 put events at 3, 4, 6, 8 — none
+    # aligned with the default block cap, so blocks of 3/1/2/2 are exercised
+    over = dict(NumEpochs=8, SnapshotFrequency=3, AdditionalSnapshots=[], LogFrequency=4)
+    exp_a, _ = _specs(tmp_path / "a", **over)
+    exp_b, _ = _specs(tmp_path / "b", **over)
+    ta, tb = Stage1Trainer(exp_a), Stage1Trainer(exp_b)
+    # force the per-epoch path in the oracle (plateau-style fallback)
+    tb._lr_needs_epoch_loss = lambda: True
+    ta.train(eval_hooks=False)
+    tb.train(eval_hooks=False)
+    for name in ("3", "6", "latest"):
+        sa = torch.load(f"{exp_a}/ModelParameters/{name}.pth", weights_only=False)
+        sb = torch.load(f"{exp_b}/ModelParameters/{name}.pth", weights_only=False)
+        assert sa["epoch"] == sb["epoch"], name
+        for k in sa["model_state_dict"]:
+            np.testing.assert_array_equal(
+                sa["model_state_dict"][k].numpy(), sb["model_state_dict"][k].numpy(),
+                err_msg=f"{name}:{k}",
+            )
+    _tree_equal(ta.state, tb.state)
+    np.testing.assert_array_equal(ta.loss_log, tb.loss_log)
+    assert len(ta.timing_log) == len(tb.timing_log) == 8
+
+
 @pytest.mark.slow
 def test_stage1_block_matches_sequential_on_mesh(tmp_path):
     """Blocked dispatch under an 8-device mesh (pad-and-mask scene batch)."""
