@@ -645,16 +645,22 @@ def _fused_point_grads_core(
             c = c + lat_rows @ parts[l]["Wz"]
         consts.append(c)
 
-    # Points-per-tile by FLOP mix (same-window kernel-only scans, round 4):
-    # the eikonal kernel's ~4.5 matmul sweeps already keep the MXU at ~78%
-    # util at tile 256 (512/1024 measured neutral-to-worse, and coarser
-    # tiles coarsen the EikonalNumPoints tile-prefix rounding); the
-    # no-eikonal (stage-2 SDF-consistency) kernel has fewer sweeps per tile
-    # and wins from longer tiles — frozen 25.9 -> 21.7 ms at 1024, full
-    # 34.7 -> 31.4 ms at 512 (1024 regresses: the wgrad outer products'
-    # scratch occupancy). build_fused_train falls back to the 128 lane tile
-    # whenever P isn't tile-divisible.
-    tile = 256 if use_eikonal else (512 if want_net_grads else 1024)
+    # Points-per-tile by FLOP mix (same-window interleaved kernel scans,
+    # round 4). No-eikonal (stage-2 SDF-consistency): frozen 25.9 -> 21.7 ms
+    # at 1024, full-wgrad 34.7 -> 31.4 ms at 512 (1024 regresses there: the
+    # wgrad outer products' scratch occupancy). Eikonal: full 65.8 -> 64.6 ms
+    # at 1024; tile-gated (EikonalNumPoints) 43.4 -> 41.7 ms at 512 — taken
+    # only when the 512-rounding of E matches the documented 256-rounding,
+    # so the effective eikonal point count (and n_eik normalizer) never
+    # changes with the tile choice. build_fused_train steps the tile down
+    # through divisible sizes when P isn't tile-divisible.
+    if not use_eikonal:
+        tile = 512 if want_net_grads else 1024
+    elif eik_points is not None and 0 < eik_points < P:
+        e256 = -(-int(eik_points) // 256) * 256
+        tile = 512 if e256 % 512 == 0 else 256
+    else:
+        tile = 1024
     fused = build_fused_train(
         decoder, B, P, clamp_dist, num_total, use_eikonal, eik_weight, dtype, interpret,
         tile=tile, eik_points=eik_points, want_wgrad=want_net_grads,
