@@ -234,6 +234,29 @@ class PointEvaluator:
     # fraction runs ~0.45 of 125; 80 leaves headroom, overflow falls back)
     packed_mag_bytes_per_block = 80
 
+    @staticmethod
+    def _codec_q(codec: str, h: float) -> np.float32:
+        """Value-quantization step per codec (shared by the streaming and
+        fused refine+slab dispatch paths so they can never diverge)."""
+        if codec == "packed":
+            # finer quantum than int8 (thresh/255 = ~0.0098 h vs 0.024 h)
+            return np.float32(2.5 * h / 255.0)
+        return np.float32(3.0 * h / 127.0)
+
+    def _slab_cap(self, n_pad: int) -> int:
+        """Compaction cap for a slab of ``n_pad`` blocks: crossing/active
+        runs ~0.4 for large active sets; small sets skip the cap entirely
+        (bytes are cheap, overflow impossible)."""
+        if n_pad < self.compact_cap_min_blocks:
+            return n_pad
+        return -(-int(n_pad * self.compact_cap_ratio) // 2048) * 2048
+
+    @staticmethod
+    def _opt_slab_granule(A: int) -> int:
+        """Slab granule for optimistic-mode streaming over an ``A``-block
+        cap bucket (up to 8 slabs at >= 4096 rows, 2048-aligned)."""
+        return max(4096, -(-A // 8 // 2048) * 2048)
+
     def _get_block_fn(self):
         """One compiled program evaluates the (b+1)^3 lattice of stride-scale
         points for chunks of blocks, for ANY resolution/scale: grid spacing
@@ -750,7 +773,7 @@ class PointEvaluator:
         n_slabs: int | None = None, stats: dict | None = None,
         abi_dev=None, abi_resolver=None, num_blocks: int | None = None,
         counts_dev=None, count_resolver=None, refine_fallback=None,
-        hybrid: bool = False,
+        hybrid: bool = False, preslab=None,
     ):
         """Slab-pipelined streaming evaluation of the active set.
 
@@ -775,7 +798,11 @@ class PointEvaluator:
         device scalar clip(count - lo, 0, n_pad), so slabs dispatch with NO
         host knowledge of the count. The resolver supplies the count for
         mesher bases/stats; a count above the bucket falls back to the
-        exact host path inside the iterator.
+        exact host path inside the iterator. ``preslab`` (optional, from
+        ``refine1_optimistic``'s fused refine+slab dispatch): (n_pad, cap,
+        header_dev, value_devs) for slab [0, n_pad) — already on the device
+        queue; consumed in place of dispatching the first slab when the
+        slab bounds agree (they are derived from the same shared helpers).
 
         Hybrid mode (``hybrid=True``, from ``refine2_optimistic``; implies
         the optimistic inputs): the 512-class two-level variant. The cap
@@ -796,11 +823,7 @@ class PointEvaluator:
         h = 2.0 / (N - 1)
         h_d = jnp.float32(h)
         scale_d = jnp.int32(1)
-        if codec == "packed":
-            # finer quantum than int8 (thresh/255 = ~0.0098 h vs 0.024 h)
-            q = np.float32(2.5 * h / 255.0)
-        else:
-            q = np.float32(3.0 * h / 127.0)
+        q = self._codec_q(codec, h)
         q_d = jnp.float32(q)
         C = self.A_CHUNK
         n_chunks = -(-A // C) if A else 0
@@ -822,7 +845,7 @@ class PointEvaluator:
             # and start the C++ mesher overlapping far earlier. Orphan-cap
             # padding in the dedup programs is ratio-proportional, so 6x4096
             # costs the same evals as 3x8192. Up to 8 slabs at >=4096 rows.
-            granule = max(4096, -(-A // 8 // 2048) * 2048)
+            granule = self._opt_slab_granule(A)
             bounds = np.arange(0, A + granule, granule).clip(max=A)
             bounds = np.unique(bounds)
         else:
@@ -953,12 +976,7 @@ class PointEvaluator:
                     if count_d is not None
                     else jnp.int32(n)
                 )
-                # crossing/active runs ~0.4 for large active sets; small sets
-                # skip the cap entirely (bytes are cheap, overflow impossible)
-                if n_pad < self.compact_cap_min_blocks:
-                    cap = n_pad
-                else:
-                    cap = -(-int(n_pad * self.compact_cap_ratio) // G) * G
+                cap = self._slab_cap(n_pad)
                 dev_ok = abi_dev is not None and lo + n_pad <= abi_dev.shape[0]
                 if dev_ok and use_dedup and n_pad <= 60000:
                     out = self._get_slab_compact_dedup_fn(n_pad, cap, codec, rho_m)(
@@ -988,7 +1006,19 @@ class PointEvaluator:
                     stats["evaluated_stream"] = stats.get("evaluated_stream", 0) + n_evals
                 return cap, self._pool().submit(np.asarray, out[0]), out[1:]
 
-            for lo, hi in slabs:
+            for i, (lo, hi) in enumerate(slabs):
+                if i == 0 and preslab is not None and (lo, hi) == (0, preslab[0]):
+                    # slab 0 was fused into the refine dispatch: submit its
+                    # header fetch here (same point the unfused path would)
+                    n_pad0, cap0, hdr_dev, devs0 = preslab
+                    if stats is not None:
+                        stats["evaluated_stream"] = (
+                            stats.get("evaluated_stream", 0)
+                            + n_pad0 * (SPARSE_BLOCK + 1) ** 3
+                        )
+                    pend.append((lo, hi, cap0,
+                                 self._pool().submit(np.asarray, hdr_dev), devs0))
+                    continue
                 pend.append((lo, hi, *dispatch_slab(lo, hi, dedup)))
             if count_resolver is not None:
                 # the count fetch was enqueued before any slab program
@@ -1339,7 +1369,35 @@ class PointEvaluator:
             self._block_fns[key] = f
         return self._block_fns[key]
 
-    def refine1_optimistic(self, latent, N: int, safety: float, clamp_dist: float):
+    def _get_refine1_slab0_fn(self, nb4: int, cap4: int, n_pad: int, cap: int, codec: str):
+        """Refine + FIRST STREAMING SLAB fused into one device program for
+        the optimistic single-level class: the stride-4 lattice refine, the
+        active-set compaction, and slab [0, n_pad)'s eval + crossing filter
+        + encode all run in one dispatch — on the axon relay every program
+        dispatch costs ~20 ms of host-side serialization, and the N~256
+        class only runs a handful of them, so merging two is a measurable
+        slice of the whole extraction. The slab reads the refine output's
+        first ``n_pad`` rows directly on device (validity = the refine
+        count, clipped); padding rows past the count evaluate block (0,0,0)
+        redundantly and mask out in the compaction, exactly like the
+        unfused optimistic slabs."""
+        key = ("refine1_slab0", nb4, cap4, n_pad, cap, codec)
+        if key not in self._block_fns:
+            refine1 = self._get_refine1_fn(nb4, cap4)
+            slab = self._get_slab_compact_fn(n_pad, cap, codec)
+
+            @jax.jit
+            def f(latent, h, diag4, scale, q):
+                count, abi4 = refine1(latent, h, diag4)
+                valid = jnp.minimum(count[0], n_pad).astype(jnp.int32)
+                out = slab(latent, abi4[:n_pad], valid, h, scale, q)
+                return (count, abi4, *out)
+
+            self._block_fns[key] = f
+        return self._block_fns[key]
+
+    def refine1_optimistic(self, latent, N: int, safety: float, clamp_dist: float,
+                           codec: str | None = None):
         """Latency-fused refinement for the single-level (reconstruct-time
         N~256) class: the stride-4 lattice refine result STAYS on device —
         no count round trip — and streaming slabs dispatch immediately
@@ -1349,10 +1407,18 @@ class PointEvaluator:
         bucket is ~1.3x the measured active fraction) is detected from the
         concurrent count fetch and falls back to the exact two-phase path.
 
+        With ``codec`` set (and MSD_OPT_FUSE_SLAB0 != off) the FIRST
+        streaming slab fuses into the refine dispatch itself
+        (``_get_refine1_slab0_fn``) — one fewer device program on the
+        extraction's critical path; ``stream_crossing_values`` consumes the
+        pre-dispatched slab via ``preslab``.
+
         Returns (counts_dev [1] i32, abi4_dev [cap4, 3] i32, cap4,
-        prefilter_evals) or None when the class doesn't apply (two-level
-        resolutions keep the pipelined path; "auto" engages off-CPU only,
-        MSD_STREAM_OPT=on/off overrides)."""
+        prefilter_evals, preslab) or None when the class doesn't apply
+        (two-level resolutions keep the pipelined path; "auto" engages
+        off-CPU only, MSD_STREAM_OPT=on/off overrides). ``preslab`` is
+        (n_pad, cap, header_dev, value_devs) for slab [0, n_pad), or None
+        when the fusion is off."""
         cls = _refine_class(N, safety, clamp_dist)
         if cls is None:
             return None
@@ -1367,10 +1433,21 @@ class PointEvaluator:
         ratio = int(os.environ.get("MSD_OPT_CAP_RATIO_MILLI", 90)) / 1000.0
         cap4 = min(nb4 ** 3, max(self.A_CHUNK, -(-int(nb4 ** 3 * ratio) // self.A_CHUNK) * self.A_CHUNK))
         latent = jnp.asarray(latent).reshape(-1)
+        fuse = codec is not None and os.environ.get("MSD_OPT_FUSE_SLAB0", "on") != "off"
+        if fuse:
+            n_pad = min(self._opt_slab_granule(cap4), cap4)
+            cap = self._slab_cap(n_pad)
+            out = self._get_refine1_slab0_fn(nb4, cap4, n_pad, cap, codec)(
+                latent, jnp.float32(h), jnp.float32(b * h * s3 * safety),
+                jnp.int32(1), jnp.float32(self._codec_q(codec, h)),
+            )
+            counts_dev, abi4_dev = out[0], out[1]
+            return (counts_dev, abi4_dev, cap4, (nb4 + 1) ** 3,
+                    (n_pad, cap, out[2], tuple(out[3:])))
         counts_dev, abi4_dev = self._get_refine1_fn(nb4, cap4)(
             latent, jnp.float32(h), jnp.float32(b * h * s3 * safety)
         )
-        return counts_dev, abi4_dev, cap4, (nb4 + 1) ** 3
+        return counts_dev, abi4_dev, cap4, (nb4 + 1) ** 3, None
 
     def refine2_optimistic(self, latent, N: int, safety: float, clamp_dist: float,
                            cap16: int = 8192, cap4: int = 131072):
@@ -1642,16 +1719,18 @@ def _create_mesh_streaming_impl(latent, N, evaluator, safety, clamp_dist, voxel_
     abi4 = abi4_dev = abi4_resolver = None
     counts_dev = count_resolver = None
     hybrid = False
+    preslab = None
     hybrid_box: dict = {}
-    opt = evaluator.refine1_optimistic(latent, N, safety, clamp_dist)
+    opt = evaluator.refine1_optimistic(latent, N, safety, clamp_dist, codec=value_codec)
     hyb = None if opt is not None else evaluator.refine2_optimistic(
         latent, N, safety, clamp_dist
     )
     if opt is not None:
         # single-level class: refine count stays on device; slabs dispatch
-        # against the cap bucket immediately. The count fetch and the
+        # against the cap bucket immediately (slab 0 fused INTO the refine
+        # program when MSD_OPT_FUSE_SLAB0 allows). The count fetch and the
         # (bucket-sized) i16 active-set fetch ride the pool concurrently.
-        counts_dev, abi4_dev, A4, evaluated = opt
+        counts_dev, abi4_dev, A4, evaluated, preslab = opt
         count_fut = evaluator._pool().submit(np.asarray, counts_dev)
         count_resolver = lambda: int(count_fut.result()[0])  # noqa: E731
         fetch_src = evaluator._get_cast_i16_fn(abi4_dev.shape)(abi4_dev)
@@ -1696,7 +1775,7 @@ def _create_mesh_streaming_impl(latent, N, evaluator, safety, clamp_dist, voxel_
         abi_dev=abi4_dev, abi_resolver=abi4_resolver, num_blocks=A4,
         counts_dev=counts_dev, count_resolver=count_resolver,
         refine_fallback=lambda: _sparse_active4(latent, N, evaluator, safety, clamp_dist),
-        hybrid=hybrid,
+        hybrid=hybrid, preslab=preslab,
     )
     total_evals = evaluated + A4 * (SPARSE_BLOCK + 1) ** 3
     LAST_STREAMING_STATS.update(

@@ -395,6 +395,16 @@ def test_optimistic_single_level_matches(trained, monkeypatch):  # noqa: F811
     assert mesh_mod.LAST_STREAMING_STATS["active_blocks"] < 32 ** 3
     np.testing.assert_array_equal(pv, ov)
     np.testing.assert_array_equal(pf, of)
+    # the fused refine+slab0 dispatch (default on above) must also match
+    # the unfused optimistic path exactly
+    monkeypatch.setenv("MSD_OPT_FUSE_SLAB0", "off")
+    ev3 = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    uv, uf = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=N, return_mesh=True,
+        evaluator=ev3, value_codec="packed",
+    )
+    np.testing.assert_array_equal(uv, ov)
+    np.testing.assert_array_equal(uf, of)
 
 
 @pytest.mark.slow
