@@ -728,14 +728,6 @@ class PointEvaluator:
             ).astype(ml_dtypes.bfloat16)
         return self._block_fns[key]
 
-    def _get_cast_i16_fn(self, shape):
-        """Tiny jitted int32 -> int16 cast so host fetches of block
-        coordinates cross the relay at half the bytes."""
-        key = ("cast_i16", shape)
-        if key not in self._block_fns:
-            self._block_fns[key] = jax.jit(lambda a: a.astype(jnp.int16))
-        return self._block_fns[key]
-
     def _get_gather_fn(self, codec: str):
         """jit: (vals_all [M, 125] f16, idx [C_CHUNK], q) -> encoded rows.
 
@@ -1232,7 +1224,7 @@ class PointEvaluator:
             self._block_fns["submask"] = sm
         return self._block_fns["submask"]
 
-    def _get_refine_fn(self, nb16: int, cap16: int, cap4: int):
+    def _get_refine_fn(self, nb16: int, cap16: int, cap4: int, emit_i16: bool = False):
         """Fused two-level refinement in ONE device program: stride-16
         prefilter lattice (coords generated on device), Lipschitz-active
         superblocks compacted on device, their stride-4 sub-lattices
@@ -1240,8 +1232,15 @@ class PointEvaluator:
         dense [cap4, 3] buffer. Replaces ~4 host round trips + two host
         nonzero passes with one dispatch + one tiny count fetch
         (counts > caps signal overflow; caller falls back to the two-phase
-        host path)."""
-        key = ("refine", nb16, cap16, cap4)
+        host path).
+
+        ``emit_i16`` additionally returns ``abi4.astype(int16)`` (valid for
+        nb4 < 2^15, i.e. any practical N) so the host coordinate fetch has
+        its half-byte wire view WITHOUT the separate ``_get_cast_i16_fn``
+        dispatch — on the axon relay every program enqueue costs host-side
+        serialization, and the cast sits between the refine and the slab
+        dispatches on the extraction critical path."""
+        key = ("refine", nb16, cap16, cap4, emit_i16)
         if key not in self._block_fns:
             b = SPARSE_BLOCK
             n1 = nb16 + 1
@@ -1314,18 +1313,22 @@ class PointEvaluator:
                 abi4 = jnp.zeros((cap4 + 1, 3), jnp.int32).at[dest4].set(
                     abi4_all.reshape(-1, 3), mode="drop"
                 )[:cap4]
+                if emit_i16:
+                    return jnp.stack([count16, count4]), abi4, abi4.astype(jnp.int16)
                 return jnp.stack([count16, count4]), abi4
 
             self._block_fns[key] = f
         return self._block_fns[key]
 
-    def _get_refine1_fn(self, nb4: int, cap4: int):
+    def _get_refine1_fn(self, nb4: int, cap4: int, emit_i16: bool = False):
         """Single-level variant of the fused refinement for resolutions
         where the stride-16 prefilter bound doesn't fit the clamp band:
         the full stride-4 corner lattice evaluates in one program and the
         active blocks compact on device. Matches ``_sparse_active4``'s
-        single-level branch exactly (f32 criterion, same row order)."""
-        key = ("refine1", nb4, cap4)
+        single-level branch exactly (f32 criterion, same row order).
+        ``emit_i16`` appends the half-byte ``abi4.astype(int16)`` fetch
+        view (see ``_get_refine_fn``)."""
+        key = ("refine1", nb4, cap4, emit_i16)
         if key not in self._block_fns:
             b = SPARSE_BLOCK
             n1 = nb4 + 1
@@ -1364,6 +1367,8 @@ class PointEvaluator:
                 abi4 = jnp.zeros((cap4 + 1, 3), jnp.int32).at[dest].set(
                     cell_coords, mode="drop"
                 )[:cap4]
+                if emit_i16:
+                    return count[None], abi4, abi4.astype(jnp.int16)
                 return count[None], abi4
 
             self._block_fns[key] = f
@@ -1383,15 +1388,15 @@ class PointEvaluator:
         unfused optimistic slabs."""
         key = ("refine1_slab0", nb4, cap4, n_pad, cap, codec)
         if key not in self._block_fns:
-            refine1 = self._get_refine1_fn(nb4, cap4)
+            refine1 = self._get_refine1_fn(nb4, cap4, emit_i16=True)
             slab = self._get_slab_compact_fn(n_pad, cap, codec)
 
             @jax.jit
             def f(latent, h, diag4, scale, q):
-                count, abi4 = refine1(latent, h, diag4)
+                count, abi4, abi4_i16 = refine1(latent, h, diag4)
                 valid = jnp.minimum(count[0], n_pad).astype(jnp.int32)
                 out = slab(latent, abi4[:n_pad], valid, h, scale, q)
-                return (count, abi4, *out)
+                return (count, abi4, abi4_i16, *out)
 
             self._block_fns[key] = f
         return self._block_fns[key]
@@ -1413,12 +1418,14 @@ class PointEvaluator:
         extraction's critical path; ``stream_crossing_values`` consumes the
         pre-dispatched slab via ``preslab``.
 
-        Returns (counts_dev [1] i32, abi4_dev [cap4, 3] i32, cap4,
-        prefilter_evals, preslab) or None when the class doesn't apply
-        (two-level resolutions keep the pipelined path; "auto" engages
-        off-CPU only, MSD_STREAM_OPT=on/off overrides). ``preslab`` is
-        (n_pad, cap, header_dev, value_devs) for slab [0, n_pad), or None
-        when the fusion is off."""
+        Returns (counts_dev [1] i32, abi4_dev [cap4, 3] i32,
+        abi4_i16_dev [cap4, 3] i16 — the half-byte host-fetch view, cast
+        inside the refine program so no separate cast dispatch is needed —
+        cap4, prefilter_evals, preslab) or None when the class doesn't
+        apply (two-level resolutions keep the pipelined path; "auto"
+        engages off-CPU only, MSD_STREAM_OPT=on/off overrides). ``preslab``
+        is (n_pad, cap, header_dev, value_devs) for slab [0, n_pad), or
+        None when the fusion is off."""
         cls = _refine_class(N, safety, clamp_dist)
         if cls is None:
             return None
@@ -1441,13 +1448,13 @@ class PointEvaluator:
                 latent, jnp.float32(h), jnp.float32(b * h * s3 * safety),
                 jnp.int32(1), jnp.float32(self._codec_q(codec, h)),
             )
-            counts_dev, abi4_dev = out[0], out[1]
-            return (counts_dev, abi4_dev, cap4, (nb4 + 1) ** 3,
-                    (n_pad, cap, out[2], tuple(out[3:])))
-        counts_dev, abi4_dev = self._get_refine1_fn(nb4, cap4)(
-            latent, jnp.float32(h), jnp.float32(b * h * s3 * safety)
-        )
-        return counts_dev, abi4_dev, cap4, (nb4 + 1) ** 3, None
+            counts_dev, abi4_dev, abi4_i16_dev = out[0], out[1], out[2]
+            return (counts_dev, abi4_dev, abi4_i16_dev, cap4, (nb4 + 1) ** 3,
+                    (n_pad, cap, out[3], tuple(out[4:])))
+        counts_dev, abi4_dev, abi4_i16_dev = self._get_refine1_fn(
+            nb4, cap4, emit_i16=True
+        )(latent, jnp.float32(h), jnp.float32(b * h * s3 * safety))
+        return counts_dev, abi4_dev, abi4_i16_dev, cap4, (nb4 + 1) ** 3, None
 
     def refine2_optimistic(self, latent, N: int, safety: float, clamp_dist: float,
                            cap16: int = 8192, cap4: int = 131072):
@@ -1461,8 +1468,9 @@ class PointEvaluator:
         from the concurrent fetch and falls back to the exact host path
         inside the stream iterator.
 
-        Returns (counts_dev [2] i32, abi4_dev [cap4, 3], cap4, cap16,
-        prefilter_evals) or None when the two-level criterion doesn't hold.
+        Returns (counts_dev [2] i32, abi4_dev [cap4, 3], abi4_i16_dev
+        [cap4, 3] i16 host-fetch view, cap4, cap16, prefilter_evals) or
+        None when the two-level criterion doesn't hold.
         Gate: MSD_STREAM_HYBRID=on|off, DEFAULT OFF — a same-window A/B on
         the 1-core host (benchmarks/grid512_ab.py, round 4) measured the
         hybrid dispatch SLOWER at the median (0.915 vs 0.787 s) and far
@@ -1482,11 +1490,13 @@ class PointEvaluator:
         s3 = math.sqrt(3.0) / 2.0
         nb16 = nb4 // 4
         latent = jnp.asarray(latent).reshape(-1)
-        counts_dev, abi4_dev = self._get_refine_fn(nb16, cap16, cap4)(
+        counts_dev, abi4_dev, abi4_i16_dev = self._get_refine_fn(
+            nb16, cap16, cap4, emit_i16=True
+        )(
             latent, jnp.float32(h),
             jnp.float32((4 * b) * h * s3 * safety), jnp.float32(b * h * s3 * safety),
         )
-        return counts_dev, abi4_dev, cap4, cap16, (nb16 + 1) ** 3
+        return counts_dev, abi4_dev, abi4_i16_dev, cap4, cap16, (nb16 + 1) ** 3
 
     def refine_active4_device(self, latent, N: int, safety: float, clamp_dist: float,
                               cap16: int = 8192, cap4: int = 131072, async_fetch: bool = False):
@@ -1505,13 +1515,19 @@ class PointEvaluator:
         h, nb4, two_level = cls
         s3 = math.sqrt(3.0) / 2.0
         latent = jnp.asarray(latent).reshape(-1)
+        # block coords fit int16 for any practical N (nb4 < 2^15) — the
+        # refine program emits the half-byte fetch view itself, so no
+        # separate cast dispatch sits between the count fetch and the
+        # coordinate download
+        emit_i16 = nb4 < 2**15
         if two_level:
             nb16 = nb4 // 4
-            fn = self._get_refine_fn(nb16, cap16, cap4)
-            counts, abi4_dev = fn(
+            fn = self._get_refine_fn(nb16, cap16, cap4, emit_i16=emit_i16)
+            out = fn(
                 latent, jnp.float32(h),
                 jnp.float32((4 * b) * h * s3 * safety), jnp.float32(b * h * s3 * safety),
             )
+            counts, abi4_dev = out[0], out[1]
             count16, count4 = (int(c) for c in np.asarray(counts))  # ONE tiny fetch
             if count16 > cap16 or count4 > cap4:
                 logging.debug("device refine overflow (%d/%d, %d/%d)", count16, cap16, count4, cap4)
@@ -1520,8 +1536,9 @@ class PointEvaluator:
         else:
             # single level: the full stride-b corner lattice in one program
             cap4 = min(nb4**3, cap4 // 2)
-            fn = self._get_refine1_fn(nb4, cap4)
-            counts, abi4_dev = fn(latent, jnp.float32(h), jnp.float32(b * h * s3 * safety))
+            fn = self._get_refine1_fn(nb4, cap4, emit_i16=emit_i16)
+            out = fn(latent, jnp.float32(h), jnp.float32(b * h * s3 * safety))
+            counts, abi4_dev = out[0], out[1]
             count4 = int(np.asarray(counts)[0])  # ONE tiny fetch
             if count4 > cap4:
                 logging.debug("device refine1 overflow (%d/%d)", count4, cap4)
@@ -1533,10 +1550,9 @@ class PointEvaluator:
                 return (lambda: empty), 0, evaluated, abi4_dev
             return np.zeros((0, 3), np.int64), evaluated
         # concurrent part streams keep fetched bytes ~= the real active set
-        # at the relay's multiplexed (not serial) bandwidth; block coords fit
-        # int16 for any practical N (nb4 < 2^15), halving the fetch
-        if nb4 < 2**15:
-            fetch_src = self._get_cast_i16_fn(abi4_dev.shape)(abi4_dev)
+        # at the relay's multiplexed (not serial) bandwidth
+        if emit_i16:
+            fetch_src = out[2]
             part = 32768
         else:
             fetch_src = abi4_dev
@@ -1730,11 +1746,10 @@ def _create_mesh_streaming_impl(latent, N, evaluator, safety, clamp_dist, voxel_
         # against the cap bucket immediately (slab 0 fused INTO the refine
         # program when MSD_OPT_FUSE_SLAB0 allows). The count fetch and the
         # (bucket-sized) i16 active-set fetch ride the pool concurrently.
-        counts_dev, abi4_dev, A4, evaluated, preslab = opt
+        counts_dev, abi4_dev, abi4_i16_dev, A4, evaluated, preslab = opt
         count_fut = evaluator._pool().submit(np.asarray, counts_dev)
         count_resolver = lambda: int(count_fut.result()[0])  # noqa: E731
-        fetch_src = evaluator._get_cast_i16_fn(abi4_dev.shape)(abi4_dev)
-        raw_res = evaluator.fetch_parallel_submit(fetch_src, A4, part=32768)
+        raw_res = evaluator.fetch_parallel_submit(abi4_i16_dev, A4, part=32768)
         abi4_resolver = lambda: raw_res().astype(np.int64)  # noqa: E731
     elif hyb is not None:
         # two-level hybrid (512-class): the [count16, count4] fetch rides
@@ -1742,7 +1757,7 @@ def _create_mesh_streaming_impl(latent, N, evaluator, safety, clamp_dist, voxel_
         # device time hides the count round trip. An overflow at either
         # level surfaces as "count above bucket" -> exact fallback in the
         # stream iterator.
-        counts2_dev, abi4_dev, A4, cap16, evaluated = hyb
+        counts2_dev, abi4_dev, abi4_i16_dev, A4, cap16, evaluated = hyb
         hybrid = True
         counts_dev = counts2_dev[1:2]  # device scalar view: count4
         count_fut = evaluator._pool().submit(np.asarray, counts2_dev)
@@ -1752,8 +1767,7 @@ def _create_mesh_streaming_impl(latent, N, evaluator, safety, clamp_dist, voxel_
             hybrid_box["c16"] = c16
             return A4 + 1 if c16 > cap16 else c4
 
-        fetch_src = evaluator._get_cast_i16_fn(abi4_dev.shape)(abi4_dev)
-        raw_res = evaluator.fetch_parallel_submit(fetch_src, A4, part=32768)
+        raw_res = evaluator.fetch_parallel_submit(abi4_i16_dev, A4, part=32768)
         abi4_resolver = lambda: raw_res().astype(np.int64)  # noqa: E731
     else:
         refined = evaluator.refine_active4_device(latent, N, safety, clamp_dist, async_fetch=True)
