@@ -91,6 +91,11 @@ struct Builder {
   int n_deltas = 0;
   // per-corner-pair edge code table (code of |id(a)-id(b)| for cube corners)
   int code_tab[8][8];
+  // global-id offset of each cube corner relative to corner 0 (fixed per N)
+  int64_t corner_delta[8];
+  // current block's fine-grid base (set per block): new-vertex positions
+  // are base + local lattice coords — no div/mod chain on the global id
+  int64_t base[3] = {0, 0, 0};
 
   // Block-local edge cache (stamp-versioned so no per-block clearing):
   // local edges are deduped in this L1/L2-resident array; the global hash
@@ -132,6 +137,9 @@ struct Builder {
                     (CORNERS[a][2] - CORNERS[b][2]);
         code_tab[a][b] = delta_code(d < 0 ? -d : d);
       }
+    for (int c = 0; c < 8; c++)
+      corner_delta[c] =
+          ((int64_t)CORNERS[c][0] * N + CORNERS[c][1]) * N + CORNERS[c][2];
   }
 
   inline int delta_code(int64_t d) {
@@ -140,11 +148,6 @@ struct Builder {
     return 13;  // unreachable for valid cell edges
   }
 
-  inline void id_to_xyz(int64_t vid, double* out) {
-    out[2] = (double)(vid % N);
-    out[1] = (double)((vid / N) % N);
-    out[0] = (double)(vid / (N * N));
-  }
 
   void begin_block(int bp) {
     if (local_bp != bp) {
@@ -198,12 +201,14 @@ struct Builder {
     double t = (0.0 - sa) / denom;
     if (t < 0) t = 0;
     if (t > 1) t = 1;
-    double pa[3], pb[3];
-    id_to_xyz(a, pa);
-    id_to_xyz(b, pb);
-    verts.push_back((float)(pa[0] + t * (pb[0] - pa[0])));
-    verts.push_back((float)(pa[1] + t * (pb[1] - pa[1])));
-    verts.push_back((float)(pa[2] + t * (pb[2] - pa[2])));
+    // endpoint positions are base + local lattice coords (identical to the
+    // div/mod decomposition of the global ids, without the 6 int64
+    // divisions by runtime N per new vertex)
+    for (int ax = 0; ax < 3; ax++) {
+      const double p0 = (double)(base[ax] + la[ax]);
+      const double p1 = (double)(base[ax] + lb[ax]);
+      verts.push_back((float)(p0 + t * (p1 - p0)));
+    }
     return next_id;
   }
 
@@ -228,12 +233,15 @@ struct Builder {
                        sdf[ca], sdf[cb]);
   }
 
+  // ``m``: the cell's 8-corner inside bitmask (bit c = sdf[c] < 0), already
+  // computed by the caller's precount pass — avoids 24 double sign tests
+  // per cell.
   void process_tet(int t, const int* cs, const int64_t* ids,
-                   const double* sdf, const int (*lc)[3]) {
+                   const double* sdf, const int (*lc)[3], unsigned m) {
     bool in[4];
     int subset = 0, n_in = 0;
     for (int v = 0; v < 4; v++) {
-      in[v] = sdf[cs[v]] < 0.0;
+      in[v] = (m >> cs[v]) & 1u;
       if (in[v]) {
         subset |= 1 << v;
         n_in++;
@@ -308,16 +316,27 @@ static void add_blocks_impl(
     }
     if (total_in == 0 || total_in == pts_per) continue;
     builder.begin_block(bp);
+    builder.base[0] = bx;
+    builder.base[1] = by;
+    builder.base[2] = bz;
     for (int ci = 0; ci < b; ci++) {
       for (int cj = 0; cj < b; cj++) {
         const uint8_t* row = &inb[((size_t)ci * rbp + cj) * rbp];
         for (int ck = 0; ck < b; ck++) {
           const uint8_t* r = row + ck;
-          const int cnt = r[0] + r[1] + r[rbp] + r[rbp + 1] +
-                          r[rbp * rbp] + r[rbp * rbp + 1] +
-                          r[rbp * rbp + rbp] + r[rbp * rbp + rbp + 1];
-          if (cnt == 0 || cnt == 8) continue;
-          // gather 8 corners of this cut cell
+          // inside bitmask over the cell's 8 corners, bit index 4x+2y+z
+          // (the corner order of CORNERS/_CORNERS)
+          const unsigned m =
+              (unsigned)r[0] | ((unsigned)r[1] << 1) |
+              ((unsigned)r[rbp] << 2) | ((unsigned)r[rbp + 1] << 3) |
+              ((unsigned)r[rbp * rbp] << 4) | ((unsigned)r[rbp * rbp + 1] << 5) |
+              ((unsigned)r[rbp * rbp + rbp] << 6) |
+              ((unsigned)r[rbp * rbp + rbp + 1] << 7);
+          if (m == 0u || m == 255u) continue;
+          // gather 8 corners of this cut cell; global ids are corner-0's id
+          // plus a per-corner delta fixed at construction (saves two int64
+          // muls per corner)
+          const int64_t id0 = ((bx + ci) * N + (by + cj)) * N + (bz + ck);
           double s[8];
           int64_t ids[8];
           int lc[8][3];
@@ -326,13 +345,13 @@ static void add_blocks_impl(
             const int y = cj + CORNERS[c][1];
             const int z = ck + CORNERS[c][2];
             s[c] = (double)vals[((int64_t)x * bp + y) * bp + z];
-            ids[c] = ((bx + x) * N + (by + y)) * N + (bz + z);
+            ids[c] = id0 + builder.corner_delta[c];
             lc[c][0] = x;
             lc[c][1] = y;
             lc[c][2] = z;
           }
           for (int t = 0; t < 6; t++) {
-            builder.process_tet(t, TETS[t], ids, s, lc);
+            builder.process_tet(t, TETS[t], ids, s, lc, m);
           }
         }
       }
