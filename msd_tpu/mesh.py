@@ -34,6 +34,55 @@ from msd_tpu.data.mesh_io import save_ply
 from msd_tpu.ops.marching_cubes import marching_tetrahedra, marching_tetrahedra_blocks
 
 
+def _decode_packed_host(bitmaps: np.ndarray, mags: np.ndarray, K: int, q: float,
+                        pts: int = 125) -> np.ndarray:
+    """Expand the "packed" wire codec (sign/present bitmaps + dense u8
+    magnitudes, see `_encode_compact_body`) to the [K, pts] float32 corner
+    grid. Absent corners (non-small, or away from any sign change) decode
+    to the codec cap q*255: their magnitude is never read by crossing-edge
+    interpolation.
+
+    Uses the native C++ decoder when available (~10x the numpy
+    unpackbits+scatter path on a 1-core host — the decode cost is what made
+    the packed codec lose its round-4 A/B there); falls back to numpy.
+    """
+    import ctypes
+
+    from msd_tpu.native import load_native
+
+    bitmaps = np.ascontiguousarray(bitmaps[:K], np.uint8)
+    mags = np.ascontiguousarray(mags, np.uint8)
+    lib = load_native()
+    if lib is not None and hasattr(lib, "msd_decode_packed"):
+        out = np.empty((K, pts), np.float32)
+        used = lib.msd_decode_packed(
+            bitmaps.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            mags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(K),
+            ctypes.c_int64(mags.size),
+            ctypes.c_int32(pts),
+            ctypes.c_float(q),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if used != mags.size:
+            # present bitmaps and the magnitude stream disagree — corrupt
+            # transfer; surface it rather than mesh garbage
+            raise ValueError(
+                f"packed codec stream mismatch: {used} magnitudes consumed, "
+                f"{mags.size} shipped"
+            )
+        return out
+    sign = np.unpackbits(
+        np.ascontiguousarray(bitmaps[:, :16]), axis=1, bitorder="little"
+    )[:, :pts].astype(bool)
+    present = np.unpackbits(
+        np.ascontiguousarray(bitmaps[:, 16:]), axis=1, bitorder="little"
+    )[:, :pts].astype(bool)
+    vals = np.full((K, pts), q * np.float32(255.0), np.float32)
+    vals[present] = mags.astype(np.float32) * q
+    return np.where(sign, -vals, vals)
+
+
 def _linear_to_coords(linear_idx, N):
     """Linear index -> xyz coordinate in [-1, 1], index ordering matching
     the reference (x slowest, z fastest; deep_sdf/mesh.py:38-51)."""
@@ -1126,19 +1175,7 @@ class PointEvaluator:
                     mags_res = self.fetch_parallel_submit(devs[1], Km, part=262144)
 
                     def decode_packed(_b=bitmaps_res, _m=mags_res, _K=K, _Km=Km):
-                        bitmaps = _b()
-                        sign = np.unpackbits(
-                            np.ascontiguousarray(bitmaps[:, :16]), axis=1, bitorder="little"
-                        )[:, :125].astype(bool)
-                        present = np.unpackbits(
-                            np.ascontiguousarray(bitmaps[:, 16:]), axis=1, bitorder="little"
-                        )[:, :125].astype(bool)
-                        # absent corners (non-small or away from any sign
-                        # change) decode to the codec cap: their magnitude is
-                        # never read by crossing-edge interpolation
-                        vals = np.full((_K, 125), q * np.float32(255.0), np.float32)
-                        vals[present] = _m().astype(np.float32) * q
-                        return np.where(sign, -vals, vals)
+                        return _decode_packed_host(_b(), _m(), _K, q)
 
                     jobs.append((K, self._decode_pool().submit(decode_packed).result,
                                  get_abi()[lo:hi][icn[idx0 : idx0 + K]]))
@@ -1667,14 +1704,23 @@ def _spill_tmp_base(ply_path: str) -> str:
 
 def _resolve_value_codec(value_codec: str) -> str:
     """Streaming value wire format, after the env override and host-aware
-    "auto" default: "packed" (finer wire quantum, fewer bytes) when the
-    decode thread has its own core; "int8" on 1-core hosts, where packed's
-    bitmap decode serializes with the mesher thread — measured 0.18-0.3 s
-    slower at the median in three same-window A/Bs
-    (grid512_codec_ab.json, grid512_combined_ab.json, round 4)."""
+    "auto" default: "packed" (finer wire quantum, ~1.8x fewer bytes)
+    whenever the native C++ decoder is available — its AVX-512
+    VEXPANDPS expansion is ~4 ms for a 512-class shell vs numpy's
+    ~130-290 ms, which was the whole reason packed lost the 1-core A/Bs
+    (grid512_codec_ab.json, round 4; re-measured after the native decode
+    in grid512_codec_native_ab.json). Without the native library, the
+    numpy decode serializes with the mesher thread, so "auto" keeps
+    packed only when the decode thread has its own core."""
     value_codec = os.environ.get("MSD_VALUE_CODEC", value_codec)
     if value_codec == "auto":
-        value_codec = "packed" if (os.cpu_count() or 1) >= 2 else "int8"
+        from msd_tpu.native import load_native
+
+        lib = load_native()
+        native_decode = lib is not None and hasattr(lib, "msd_decode_packed")
+        value_codec = (
+            "packed" if native_decode or (os.cpu_count() or 1) >= 2 else "int8"
+        )
     return value_codec
 
 

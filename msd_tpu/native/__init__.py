@@ -22,6 +22,7 @@ _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [
     os.path.join(_PKG_DIR, "marching_tets.cpp"),
     os.path.join(_PKG_DIR, "raster.cpp"),
+    os.path.join(_PKG_DIR, "codec.cpp"),
 ]
 
 
@@ -114,6 +115,16 @@ def load_native():
             ]
             lib.mt_ply_stream_finish.restype = ctypes.c_int
             lib.mt_ply_stream_finish.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+            lib.msd_decode_packed.restype = ctypes.c_int64
+            lib.msd_decode_packed.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),   # bitmaps [K,32]
+                ctypes.POINTER(ctypes.c_uint8),   # mags [n_mags]
+                ctypes.c_int64,                   # K
+                ctypes.c_int64,                   # n_mags
+                ctypes.c_int32,                   # pts
+                ctypes.c_float,                   # q
+                ctypes.POINTER(ctypes.c_float),   # out [K,pts]
+            ]
             lib.rast_render.restype = None
             lib.rast_render.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,

@@ -83,3 +83,46 @@ def test_native_speedup():
     t_cc = time.time() - t0
     # C++ should be solidly faster (typically ~10x; require 2x for CI noise)
     assert t_cc < t_np / 2, (t_cc, t_np)
+
+
+@needs_native
+def test_native_packed_decode_matches_numpy():
+    """C++ msd_decode_packed == the numpy unpackbits+scatter reference,
+    bitwise (including -0.0 signs), across present densities and edge rows.
+
+    The wire layout under test is _encode_compact_body's (mesh.py): 16-byte
+    sign bitmap + 16-byte present bitmap per row, dense u8 magnitude stream
+    over present corners in row-major order.
+    """
+    from msd_tpu.mesh import _decode_packed_host
+
+    lib = load_native()
+    if not hasattr(lib, "msd_decode_packed"):
+        pytest.skip("codec.cpp not in this native build")
+    rng = np.random.default_rng(7)
+    pts, q = 125, 0.0123
+    for K, density in [(1, 0.0), (3, 1.0), (257, 0.31), (1000, 0.93)]:
+        sign = rng.random((K, pts)) < 0.5
+        present = rng.random((K, pts)) < density
+        mags = rng.integers(0, 256, (K, pts)).astype(np.uint8)[present]
+
+        def packbits125(bits):
+            bp = np.zeros((K, 128), np.uint8)
+            bp[:, :pts] = bits
+            return np.packbits(bp, axis=1, bitorder="little")
+
+        bitmaps = np.concatenate([packbits125(sign), packbits125(present)], axis=1)
+        # numpy reference (the pre-round-4 decode path)
+        s = np.unpackbits(bitmaps[:, :16].copy(), axis=1, bitorder="little")[:, :pts].astype(bool)
+        p = np.unpackbits(bitmaps[:, 16:].copy(), axis=1, bitorder="little")[:, :pts].astype(bool)
+        ref = np.full((K, pts), q * np.float32(255.0), np.float32)
+        ref[p] = mags.astype(np.float32) * q
+        ref = np.where(s, -ref, ref)
+
+        out = _decode_packed_host(bitmaps, mags, K, q)
+        assert np.array_equal(ref, out)
+        assert np.array_equal(np.signbit(ref), np.signbit(out))
+
+    # stream-consistency check: shipping too few magnitudes must raise
+    with pytest.raises(ValueError):
+        _decode_packed_host(bitmaps, mags[:-1], K, q)
