@@ -42,14 +42,23 @@ def _decode_packed_host(bitmaps: np.ndarray, mags: np.ndarray, K: int, q: float,
     to the codec cap q*255: their magnitude is never read by crossing-edge
     interpolation.
 
-    Uses the native C++ decoder when available (~10x the numpy
-    unpackbits+scatter path on a 1-core host — the decode cost is what made
-    the packed codec lose its round-4 A/B there); falls back to numpy.
+    Uses the native C++ decoder when available (AVX-512 path: 4.2 ms vs
+    numpy's 130-290 ms for the 28 625 crossing rows of the converged N=513
+    bench field — the ~72.8k-"block shell" figures elsewhere count ACTIVE
+    blocks of the same field; decode only ever sees the crossing rows.
+    That decode cost is what made the packed codec lose its round-4
+    1-core A/B); falls back to numpy.
     """
     import ctypes
 
     from msd_tpu.native import load_native
 
+    if bitmaps.shape[0] < K:
+        # current call sites fetch exactly K rows; a shorter buffer must be
+        # a Python-level error, not an out-of-bounds read inside C++
+        raise ValueError(
+            f"packed codec: {bitmaps.shape[0]} bitmap rows for K={K} blocks"
+        )
     bitmaps = np.ascontiguousarray(bitmaps[:K], np.uint8)
     mags = np.ascontiguousarray(mags, np.uint8)
     lib = load_native()
@@ -967,30 +976,23 @@ class PointEvaluator:
             # lets slab programs evaluate only low corners + orphans (~64%
             # of the decoder FLOPs at 512^3). Engaged for large dev-sourced
             # active sets whose block coords fit the map.
-            dedup_env = os.environ.get("MSD_STREAM_DEDUP", "auto")
             rho_m = int(os.environ.get("MSD_ORPHAN_SHIFT_CAP_MILLI", 250))
-            # "auto" engages only off-CPU: the per-shift gather/scatter
-            # reassembly is a wash-to-loss on host XLA (no MXU to starve),
-            # and it ~4x'es the CPU-suite 512^3 test. "on" always forces.
-            # It also requires a multi-core host: a same-window A/B on the
-            # 1-core host (grid512_dedup_ab.json, round 4) measured dedup
-            # SLOWER (median 0.865 vs 0.760 s) — the per-shift slab shapes
-            # triple the host-side result plumbing, which serializes with
-            # the mesher thread when there is only one core.
-            # optimistic single-level shells (N~256 class) are coarse enough
-            # that >25% of active blocks lack an active +1 neighbor: the
-            # per-shift orphan caps overflow and every slab would bounce to
-            # a fallback. Dedup stays a two-level-path (512-class) feature.
+            # host/env policy lives in stream_knobs.dedup_streaming; the
+            # structural gates stay here: dedup needs a device-sourced
+            # active set whose coords fit the owner map, and it is a
+            # two-level-path (512-class) feature — optimistic single-level
+            # shells (N~256 class) are coarse enough that >25% of active
+            # blocks lack an active +1 neighbor, so the per-shift orphan
+            # caps overflow and every slab would bounce to a fallback.
+            from msd_tpu import stream_knobs
+
             dedup = (
-                dedup_env != "off"
-                and abi_dev is not None
+                abi_dev is not None
                 # hybrid (two-level) keeps dedup; plain optimistic
                 # (coarse single-level shells) does not — orphan caps
                 and (counts_dev is None or hybrid)
                 and (N - 1) // SPARSE_BLOCK <= self.MAP_N
-                and ((A >= 16384 and jax.default_backend() != "cpu"
-                      and (os.cpu_count() or 1) >= 2)
-                     or dedup_env == "on")
+                and stream_knobs.dedup_streaming(stream_knobs.host_facts(), A)
             )
             count_d = counts_dev[0] if counts_dev is not None else None
             map_dev = (
@@ -1471,13 +1473,14 @@ class PointEvaluator:
         s3 = math.sqrt(3.0) / 2.0
         if two_level or nb4 > 80:
             return None
-        mode = os.environ.get("MSD_STREAM_OPT", "auto")
-        if mode == "off" or (mode != "on" and jax.default_backend() == "cpu"):
+        from msd_tpu import stream_knobs
+
+        if not stream_knobs.opt_streaming(stream_knobs.host_facts()):
             return None
         ratio = int(os.environ.get("MSD_OPT_CAP_RATIO_MILLI", 90)) / 1000.0
         cap4 = min(nb4 ** 3, max(self.A_CHUNK, -(-int(nb4 ** 3 * ratio) // self.A_CHUNK) * self.A_CHUNK))
         latent = jnp.asarray(latent).reshape(-1)
-        fuse = codec is not None and os.environ.get("MSD_OPT_FUSE_SLAB0", "on") != "off"
+        fuse = codec is not None and stream_knobs.fuse_slab0()
         if fuse:
             n_pad = min(self._opt_slab_granule(cap4), cap4)
             cap = self._slab_cap(n_pad)
@@ -1522,7 +1525,9 @@ class PointEvaluator:
         h, nb4, two_level = cls
         if not two_level:
             return None
-        if os.environ.get("MSD_STREAM_HYBRID", "off") != "on":
+        from msd_tpu import stream_knobs
+
+        if not stream_knobs.hybrid_dispatch():
             return None
         s3 = math.sqrt(3.0) / 2.0
         nb16 = nb4 // 4
@@ -1704,24 +1709,12 @@ def _spill_tmp_base(ply_path: str) -> str:
 
 def _resolve_value_codec(value_codec: str) -> str:
     """Streaming value wire format, after the env override and host-aware
-    "auto" default: "packed" (finer wire quantum, ~1.8x fewer bytes)
-    whenever the native C++ decoder is available — its AVX-512
-    VEXPANDPS expansion is ~4 ms for a 512-class shell vs numpy's
-    ~130-290 ms, which was the whole reason packed lost the 1-core A/Bs
-    (grid512_codec_ab.json, round 4; re-measured after the native decode
-    in grid512_codec_native_ab.json). Without the native library, the
-    numpy decode serializes with the mesher thread, so "auto" keeps
-    packed only when the decode thread has its own core."""
-    value_codec = os.environ.get("MSD_VALUE_CODEC", value_codec)
-    if value_codec == "auto":
-        from msd_tpu.native import load_native
+    "auto" default. The decision table lives in
+    :mod:`msd_tpu.stream_knobs` (one function per knob, unit-tested per
+    cell); this is a thin shim that feeds it the real host facts."""
+    from msd_tpu import stream_knobs
 
-        lib = load_native()
-        native_decode = lib is not None and hasattr(lib, "msd_decode_packed")
-        value_codec = (
-            "packed" if native_decode or (os.cpu_count() or 1) >= 2 else "int8"
-        )
-    return value_codec
+    return stream_knobs.resolve_value_codec(value_codec, stream_knobs.host_facts())
 
 
 def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
@@ -1740,7 +1733,9 @@ def _create_mesh_streaming(latent, N, evaluator, safety, clamp_dist, voxel_size,
     except ValueError:
         raise  # "surface level not in range" — real, caller-handled
     except Exception:
-        if os.environ.get("MSD_STREAM_HYBRID", "off") != "on":
+        from msd_tpu import stream_knobs
+
+        if not stream_knobs.hybrid_dispatch():
             raise
         logging.exception(
             "streaming extraction failed with hybrid dispatch enabled; "
@@ -2250,9 +2245,11 @@ def create_mesh(
 
     ``eval_dtype`` selects the fused-kernel matmul dtype (default bfloat16;
     pass jnp.float32 with ``value_codec="f16"`` for Chamfer-sensitive evals
-    that need the full-precision field). ``value_codec="auto"`` resolves by
-    host core count ("packed" multi-core, "int8" on 1-core hosts — see
-    PERF.md round-4 codec A/B); "packed"/"int8"/"f16" force a wire format."""
+    that need the full-precision field). ``value_codec="auto"`` resolves
+    through the knob decision table (msd_tpu/stream_knobs.py: packed when
+    the SIMD native decoder is present or the host has >= 2 cores, else
+    int8 — PERF.md round-5 knob table); "packed"/"int8"/"f16" force a
+    wire format."""
     start = time.time()
     if evaluator is None and jax.default_backend() == "tpu":
         evaluator = _cached_evaluator(decoder, params, dtype=eval_dtype)

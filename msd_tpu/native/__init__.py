@@ -125,6 +125,8 @@ def load_native():
                 ctypes.c_float,                   # q
                 ctypes.POINTER(ctypes.c_float),   # out [K,pts]
             ]
+            lib.msd_codec_simd.restype = ctypes.c_int32
+            lib.msd_codec_simd.argtypes = []
             lib.rast_render.restype = None
             lib.rast_render.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,

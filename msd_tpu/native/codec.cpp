@@ -10,8 +10,9 @@
 // corners decode to the codec cap (q*255), whose magnitude is never read by
 // crossing-edge interpolation.
 //
-// numpy decodes this with two unpackbits + a boolean scatter -- ~180-290 ms
-// for a 73k-block 512-grid shell on a 1-core host, which is why the packed
+// numpy decodes this with two unpackbits + a boolean scatter -- 130-290 ms
+// across runs for the 28 625 crossing rows of the converged N=513 bench
+// field (a ~72.8k-ACTIVE-block shell) on a 1-core host, which is why the packed
 // codec lost its round-4 A/B there (PERF.md).  The AVX-512 path below maps
 // the codec directly onto hardware: each 16-bit present word is a
 // __mmask16 driving VEXPANDPS (dense magnitudes -> sparse corner lanes),
@@ -106,6 +107,18 @@ int64_t msd_decode_packed(const uint8_t* bitmaps, const uint8_t* mags,
                               out + (int64_t)k * pts, pts);
     }
     return m;
+}
+
+// 1 when the AVX-512 (VEXPANDPS) row decoder compiled in, 0 when
+// msd_decode_packed is the portable scalar loop.  The host-aware codec
+// default (msd_tpu/stream_knobs.py) keys on this: the 1-core packed
+// preference is only benchmarked on the SIMD path.
+int32_t msd_codec_simd(void) {
+#if defined(__AVX512F__)
+    return 1;
+#else
+    return 0;
+#endif
 }
 
 }  // extern "C"

@@ -470,17 +470,6 @@ def test_optimistic_bucket_overflow_fallback(trained, monkeypatch):  # noqa: F81
     np.testing.assert_array_equal(pf, of)
 
 
-def test_resolve_value_codec_host_aware(monkeypatch):
-    """"auto" resolves by host core count: packed when the decode thread has
-    its own core, int8 on a 1-core host (PERF.md round-4 codec A/B); env
-    override and explicit codecs pass through untouched."""
-    monkeypatch.delenv("MSD_VALUE_CODEC", raising=False)
-    monkeypatch.setattr(os, "cpu_count", lambda: 8)
-    assert mesh_mod._resolve_value_codec("auto") == "packed"
-    monkeypatch.setattr(os, "cpu_count", lambda: 1)
-    assert mesh_mod._resolve_value_codec("auto") == "int8"
-    monkeypatch.setattr(os, "cpu_count", lambda: None)  # cpu_count may fail
-    assert mesh_mod._resolve_value_codec("auto") == "int8"
-    assert mesh_mod._resolve_value_codec("f16") == "f16"
-    monkeypatch.setenv("MSD_VALUE_CODEC", "packed")
-    assert mesh_mod._resolve_value_codec("auto") == "packed"
+# "auto" codec resolution (and every other streaming-knob default) is
+# pinned per-cell in tests/test_stream_knobs.py against the central
+# decision table (msd_tpu/stream_knobs.py).
