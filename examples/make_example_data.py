@@ -244,6 +244,16 @@ def main():
         label_dir = os.path.join(data_dir, ws.sdf_samples_subdir, source_name)
         os.makedirs(label_dir, exist_ok=True)
         save_labels(os.path.join(label_dir, "labels.pt"), labels)
+        # pseudo labels for the *_pseudo_label_with_age configs
+        # (PseudoLabelsFile=pseudo_label.pt): the real diagnosis with ~15%
+        # label noise, as a classifier-produced pseudo-label stand-in
+        pseudo = {}
+        for key, lab in labels.items():
+            diag = lab[0]
+            if rng.random() < 0.15:
+                diag = 1.0 - diag
+            pseudo[key] = np.array([diag, lab[1]], np.float32)
+        save_labels(os.path.join(label_dir, "pseudo_label.pt"), pseudo)
         if args.preprocess:
             print(f"preprocessing {source_name} ({len(names)} meshes, {args.samples} samples each)...")
             preprocess_dataset(mesh_dir, data_dir, source_name, split_paths, args.samples)

@@ -26,6 +26,7 @@ Dataset directories follow the same contract (ref: deep_sdf/workspace.py:16-24):
 from __future__ import annotations
 
 import json
+import logging
 import os
 
 # Directory / file name constants (ref: deep_sdf/workspace.py:8-24).
@@ -50,7 +51,15 @@ tensorboard_subdir = "TensorBoard"
 
 
 def load_experiment_specifications(experiment_directory):
-    """Load <experiment>/specs.json (ref: deep_sdf/workspace.py:27-37)."""
+    """Load <experiment>/specs.json (ref: deep_sdf/workspace.py:27-37).
+
+    ``MSD_SPEC_OVERRIDES`` (a JSON object in the environment) is merged
+    over the loaded specs, top-level key by key. This is the documented
+    smoke/CI facility for running a *stock* specs.json verbatim while
+    shrinking only sizes/frequencies (NumEpochs, SamplesPerScene, eval
+    frequencies, ...) — see tests/test_stock_configs.py and README. It is
+    intentionally env-based so every entry-point CLI honors it without
+    growing flags the reference doesn't have."""
     filename = os.path.join(experiment_directory, specifications_filename)
     if not os.path.isfile(filename):
         raise Exception(
@@ -58,7 +67,16 @@ def load_experiment_specifications(experiment_directory):
             f'specifications file "{specifications_filename}"'
         )
     with open(filename) as f:
-        return json.load(f)
+        specs = json.load(f)
+    overrides = os.environ.get("MSD_SPEC_OVERRIDES")
+    if overrides:
+        od = json.loads(overrides)
+        logging.info(
+            "applying MSD_SPEC_OVERRIDES to %s: %s",
+            experiment_directory, sorted(od),
+        )
+        specs.update(od)
+    return specs
 
 
 def save_experiment_specifications(experiment_directory, specs):
