@@ -32,50 +32,53 @@ const int TETS[6][4] = {
 };
 
 struct EdgeMap {
-  // open addressing, power-of-two capacity
-  std::vector<uint64_t> keys;
-  std::vector<int32_t> vals;
+  // open addressing, power-of-two capacity; key and value share one
+  // 16-byte entry so a probe costs ONE cache line (the map is far beyond
+  // LLC on big shells — two parallel arrays measured ~2x the misses)
+  struct Entry {
+    uint64_t key;
+    int64_t val;  // -1 = empty
+  };
+  std::vector<Entry> slots;
   size_t mask;
   size_t count = 0;
 
   explicit EdgeMap(size_t expected) {
     size_t cap = 64;
     while (cap < expected * 2) cap <<= 1;
-    keys.assign(cap, UINT64_MAX);
-    vals.assign(cap, -1);
+    slots.assign(cap, Entry{UINT64_MAX, -1});
     mask = cap - 1;
   }
 
   void grow() {
-    EdgeMap bigger(keys.size());
-    for (size_t i = 0; i < keys.size(); i++) {
-      if (keys[i] != UINT64_MAX) bigger.insert_raw(keys[i], vals[i]);
+    EdgeMap bigger(slots.size());
+    for (size_t i = 0; i < slots.size(); i++) {
+      if (slots[i].key != UINT64_MAX) bigger.insert_raw(slots[i].key, (int32_t)slots[i].val);
     }
-    keys.swap(bigger.keys);
-    vals.swap(bigger.vals);
+    slots.swap(bigger.slots);
     mask = bigger.mask;
   }
 
   void insert_raw(uint64_t k, int32_t v) {
     size_t h = (k * 0x9E3779B97F4A7C15ULL) & mask;
-    while (keys[h] != UINT64_MAX) h = (h + 1) & mask;
-    keys[h] = k;
-    vals[h] = v;
+    while (slots[h].key != UINT64_MAX) h = (h + 1) & mask;
+    slots[h].key = k;
+    slots[h].val = v;
     count++;
   }
 
   // returns existing id or -1-new_id if inserted
   int32_t get_or_insert(uint64_t k, int32_t next_id) {
-    if (count * 2 >= keys.size()) grow();
+    if (count * 2 >= slots.size()) grow();
     size_t h = (k * 0x9E3779B97F4A7C15ULL) & mask;
     while (true) {
-      if (keys[h] == UINT64_MAX) {
-        keys[h] = k;
-        vals[h] = next_id;
+      if (slots[h].key == UINT64_MAX) {
+        slots[h].key = k;
+        slots[h].val = next_id;
         count++;
         return -1 - next_id;
       }
-      if (keys[h] == k) return vals[h];
+      if (slots[h].key == k) return (int32_t)slots[h].val;
       h = (h + 1) & mask;
     }
   }
@@ -123,6 +126,10 @@ struct Builder {
 
   Builder(size_t expected_edges, int64_t n, const uint8_t* flip)
       : edges(expected_edges), N(n), flips(flip) {
+    // typical shells run ~21 verts / 41 tris per crossing block: reserve
+    // so the hot loop's push_backs never reallocate mid-stream
+    verts.reserve((expected_edges / 16) * 24 * 3);
+    faces.reserve((expected_edges / 16) * 48 * 3);
     // enumerate positive deltas dx*N^2 + dy*N + dz, d* in {-1,0,1}
     for (int dx = -1; dx <= 1; dx++)
       for (int dy = -1; dy <= 1; dy++)
@@ -140,6 +147,7 @@ struct Builder {
     for (int c = 0; c < 8; c++)
       corner_delta[c] =
           ((int64_t)CORNERS[c][0] * N + CORNERS[c][1]) * N + CORNERS[c][2];
+    build_cell_cases();
   }
 
   inline int delta_code(int64_t d) {
@@ -149,43 +157,149 @@ struct Builder {
   }
 
 
+  // ---- table-driven cell dispatch (round 5) ----
+  // For each of the 256 corner-sign masks the tet decomposition's outcome
+  // is fully determined: which edges get a vertex and which triangles are
+  // emitted. Precomputing it (a) removes the 6x per-cell tet branching and
+  // subset extraction from the hot loop, and (b) dedups edges shared by
+  // adjacent tets of the SAME cell at table-build time, so cedge (and its
+  // stamp-cache probe) runs once per unique edge instead of once per tet
+  // reference (~2x fewer probes on typical shells).
+  //
+  // Byte-identity with the per-tet code is by construction: the builder
+  // below walks tets t=0..5 with the exact per-case edge order of the old
+  // process_tet, appending unique edges in first-appearance order — every
+  // edge reference is inside-corner-first in both versions (sa<0), so
+  // interpolation direction, vertex-creation order, and triangle order are
+  // all unchanged (pinned by tests/test_streaming_mesh bit-identity).
+  struct CellCase {
+    uint8_t n_edges = 0, n_tris = 0;
+    uint8_t ea[19], eb[19];  // corner-index pairs, inside corner first
+    uint8_t lo_c[19];        // min corner index (the lower global id)
+    uint8_t code[19];        // |delta| code of the pair (code_tab)
+    uint8_t face_cand[19];   // 6-bit mask: block faces this edge CAN lie in
+                             // (bit 2*ax = low face needs cell coord 0,
+                             //  bit 2*ax+1 = high face needs coord b-1)
+    uint8_t tri[36];         // n_tris x 3 edge-slot indices
+    uint8_t flip[12];
+  };
+  CellCase cell_cases[256];
+  // local-cache key delta per (mask, slot): cellkey + delta = the stamp
+  // cache key of the slot's lo corner + code. bp-dependent, rebuilt by
+  // begin_block when the block size changes.
+  std::vector<int32_t> lkey_delta;  // [256 * 19]
+
+  void build_lkey_deltas(int bp) {
+    lkey_delta.assign(256 * 19, 0);
+    for (int m = 1; m < 255; m++) {
+      const CellCase& cc = cell_cases[m];
+      for (int e = 0; e < cc.n_edges; e++) {
+        const int* d = CORNERS[cc.lo_c[e]];
+        lkey_delta[m * 19 + e] =
+            (int32_t)(((d[0] * bp + d[1]) * bp + d[2]) * 14 + cc.code[e]);
+      }
+    }
+  }
+
+  void build_cell_cases() {
+    for (int m = 1; m < 255; m++) {
+      CellCase& cc = cell_cases[m];
+      auto slot = [&](int ca, int cb) -> int {
+        for (int i = 0; i < cc.n_edges; i++)
+          if (cc.ea[i] == ca && cc.eb[i] == cb) return i;
+        cc.ea[cc.n_edges] = (uint8_t)ca;
+        cc.eb[cc.n_edges] = (uint8_t)cb;
+        cc.lo_c[cc.n_edges] = (uint8_t)(ca < cb ? ca : cb);
+        cc.code[cc.n_edges] = (uint8_t)code_tab[ca][cb];
+        uint8_t fc = 0;
+        for (int ax = 0; ax < 3; ax++) {
+          if (CORNERS[ca][ax] == CORNERS[cb][ax]) {
+            // shared-plane candidate: low face iff offset 0, high iff 1
+            fc |= (uint8_t)(1u << (2 * ax + CORNERS[ca][ax]));
+          }
+        }
+        cc.face_cand[cc.n_edges] = fc;
+        return cc.n_edges++;
+      };
+      auto tri = [&](int e0, int e1, int e2, uint8_t f) {
+        cc.tri[cc.n_tris * 3 + 0] = (uint8_t)e0;
+        cc.tri[cc.n_tris * 3 + 1] = (uint8_t)e1;
+        cc.tri[cc.n_tris * 3 + 2] = (uint8_t)e2;
+        cc.flip[cc.n_tris++] = f;
+      };
+      for (int t = 0; t < 6; t++) {
+        const int* cs = TETS[t];
+        bool in[4];
+        int subset = 0, n_in = 0;
+        for (int v = 0; v < 4; v++) {
+          in[v] = (m >> cs[v]) & 1u;
+          if (in[v]) {
+            subset |= 1 << v;
+            n_in++;
+          }
+        }
+        if (n_in == 0 || n_in == 4) continue;
+        const uint8_t* F = flips + ((size_t)t * 16 + subset) * 2;
+        if (n_in == 1) {
+          int v = 0;
+          while (!in[v]) v++;
+          int o[3], k = 0;
+          for (int i = 0; i < 4; i++)
+            if (i != v) o[k++] = i;
+          tri(slot(cs[v], cs[o[0]]), slot(cs[v], cs[o[1]]),
+              slot(cs[v], cs[o[2]]), F[0]);
+        } else if (n_in == 3) {
+          int v = 0;
+          while (in[v]) v++;
+          int o[3], k = 0;
+          for (int i = 0; i < 4; i++)
+            if (i != v) o[k++] = i;
+          tri(slot(cs[o[0]], cs[v]), slot(cs[o[1]], cs[v]),
+              slot(cs[o[2]], cs[v]), F[0]);
+        } else {
+          // 2-2: quad in cyclic order (v0,o0), (v0,o1), (v1,o1), (v1,o0)
+          int vi[2], oi[2], a = 0, b = 0;
+          for (int i = 0; i < 4; i++) {
+            if (in[i]) vi[a++] = i;
+            else oi[b++] = i;
+          }
+          int q0 = slot(cs[vi[0]], cs[oi[0]]);
+          int q1 = slot(cs[vi[0]], cs[oi[1]]);
+          int q2 = slot(cs[vi[1]], cs[oi[1]]);
+          int q3 = slot(cs[vi[1]], cs[oi[0]]);
+          tri(q0, q1, q2, F[0]);
+          tri(q0, q2, q3, F[1]);
+        }
+      }
+    }
+  }
+
   void begin_block(int bp) {
     if (local_bp != bp) {
       local_bp = bp;
       local_ids.assign((size_t)bp * bp * bp * 14, -1);
       local_stamp.assign((size_t)bp * bp * bp * 14, -1);
       stamp = 0;
+      build_lkey_deltas(bp);
     }
     stamp++;
   }
 
-  // vertex on edge between global ids a/b at local lattice coords
-  // la/lb (each in [0, bp)); code = precomputed |delta| code; sa/sb sdf.
-  inline int32_t edge_vertex(int64_t a, int64_t b, int code,
-                             const int* la, const int* lb,
-                             double sa, double sb) {
-    const bool a_lo = a < b;
-    const int64_t lo = a_lo ? a : b;
-    const int* ll = a_lo ? la : lb;
-    const int bp = local_bp;
-    const size_t lkey =
-        (((size_t)ll[0] * bp + ll[1]) * bp + ll[2]) * 14 + code;
+  // Table-slot edge vertex: all per-edge derivations (cache key, lo id,
+  // boundary test, endpoint coords) come precomputed from the CellCase,
+  // so the hot path is a stamp probe plus, for new vertices only, the
+  // interpolation. Semantics identical to edge_vertex (same keys, same
+  // inside-first interpolation direction).
+  inline int32_t edge_slot_vertex(const CellCase& cc, int e, int32_t cellkey,
+                                  unsigned facemask, int64_t id0,
+                                  const double* sdf, const int* cellc,
+                                  const int32_t* ldel) {
+    const size_t lkey = (size_t)(cellkey + ldel[e]);
     if (local_stamp[lkey] == stamp) return local_ids[lkey];
-
-    // shared across blocks iff the edge lies in a block-face plane
-    const int* lh = a_lo ? lb : la;
-    const int last = bp - 1;
-    bool boundary = false;
-    for (int ax = 0; ax < 3; ax++) {
-      if (ll[ax] == lh[ax] && (ll[ax] == 0 || ll[ax] == last)) {
-        boundary = true;
-        break;
-      }
-    }
-
     int32_t next_id = (int32_t)(verts.size() / 3);
-    if (boundary) {
-      uint64_t key = (uint64_t)lo * 14 + (uint64_t)code;
+    if (cc.face_cand[e] & facemask) {
+      const uint64_t key =
+          (uint64_t)(id0 + corner_delta[cc.lo_c[e]]) * 14 + cc.code[e];
       int32_t got = edges.get_or_insert(key, next_id);
       if (got >= 0) {
         local_ids[lkey] = got;
@@ -195,18 +309,16 @@ struct Builder {
     }
     local_ids[lkey] = next_id;
     local_stamp[lkey] = stamp;
-    // new vertex: interpolate between endpoint positions
+    const int a_c = cc.ea[e], b_c = cc.eb[e];
+    const double sa = sdf[a_c], sb = sdf[b_c];
     double denom = sb - sa;
     if (std::fabs(denom) < 1e-12) denom = 1e-12;
     double t = (0.0 - sa) / denom;
     if (t < 0) t = 0;
     if (t > 1) t = 1;
-    // endpoint positions are base + local lattice coords (identical to the
-    // div/mod decomposition of the global ids, without the 6 int64
-    // divisions by runtime N per new vertex)
     for (int ax = 0; ax < 3; ax++) {
-      const double p0 = (double)(base[ax] + la[ax]);
-      const double p1 = (double)(base[ax] + lb[ax]);
+      const double p0 = (double)(base[ax] + cellc[ax] + CORNERS[a_c][ax]);
+      const double p1 = (double)(base[ax] + cellc[ax] + CORNERS[b_c][ax]);
       verts.push_back((float)(p0 + t * (p1 - p0)));
     }
     return next_id;
@@ -225,66 +337,6 @@ struct Builder {
     }
   }
 
-  // cube-corner-index based edge lookup: ca/cb in [0,8), arrays are the
-  // cell's 8 corner global ids / sdf values / local lattice coords
-  inline int32_t cedge(int ca, int cb, const int64_t* ids, const double* sdf,
-                       const int (*lc)[3]) {
-    return edge_vertex(ids[ca], ids[cb], code_tab[ca][cb], lc[ca], lc[cb],
-                       sdf[ca], sdf[cb]);
-  }
-
-  // ``m``: the cell's 8-corner inside bitmask (bit c = sdf[c] < 0), already
-  // computed by the caller's precount pass — avoids 24 double sign tests
-  // per cell.
-  void process_tet(int t, const int* cs, const int64_t* ids,
-                   const double* sdf, const int (*lc)[3], unsigned m) {
-    bool in[4];
-    int subset = 0, n_in = 0;
-    for (int v = 0; v < 4; v++) {
-      in[v] = (m >> cs[v]) & 1u;
-      if (in[v]) {
-        subset |= 1 << v;
-        n_in++;
-      }
-    }
-    if (n_in == 0 || n_in == 4) return;
-    const uint8_t* F = flips + ((size_t)t * 16 + subset) * 2;
-
-    if (n_in == 1) {
-      int v = 0;
-      while (!in[v]) v++;
-      int o[3], k = 0;
-      for (int i = 0; i < 4; i++)
-        if (i != v) o[k++] = i;
-      int32_t e0 = cedge(cs[v], cs[o[0]], ids, sdf, lc);
-      int32_t e1 = cedge(cs[v], cs[o[1]], ids, sdf, lc);
-      int32_t e2 = cedge(cs[v], cs[o[2]], ids, sdf, lc);
-      emit_tri(e0, e1, e2, F[0]);
-    } else if (n_in == 3) {
-      int v = 0;
-      while (in[v]) v++;
-      int o[3], k = 0;
-      for (int i = 0; i < 4; i++)
-        if (i != v) o[k++] = i;
-      int32_t e0 = cedge(cs[o[0]], cs[v], ids, sdf, lc);
-      int32_t e1 = cedge(cs[o[1]], cs[v], ids, sdf, lc);
-      int32_t e2 = cedge(cs[o[2]], cs[v], ids, sdf, lc);
-      emit_tri(e0, e1, e2, F[0]);
-    } else {
-      // 2-2: quad in cyclic order (v0,o0), (v0,o1), (v1,o1), (v1,o0)
-      int vi[2], oi[2], a = 0, b = 0;
-      for (int i = 0; i < 4; i++) {
-        if (in[i]) vi[a++] = i;
-        else oi[b++] = i;
-      }
-      int32_t q0 = cedge(cs[vi[0]], cs[oi[0]], ids, sdf, lc);
-      int32_t q1 = cedge(cs[vi[0]], cs[oi[1]], ids, sdf, lc);
-      int32_t q2 = cedge(cs[vi[1]], cs[oi[1]], ids, sdf, lc);
-      int32_t q3 = cedge(cs[vi[1]], cs[oi[0]], ids, sdf, lc);
-      emit_tri(q0, q1, q2, F[0]);
-      emit_tri(q0, q2, q3, F[1]);
-    }
-  }
 };
 
 }  // namespace
@@ -298,61 +350,104 @@ static void add_blocks_impl(
     int64_t N) {
   const int bp = b + 1;
   const int64_t pts_per = (int64_t)bp * bp * bp;
-  // per-block corner-sign bits: most cells even of a CROSSING block are
-  // uncut (~79% on a 512^3 sphere shell), so reject them from 8 byte
-  // loads instead of 8 float gathers plus int64 id math (measured ~1.4x
-  // on the mesher hot loop)
-  std::vector<uint8_t> inb((size_t)pts_per);
-  const size_t rbp = (size_t)bp;
+  // per-(x,y)-row sign masks (bit z = sdf < 0): most cells even of a
+  // CROSSING block are uncut (~79% on a 512^3 sphere shell). A cell's
+  // 8-corner mask assembles from 4 row masks with shifts, and whole
+  // uncut cells reject on 2-bit tests of the rows' OR/AND — no per-cell
+  // byte loads at all (round-4's byte-array precount was ~1.4x; this
+  // removes its remaining loads).
+  if (bp > 64) return;  // row masks are uint64 (bp is 5 in practice)
+  std::vector<uint64_t> rowm((size_t)bp * bp);
+  const uint64_t full = (bp == 64) ? ~0ull : ((1ull << bp) - 1);
   for (int64_t blk = 0; blk < num_blocks; blk++) {
     const float* vals = block_vals + blk * pts_per;
     const int64_t bx = bases[blk * 3 + 0];
     const int64_t by = bases[blk * 3 + 1];
     const int64_t bz = bases[blk * 3 + 2];
-    int64_t total_in = 0;
-    for (int64_t i = 0; i < pts_per; i++) {
-      inb[(size_t)i] = vals[i] < 0.0f;
-      total_in += inb[(size_t)i];
-    }
-    if (total_in == 0 || total_in == pts_per) continue;
+    uint64_t any_bits = 0;
+    bool all_in = true;
+    for (int x = 0; x < bp; x++)
+      for (int y = 0; y < bp; y++) {
+        const float* v = vals + ((size_t)x * bp + y) * bp;
+        uint64_t r = 0;
+        for (int z = 0; z < bp; z++) r |= (uint64_t)(v[z] < 0.0f) << z;
+        rowm[(size_t)x * bp + y] = r;
+        any_bits |= r;
+        all_in &= (r == full);
+      }
+    if (any_bits == 0 || all_in) continue;
     builder.begin_block(bp);
     builder.base[0] = bx;
     builder.base[1] = by;
     builder.base[2] = bz;
     for (int ci = 0; ci < b; ci++) {
       for (int cj = 0; cj < b; cj++) {
-        const uint8_t* row = &inb[((size_t)ci * rbp + cj) * rbp];
+        const uint64_t r00 = rowm[(size_t)ci * bp + cj];
+        const uint64_t r01 = rowm[(size_t)ci * bp + cj + 1];
+        const uint64_t r10 = rowm[(size_t)(ci + 1) * bp + cj];
+        const uint64_t r11 = rowm[(size_t)(ci + 1) * bp + cj + 1];
+        const uint64_t u = r00 | r01 | r10 | r11;   // any corner inside
+        const uint64_t a = r00 & r01 & r10 & r11;   // all corners inside
+        if (u == 0 || a == full) continue;  // whole (ci,cj) column un-cut
         for (int ck = 0; ck < b; ck++) {
-          const uint8_t* r = row + ck;
+          // cut iff some-but-not-all of the cell's 8 corners are inside:
+          // 2-bit window [ck, ck+1] of the row OR/ANDs decides it before
+          // any mask assembly
+          const unsigned u2 = (unsigned)(u >> ck) & 3u;
+          if (u2 == 0u) continue;
+          if (((unsigned)(a >> ck) & 3u) == 3u) continue;
           // inside bitmask over the cell's 8 corners, bit index 4x+2y+z
           // (the corner order of CORNERS/_CORNERS)
           const unsigned m =
-              (unsigned)r[0] | ((unsigned)r[1] << 1) |
-              ((unsigned)r[rbp] << 2) | ((unsigned)r[rbp + 1] << 3) |
-              ((unsigned)r[rbp * rbp] << 4) | ((unsigned)r[rbp * rbp + 1] << 5) |
-              ((unsigned)r[rbp * rbp + rbp] << 6) |
-              ((unsigned)r[rbp * rbp + rbp + 1] << 7);
+              ((unsigned)(r00 >> ck) & 3u) | (((unsigned)(r01 >> ck) & 3u) << 2) |
+              (((unsigned)(r10 >> ck) & 3u) << 4) |
+              (((unsigned)(r11 >> ck) & 3u) << 6);
           if (m == 0u || m == 255u) continue;
-          // gather 8 corners of this cut cell; global ids are corner-0's id
-          // plus a per-corner delta fixed at construction (saves two int64
-          // muls per corner)
+          // gather the 8 corner values of this cut cell; ids/coords come
+          // from per-slot table data (corner-0 id + fixed deltas)
           const int64_t id0 = ((bx + ci) * N + (by + cj)) * N + (bz + ck);
           double s[8];
-          int64_t ids[8];
-          int lc[8][3];
-          for (int c = 0; c < 8; c++) {
-            const int x = ci + CORNERS[c][0];
-            const int y = cj + CORNERS[c][1];
-            const int z = ck + CORNERS[c][2];
-            s[c] = (double)vals[((int64_t)x * bp + y) * bp + z];
-            ids[c] = id0 + builder.corner_delta[c];
-            lc[c][0] = x;
-            lc[c][1] = y;
-            lc[c][2] = z;
+          {
+            const float* v0 = vals + ((size_t)ci * bp + cj) * bp + ck;
+            s[0] = (double)v0[0];
+            s[1] = (double)v0[1];
+            s[2] = (double)v0[bp];
+            s[3] = (double)v0[bp + 1];
+            s[4] = (double)v0[(size_t)bp * bp];
+            s[5] = (double)v0[(size_t)bp * bp + 1];
+            s[6] = (double)v0[(size_t)bp * bp + bp];
+            s[7] = (double)v0[(size_t)bp * bp + bp + 1];
           }
-          for (int t = 0; t < 6; t++) {
-            builder.process_tet(t, TETS[t], ids, s, lc, m);
+          const int cellc[3] = {ci, cj, ck};
+          const int32_t cellkey =
+              (int32_t)((((size_t)ci * bp + cj) * bp + ck) * 14);
+          const unsigned facemask =
+              (unsigned)(ci == 0) | ((unsigned)(ci == b - 1) << 1) |
+              ((unsigned)(cj == 0) << 2) | ((unsigned)(cj == b - 1) << 3) |
+              ((unsigned)(ck == 0) << 4) | ((unsigned)(ck == b - 1) << 5);
+          const Builder::CellCase& cc = builder.cell_cases[m];
+          const int32_t* ldel = &builder.lkey_delta[(size_t)m * 19];
+          // prefetch the hash slots of boundary-candidate edges: the map
+          // is far beyond LLC, and the per-edge work between prefetch and
+          // probe hides part of the DRAM latency
+          if (facemask) {
+            for (int e = 0; e < cc.n_edges; e++)
+              if (cc.face_cand[e] & facemask) {
+                const uint64_t key =
+                    (uint64_t)(id0 + builder.corner_delta[cc.lo_c[e]]) * 14 +
+                    cc.code[e];
+                __builtin_prefetch(
+                    &builder.edges.slots[(key * 0x9E3779B97F4A7C15ULL) &
+                                         builder.edges.mask]);
+              }
           }
+          int32_t ev[19];
+          for (int e = 0; e < cc.n_edges; e++)
+            ev[e] = builder.edge_slot_vertex(cc, e, cellkey, facemask, id0,
+                                             s, cellc, ldel);
+          const uint8_t* tp = cc.tri;
+          for (int f = 0; f < cc.n_tris; f++, tp += 3)
+            builder.emit_tri(ev[tp[0]], ev[tp[1]], ev[tp[2]], cc.flip[f]);
         }
       }
     }
