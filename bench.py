@@ -311,6 +311,36 @@ def main():
     # timed workload = write the .ply (the reference's create_mesh contract,
     # deep_sdf/mesh.py:21-93 — it returns nothing); host-side mesh-array
     # materialization is skipped on this path
+
+    def relay_probe():
+        """Relay-health probe: code-independent D2H bandwidth + RT latency.
+
+        A fixed 4 MB device array fetched single-stream (median of 3) plus a
+        scalar round trip. The 512^3 wall number is hostage to relay-hour
+        bandwidth swings (PERF.md: 0.75-0.97 s medians at identical code);
+        this probe records what the relay was doing in THIS measurement
+        window so a regression in wall can be attributed to code vs relay.
+        """
+        bw = []
+        for i in range(3):
+            # a FRESH device array per rep: np.asarray on a jax.Array caches
+            # the host copy, so re-fetching the same buffer measures nothing
+            buf = jnp.full((1 << 20,), float(i), jnp.float32)  # 4 MB
+            buf.block_until_ready()
+            t0 = time.time()
+            np.asarray(buf)
+            bw.append(4.0 / (time.time() - t0))
+        rt = []
+        for i in range(3):
+            sc = jnp.float32(i) + 1.0
+            sc.block_until_ready()
+            t0 = time.time()
+            float(sc)
+            rt.append(time.time() - t0)
+        return {"mbps": round(float(np.median(bw)), 1),
+                "rt_ms": round(1e3 * float(np.median(rt)), 1)}
+
+    probe_before = relay_probe()
     rep_times = []
     rep_stage_stats = []
     for rep in range(10):
@@ -329,6 +359,7 @@ def main():
         trainer.decoder, trainer.state["net"], latent,
         filename=SCRATCH + "/msd_bench_mesh", N=N, return_mesh=True, evaluator=evaluator,
     )
+    probe_after = relay_probe()
     t_grid = float(np.median(rep_times))
     grid512_spread = {
         "min": round(min(rep_times), 3),
@@ -336,12 +367,24 @@ def main():
         "p90": round(float(np.percentile(rep_times, 90)), 3),
         "n_reps": len(rep_times),
     }
+    # Relay-robust attribution (VERDICT r4 #6): per-rep wall minus the time
+    # the host spent BLOCKED on bulk value D2H transfers (t_fetch). What
+    # remains — device compute, dispatch round trips, host meshing/PLY — is
+    # the code-attributable time; t_fetch is bytes/relay-bandwidth and swings
+    # by relay hour (cross-check: bytes_fetched vs the probe's mbps).
+    rep_device = [
+        w - s.get("t_fetch", 0.0) for w, s in zip(rep_times, rep_stage_stats)
+    ]
+    t_grid_device = float(np.median(rep_device)) if rep_device else t_grid
+    grid512_bytes = int(np.median(
+        [s.get("bytes_fetched", 0) for s in rep_stage_stats])) if rep_stage_stats else 0
     n_eff = mesh_mod._snap_n(N)
     grid_qps_effective = n_eff**3 / t_grid
     stats = dict(rep_stage_stats[-1]) if rep_stage_stats and rep_stage_stats[-1] else {
         "evaluated": -1, "total": n_eff**3}
     # per-stage medians across reps (the per-rep dicts share the same keys)
-    stage_keys = ("t_refine", "t_crossing", "t_stream", "t_finish", "t_ply")
+    stage_keys = ("t_refine", "t_crossing", "t_stream", "t_finish", "t_ply",
+                  "t_mesher", "t_prep", "t_fetch")
     stage_medians = {
         k: round(float(np.median([s.get(k, 0.0) for s in rep_stage_stats])), 3)
         for k in stage_keys if rep_stage_stats
@@ -455,6 +498,9 @@ def main():
             "raw_fused_kernel_queries_per_sec": None if raw_qps is None else round(raw_qps),
             "grid512_seconds": round(t_grid, 3),
             "grid512_seconds_spread": grid512_spread,
+            "grid512_seconds_device": round(t_grid_device, 3),
+            "grid512_bytes_fetched": grid512_bytes,
+            "relay_probe": {"before": probe_before, "after": probe_after},
             "grid512_evaluated_fraction": round(stats["evaluated"] / stats["total"], 4),
             "grid512_stage_seconds": stage_medians or {
                 k: stats.get(k) for k in ("t_refine", "t_crossing", "t_stream", "t_finish", "t_ply")

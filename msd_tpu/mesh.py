@@ -1175,6 +1175,10 @@ class PointEvaluator:
                     # 32 B/row -> bigger parts keep per-stream chunks ~256 KB
                     bitmaps_res = self.fetch_parallel_submit(devs[0], K, part=8192)
                     mags_res = self.fetch_parallel_submit(devs[1], Km, part=262144)
+                    if stats is not None:
+                        stats["bytes_fetched"] = (
+                            stats.get("bytes_fetched", 0) + K * 32 + Km
+                        )
 
                     def decode_packed(_b=bitmaps_res, _m=mags_res, _K=K, _Km=Km):
                         return _decode_packed_host(_b(), _m(), _K, q)
@@ -1183,6 +1187,11 @@ class PointEvaluator:
                                  get_abi()[lo:hi][icn[idx0 : idx0 + K]]))
                 else:
                     rows_res = self.fetch_parallel_submit(devs[0], K)
+                    if stats is not None:
+                        stats["bytes_fetched"] = (
+                            stats.get("bytes_fetched", 0)
+                            + K * 125 * (1 if codec == "int8" else 2)
+                        )
                     if codec == "int8":
                         decode = lambda _r=rows_res: _r().astype(np.float32) * q
                     else:
@@ -1919,6 +1928,7 @@ def _create_mesh_streaming_impl(latent, N, evaluator, safety, clamp_dist, voxel_
         )
         LAST_STREAMING_STATS["t_crossing"] = round(stream_stats.get("t_mask", 0.0), 3)
         LAST_STREAMING_STATS["t_fetch"] = round(stream_stats.get("t_fetch", 0.0), 3)
+        LAST_STREAMING_STATS["bytes_fetched"] = int(stream_stats.get("bytes_fetched", 0))
         logging.debug(
             "[create_mesh] streaming: %d active blocks, %d crossing, %d prefilter evals",
             A4, crossing, evaluated,
