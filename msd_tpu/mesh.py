@@ -311,8 +311,26 @@ class PointEvaluator:
 
     @staticmethod
     def _opt_slab_granule(A: int) -> int:
-        """Slab granule for optimistic-mode streaming over an ``A``-block
-        cap bucket (up to 8 slabs at >= 4096 rows, 2048-aligned)."""
+        """Primary-slab granule for optimistic-mode streaming over an
+        ``A``-block cap bucket (2048-aligned, >= 4096 rows).
+
+        ``MSD_OPT_SLABS`` sets the target slab count. At 1 the whole bucket
+        is one slab — and with MSD_OPT_FUSE_SLAB0 on, that slab fuses INTO
+        the refine dispatch: the entire N~256 extraction (refine + eval +
+        crossing filter + encode) is ONE device program. On the axon relay
+        each extra program costs ~20 ms of dispatch serialization while the
+        mesher overlap finer slabs buy is ~2 ms at this class's crossing
+        counts (see the MSD_OPT_SLABS A/B, PERF.md round-5)."""
+        from msd_tpu import stream_knobs
+
+        n = stream_knobs.opt_slab_count()
+        return max(4096, -(-A // n // 2048) * 2048)
+
+    @staticmethod
+    def _tail_slab_granule(A: int) -> int:
+        """Granule for storage-bucket overflow tail slabs: always 8-way —
+        a single-slab tail would evaluate the whole second half of the
+        storage bucket even when the overflow is a few hundred rows."""
         return max(4096, -(-A // 8 // 2048) * 2048)
 
     def _get_block_fn(self):
@@ -923,14 +941,22 @@ class PointEvaluator:
         # with a device-resident active set the host copy resolves lazily
         # (it's only needed for mesher bases, after all dispatches)
         abi_box = {"abi": abi}
+        tail_box: dict = {}  # overflow-tail rows [A, c4) fetched on the pool
 
         def get_abi():
             if abi_box["abi"] is None:
                 abi_full = abi_resolver()
                 if count_resolver is not None:
+                    c = count_resolver()
+                    if c > abi_full.shape[0] and "rows" in tail_box:
+                        # dispatch-bucket fetch + overflow tail (the
+                        # storage bucket rows past the dispatch bucket)
+                        abi_full = np.concatenate(
+                            [abi_full, tail_box["rows"].result()]
+                        )
                     # optimistic fetch pulled the whole cap bucket; clip
                     # padding rows (zeros) once the true count resolves
-                    abi_full = abi_full[: min(count_resolver(), abi_full.shape[0])]
+                    abi_full = abi_full[: min(c, abi_full.shape[0])]
                 abi_box["abi"] = abi_full
             return abi_box["abi"]
 
@@ -1073,7 +1099,33 @@ class PointEvaluator:
                 if stats is not None:
                     stats["t_mask"] = stats.get("t_mask", 0.0) + time.time() - t0
                     stats["active_blocks"] = int(c4)
-                if c4 > A:
+                store = abi_dev.shape[0] if abi_dev is not None else A
+                if A < c4 <= store and abi_dev is not None and not hybrid:
+                    # dispatch bucket overflowed but the 2x STORAGE bucket
+                    # (refine1_optimistic) holds the whole active set:
+                    # dispatch tail slabs over the stored rows. All tails
+                    # share one program shape (full granule; the device
+                    # count masks rows past c4), and the mesher's base
+                    # coordinates for the tail fetch on the pool.
+                    logging.info(
+                        "optimistic bucket overflow (%d > %d): tail slabs from the "
+                        "storage bucket", c4, A,
+                    )
+                    qx = self._tail_slab_granule(A)
+                    hi_max = min(A + (-(-(c4 - A) // qx)) * qx, store)
+                    lo = A
+                    n_tails = 0
+                    while lo < hi_max:
+                        hi = min(lo + qx, hi_max)
+                        pend.append((lo, hi, *dispatch_slab(lo, hi, False)))
+                        lo = hi
+                        n_tails += 1
+                    if stats is not None:
+                        stats["overflow_tail_slabs"] = n_tails
+                    tail_box["rows"] = self._pool().submit(
+                        lambda: np.asarray(abi_dev[A:c4]).astype(np.int64)
+                    )
+                elif c4 > A:
                     logging.warning(
                         "optimistic refine bucket overflow (%d > %d); exact fallback", c4, A
                     )
@@ -1488,12 +1540,20 @@ class PointEvaluator:
             return None
         ratio = int(os.environ.get("MSD_OPT_CAP_RATIO_MILLI", 90)) / 1000.0
         cap4 = min(nb4 ** 3, max(self.A_CHUNK, -(-int(nb4 ** 3 * ratio) // self.A_CHUNK) * self.A_CHUNK))
+        # STORAGE bucket = 2x the dispatch bucket: the refine program keeps
+        # up to 2*cap4 active rows on device while slabs only pre-dispatch
+        # against cap4. A count in (cap4, 2*cap4] — undertrained fat shells
+        # sat RIGHT above the 0.09 ratio and bounced every extraction to
+        # the exact two-phase path (~2x wall) — now just dispatches tail
+        # slabs over the stored rows (stream_crossing_values), costing the
+        # tail's evals instead of a full re-refine + re-eval.
+        cap4_store = min(nb4 ** 3, 2 * cap4)
         latent = jnp.asarray(latent).reshape(-1)
         fuse = codec is not None and stream_knobs.fuse_slab0()
         if fuse:
             n_pad = min(self._opt_slab_granule(cap4), cap4)
             cap = self._slab_cap(n_pad)
-            out = self._get_refine1_slab0_fn(nb4, cap4, n_pad, cap, codec)(
+            out = self._get_refine1_slab0_fn(nb4, cap4_store, n_pad, cap, codec)(
                 latent, jnp.float32(h), jnp.float32(b * h * s3 * safety),
                 jnp.int32(1), jnp.float32(self._codec_q(codec, h)),
             )
@@ -1501,7 +1561,7 @@ class PointEvaluator:
             return (counts_dev, abi4_dev, abi4_i16_dev, cap4, (nb4 + 1) ** 3,
                     (n_pad, cap, out[3], tuple(out[4:])))
         counts_dev, abi4_dev, abi4_i16_dev = self._get_refine1_fn(
-            nb4, cap4, emit_i16=True
+            nb4, cap4_store, emit_i16=True
         )(latent, jnp.float32(h), jnp.float32(b * h * s3 * safety))
         return counts_dev, abi4_dev, abi4_i16_dev, cap4, (nb4 + 1) ** 3, None
 
@@ -1918,6 +1978,12 @@ def _create_mesh_streaming_impl(latent, N, evaluator, safety, clamp_dist, voxel_
         LAST_STREAMING_STATS["crossing_blocks"] = crossing
         if "active_blocks" in stream_stats:  # optimistic: true refined count
             LAST_STREAMING_STATS["active_blocks"] = int(stream_stats["active_blocks"])
+        if "overflow_tail_slabs" in stream_stats:
+            LAST_STREAMING_STATS["overflow_tail_slabs"] = int(
+                stream_stats["overflow_tail_slabs"]
+            )
+        else:
+            LAST_STREAMING_STATS.pop("overflow_tail_slabs", None)
         # exact count including dedup savings / padding / exact fallbacks
         LAST_STREAMING_STATS["evaluated"] = int(
             evaluated

@@ -28,6 +28,8 @@ MSD_STREAM_DEDUP       auto: on only for >= 16384-block
 MSD_STREAM_OPT         auto: on off-CPU (any core count)        fuse_slab0_ab.json context; the optimistic
                                                                 path removes relay RTs, not host work
 MSD_OPT_FUSE_SLAB0     on                                       fuse_slab0_ab.json (0.258 -> 0.246 s median)
+MSD_OPT_SLABS          1 (single fused slab; whole N~256
+                       extraction = ONE device program)         opt_slabs_ab.json (0.226 vs 0.273 s median)
 MSD_EPOCH_BLOCK        8 (see train/epoch_blocks.py)            stage2_step_ab.json (46.3 -> 30.3 ms)
 =====================  =======================================  =========================================
 """
@@ -122,6 +124,19 @@ def opt_streaming(facts: HostFacts) -> bool:
     if mode == "on":
         return True
     return not facts.cpu_backend
+
+
+def opt_slab_count() -> int:
+    """Primary slab count for the optimistic single-level (N~256) class.
+    DEFAULT 1: the whole cap bucket is one slab, which (with
+    MSD_OPT_FUSE_SLAB0 on) fuses the ENTIRE extraction — refine + eval +
+    crossing filter + encode — into one device program. Same-window ABBA
+    on the bench field (opt_slabs_ab.json): median 0.226 vs 0.273 s,
+    min 0.217 vs 0.232, identical output. Each extra slab costs ~20 ms of
+    relay dispatch serialization; the mesher overlap finer slabs buy is
+    ~2 ms at this class's crossing counts. Storage-bucket overflow tails
+    keep the 8-way granule regardless (mesh.py _tail_slab_granule)."""
+    return max(1, int(os.environ.get("MSD_OPT_SLABS", 1)))
 
 
 def dedup_streaming(facts: HostFacts, active_blocks: int) -> bool:

@@ -145,3 +145,29 @@ def test_dedup_forced(monkeypatch):
     assert stream_knobs.dedup_streaming(facts(cores=1, cpu=True), 10) is True
     monkeypatch.setenv("MSD_STREAM_DEDUP", "off")
     assert stream_knobs.dedup_streaming(facts(cores=8, cpu=False), 10**6) is False
+
+
+# --- MSD_OPT_SLABS ---------------------------------------------------------
+
+
+def test_opt_slab_count_default_one(monkeypatch):
+    """Default 1 primary slab: the whole optimistic bucket dispatches as a
+    single (refine-fused) program — opt_slabs_ab.json (0.226 vs 0.273 s)."""
+    monkeypatch.delenv("MSD_OPT_SLABS", raising=False)
+    assert stream_knobs.opt_slab_count() == 1
+    monkeypatch.setenv("MSD_OPT_SLABS", "8")
+    assert stream_knobs.opt_slab_count() == 8
+    monkeypatch.setenv("MSD_OPT_SLABS", "0")  # clamped
+    assert stream_knobs.opt_slab_count() == 1
+
+
+def test_opt_slab_granule_single_slab(monkeypatch):
+    """granule(A) covers the whole bucket at the default slab count and
+    the tail granule stays 8-way regardless."""
+    from msd_tpu.mesh import PointEvaluator
+
+    monkeypatch.delenv("MSD_OPT_SLABS", raising=False)
+    assert PointEvaluator._opt_slab_granule(24576) >= 24576
+    assert PointEvaluator._tail_slab_granule(24576) == 4096
+    monkeypatch.setenv("MSD_OPT_SLABS", "8")
+    assert PointEvaluator._opt_slab_granule(24576) == 4096

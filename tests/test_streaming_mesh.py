@@ -442,9 +442,13 @@ def test_hybrid_two_level_matches(trained, monkeypatch):  # noqa: F811
 @pytest.mark.slow
 @needs_native
 def test_optimistic_bucket_overflow_fallback(trained, monkeypatch):  # noqa: F811
-    """A refine count above the optimistic cap bucket is detected from the
-    concurrent count fetch and falls back to the exact host-refined path —
-    identical output."""
+    """A refine count above the optimistic DISPATCH bucket has two cells,
+    both byte-identical to the non-optimistic path:
+
+    * count <= the 2x STORAGE bucket: tail slabs dispatch over the stored
+      rows (no exact re-refine) — ``overflow_tail_slabs`` lands in stats;
+    * count above the storage bucket too: exact host-refined fallback.
+    """
     trainer, _ = trained
     latent = trainer.state["lat"][2]
     N = 193
@@ -460,14 +464,36 @@ def test_optimistic_bucket_overflow_fallback(trained, monkeypatch):  # noqa: F81
     # (2048 * 125 pts stays tile-aligned)
     monkeypatch.setattr(mesh_mod.PointEvaluator, "A_CHUNK", 2048)
     monkeypatch.setenv("MSD_OPT_CAP_RATIO_MILLI", "1")
-    assert active > 2048, "fixture too small to force overflow"
+    assert active > 4096, "fixture too small to force overflow past the storage bucket"
     ev2 = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
     ov, of = mesh_mod.create_mesh(
         trainer.decoder, trainer.state["net"], latent, N=N, return_mesh=True,
         evaluator=ev2, value_codec="packed",
     )
+    # cap4 = 2048, storage = 4096 < active: the exact-fallback cell
+    assert "overflow_tail_slabs" not in mesh_mod.LAST_STREAMING_STATS
     np.testing.assert_array_equal(pv, ov)
     np.testing.assert_array_equal(pf, of)
+
+    # --- tail-slab cell: dispatch bucket < active <= storage bucket ---
+    nb4 = (N - 1) // 4
+    # pick the ratio so cap4 lands in [active/2, active): ceil-to-2048 of
+    # ~0.6*active (the fixture guard above ensures 0.4*active > 2048 so the
+    # rounding cannot push cap4 past active)
+    target = -(-int(0.6 * active) // 2048) * 2048
+    r_milli = max(1, (target * 1000) // nb4**3)
+    cap4 = max(2048, -(-(nb4**3 * r_milli // 1000) // 2048) * 2048)
+    assert cap4 < active <= 2 * cap4, (cap4, active)
+    monkeypatch.setenv("MSD_OPT_CAP_RATIO_MILLI", str(r_milli))
+    ev3 = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
+    tv, tf = mesh_mod.create_mesh(
+        trainer.decoder, trainer.state["net"], latent, N=N, return_mesh=True,
+        evaluator=ev3, value_codec="packed",
+    )
+    assert mesh_mod.LAST_STREAMING_STATS.get("overflow_tail_slabs", 0) >= 1
+    assert mesh_mod.LAST_STREAMING_STATS["active_blocks"] == active
+    np.testing.assert_array_equal(pv, tv)
+    np.testing.assert_array_equal(pf, tf)
 
 
 # "auto" codec resolution (and every other streaming-knob default) is
