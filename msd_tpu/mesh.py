@@ -34,15 +34,44 @@ from msd_tpu.data.mesh_io import save_ply
 from msd_tpu.ops.marching_cubes import marching_tetrahedra, marching_tetrahedra_blocks
 
 
+def _packed_needed_mask(sign: np.ndarray) -> np.ndarray:
+    """[K, 125] bool: corners incident to a sign change within their
+    CLIPPED 3^3 lattice window — needed = dilate(neg) & dilate(pos),
+    separable axis dilations. Bit-exact numpy mirror of the encoder's
+    window-adjacency matmul (`_encode_compact_body`) and of the native
+    decoder's u64 dilation (codec.cpp)."""
+    K = sign.shape[0]
+    s = sign.reshape(K, 5, 5, 5)
+
+    def dil3(x):
+        for ax in (1, 2, 3):
+            y = x.copy()
+            sl_lo = [slice(None)] * 4
+            sl_hi = [slice(None)] * 4
+            sl_lo[ax] = slice(1, None)
+            sl_hi[ax] = slice(None, -1)
+            y[tuple(sl_lo)] |= x[tuple(sl_hi)]
+            y[tuple(sl_hi)] |= x[tuple(sl_lo)]
+            x = y
+        return x
+
+    return (dil3(s) & dil3(~s)).reshape(K, 125)
+
+
 def _decode_packed_host(bitmaps: np.ndarray, mags: np.ndarray, K: int, q: float,
                         pts: int = 125) -> np.ndarray:
-    """Expand the "packed" wire codec (sign/present bitmaps + dense u8
-    magnitudes, see `_encode_compact_body`) to the [K, pts] float32 corner
-    grid. Absent corners (non-small, or away from any sign change) decode
-    to the codec cap q*255: their magnitude is never read by crossing-edge
-    interpolation.
+    """Expand the "packed" wire codec v2 (16-byte sign bitmap per row +
+    dense u8 magnitudes over the row's NEEDED corners, see
+    `_encode_compact_body`) to the [K, pts] float32 corner grid. The
+    needed set — corners incident to a sign change within their 3^3
+    window — is re-derived here from the sign bitmap, so it never ships.
+    Corners outside it decode to the codec cap q*255: their magnitude is
+    never read by crossing-edge interpolation. (v1 shipped an explicit
+    16-byte present bitmap per row; it measured identical to the derived
+    needed set on trained fields and was dropped in round 5 — 19% of the
+    wire bytes.)
 
-    Uses the native C++ decoder when available (AVX-512 path: 4.2 ms vs
+    Uses the native C++ decoder when available (AVX-512 path: ~4 ms vs
     numpy's 130-290 ms for the 28 625 crossing rows of the converged N=513
     bench field — the ~72.8k-"block shell" figures elsewhere count ACTIVE
     blocks of the same field; decode only ever sees the crossing rows.
@@ -62,7 +91,7 @@ def _decode_packed_host(bitmaps: np.ndarray, mags: np.ndarray, K: int, q: float,
     bitmaps = np.ascontiguousarray(bitmaps[:K], np.uint8)
     mags = np.ascontiguousarray(mags, np.uint8)
     lib = load_native()
-    if lib is not None and hasattr(lib, "msd_decode_packed"):
+    if pts == 125 and lib is not None and hasattr(lib, "msd_decode_packed"):
         out = np.empty((K, pts), np.float32)
         used = lib.msd_decode_packed(
             bitmaps.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -74,19 +103,24 @@ def _decode_packed_host(bitmaps: np.ndarray, mags: np.ndarray, K: int, q: float,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
         if used != mags.size:
-            # present bitmaps and the magnitude stream disagree — corrupt
-            # transfer; surface it rather than mesh garbage
+            # derived needed sets and the magnitude stream disagree —
+            # corrupt transfer; surface it rather than mesh garbage
             raise ValueError(
                 f"packed codec stream mismatch: {used} magnitudes consumed, "
                 f"{mags.size} shipped"
             )
         return out
+    if pts != 125:
+        raise ValueError(f"packed codec requires 125-corner blocks, got {pts}")
     sign = np.unpackbits(
         np.ascontiguousarray(bitmaps[:, :16]), axis=1, bitorder="little"
     )[:, :pts].astype(bool)
-    present = np.unpackbits(
-        np.ascontiguousarray(bitmaps[:, 16:]), axis=1, bitorder="little"
-    )[:, :pts].astype(bool)
+    present = _packed_needed_mask(sign)
+    if int(present.sum()) != mags.size:
+        raise ValueError(
+            f"packed codec stream mismatch: {int(present.sum())} magnitudes "
+            f"consumed, {mags.size} shipped"
+        )
     vals = np.full((K, pts), q * np.float32(255.0), np.float32)
     vals[present] = mags.astype(np.float32) * q
     return np.where(sign, -vals, vals)
@@ -473,17 +507,21 @@ class PointEvaluator:
             jnp.zeros((1,), jnp.uint16) if extra is None else extra.reshape(1).astype(jnp.uint16)
         )
         if codec == "packed":
-            # sign bitmap (16 B) + present-corner bitmap (16 B) + u8
-            # magnitudes ONLY for corners that are BOTH small
-            # (|v| < thresh, q = thresh/255) AND incident to a sign
-            # change within their 3^3 lattice window ("needed").
-            # Every marching-tets edge connects 26-neighbors, so a
-            # corner whose whole window is single-signed can never be
-            # an endpoint of a crossing edge — its magnitude is never
-            # read by vertex interpolation and doesn't ship. Absent
-            # corners decode to sign*thresh: for non-small ones a
-            # ~1-Lipschitz field can't put a crossing edge there
-            # anyway, and for not-needed ones no such edge exists.
+            # Wire v2 (round 5): sign bitmap (16 B) + u8 magnitudes for
+            # every corner incident to a sign change within its 3^3
+            # lattice window ("needed"). Every marching-tets edge
+            # connects 26-neighbors, so a corner whose whole window is
+            # single-signed can never be an endpoint of a crossing edge
+            # — its magnitude is never read by vertex interpolation and
+            # doesn't ship, and the DECODER re-derives the needed set
+            # from the sign bitmap (needed = dilate(neg) & dilate(pos),
+            # separable clipped 3^3 dilation — codec.cpp), so no present
+            # bitmap ships either (v1 spent 16 B/row on it; measured
+            # needed == present exactly on the bench field). Needed
+            # corners whose |v| exceeds the codec range (thresh = 255*q,
+            # q = thresh/255) ship the saturated byte 255 and decode to
+            # sign*thresh exactly like v1's absent-non-small corners: a
+            # ~1-Lipschitz field can't put a crossing edge there anyway.
             rowsf = vals.astype(jnp.float32)
             w8 = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
 
@@ -514,23 +552,24 @@ class PointEvaluator:
             any3 = s > 0.5
             all3 = s > self._window_size(pts_per) - 0.5
             needed = any3 & ~all3
-            # "present" is DEFINED as (masked) mag < 255 so the
-            # bitmap and the scattered magnitudes can never disagree
-            magc = jnp.where(needed, magc, 255).astype(jnp.uint8)
-            small = magc < 255
-            bitmaps_all = jnp.concatenate(
-                [pack_bits(sign_neg), pack_bits(small)], axis=1
-            )
-            bitmaps = jnp.zeros((cap + 1, 32), jnp.uint8).at[dest].set(
-                bitmaps_all, mode="drop"
+            bitmaps = jnp.zeros((cap + 1, 16), jnp.uint8).at[dest].set(
+                pack_bits(sign_neg), mode="drop"
             )[:cap]
             mag_rows = jnp.zeros((cap + 1, pts_per), jnp.uint8).at[dest].set(
                 magc, mode="drop"
             )[:cap]
+            # the decoder re-derives "needed" from the sign bitmap, so the
+            # magnitude stream MUST cover exactly the needed corners —
+            # scatter the mask itself (a 255 magnitude is a legal shipped
+            # value for saturated needed corners, so it can't double as
+            # the not-needed sentinel the v1 format used)
+            need_rows = jnp.zeros((cap + 1, pts_per), jnp.bool_).at[dest].set(
+                needed, mode="drop"
+            )[:cap]
             capM = cap * self.packed_mag_bytes_per_block
-            # unscattered padding rows are zeros (mag<255) — mask them
+            # unscattered padding rows are zeros (needed=False) — mask them
             valid_row = jnp.arange(cap) < count
-            small_rows = (mag_rows < 255) & valid_row[:, None]
+            small_rows = need_rows & valid_row[:, None]
             # two-level prefix sum: the within-row inclusive prefix is
             # an upper-triangular MXU matmul (x @ triu; exact: counts
             # <= 125), leaving only a [cap]-long scan on the row axis
@@ -1224,12 +1263,13 @@ class PointEvaluator:
                     jobs.append((rows.shape[0] if rows is not None else 0,
                                  (lambda r=rows: r), abi_x_s))
                 elif codec == "packed":
-                    # 32 B/row -> bigger parts keep per-stream chunks ~256 KB
-                    bitmaps_res = self.fetch_parallel_submit(devs[0], K, part=8192)
+                    # 16 B/row sign bitmaps -> 16384-row parts keep
+                    # per-stream chunks ~256 KB
+                    bitmaps_res = self.fetch_parallel_submit(devs[0], K, part=16384)
                     mags_res = self.fetch_parallel_submit(devs[1], Km, part=262144)
                     if stats is not None:
                         stats["bytes_fetched"] = (
-                            stats.get("bytes_fetched", 0) + K * 32 + Km
+                            stats.get("bytes_fetched", 0) + K * 16 + Km
                         )
 
                     def decode_packed(_b=bitmaps_res, _m=mags_res, _K=K, _Km=Km):

@@ -19,7 +19,9 @@ MSD_VALUE_CODEC        auto: "packed" when the SIMD native
                        decoder is present or >= 2 cores;
                        else "int8"                              grid512_codec_ab.json (packed loses 1-core
                                                                 numpy decode), grid512_codec_native_ab.json
-                                                                (native AVX-512 decode flips it back)
+                                                                (native AVX-512 decode flips it back),
+                                                                grid512_codec_v2_ab.json (derived-needed
+                                                                wire: -19.5% bytes, wall 0.686 -> 0.61-0.66)
 MSD_STREAM_HYBRID      off                                      grid512_ab.json (hybrid 0.915 vs 0.787 s
                                                                 median on the 1-core host)
 MSD_STREAM_DEDUP       auto: on only for >= 16384-block
@@ -73,7 +75,8 @@ def resolve_value_codec(requested: str, facts: HostFacts) -> str:
     """Streaming value wire format after the MSD_VALUE_CODEC env override
     and the host-aware "auto" default.
 
-    "packed" (sign/present bitmaps + u8 magnitudes) ships ~1.8x fewer
+    "packed" (v2: sign bitmap + u8 magnitudes over the derived needed
+    set, grid512_codec_v2_ab.json) ships ~1.9x fewer
     bytes than "int8" but costs a host-side decode. The decode is ~4 ms
     with the native AVX-512 decoder (grid512_codec_native_ab.json) vs
     130-290 ms with numpy — on a 1-core host the numpy decode serializes

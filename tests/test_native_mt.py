@@ -87,37 +87,37 @@ def test_native_speedup():
 
 @needs_native
 def test_native_packed_decode_matches_numpy():
-    """C++ msd_decode_packed == the numpy unpackbits+scatter reference,
-    bitwise (including -0.0 signs), across present densities and edge rows.
+    """C++ msd_decode_packed == the numpy reference, bitwise (including
+    -0.0 signs), across sign densities and edge rows.
 
-    The wire layout under test is _encode_compact_body's (mesh.py): 16-byte
-    sign bitmap + 16-byte present bitmap per row, dense u8 magnitude stream
-    over present corners in row-major order.
+    The v2 wire layout under test is _encode_compact_body's (mesh.py):
+    16-byte SIGN bitmap per row, dense u8 magnitude stream over the row's
+    NEEDED corners (incident to a sign change within the clipped 3^3
+    window) in row-major order — the needed set never ships; both decoders
+    re-derive it from the signs.
     """
-    from msd_tpu.mesh import _decode_packed_host
+    from msd_tpu.mesh import _decode_packed_host, _packed_needed_mask
 
     lib = load_native()
     if not hasattr(lib, "msd_decode_packed"):
         pytest.skip("codec.cpp not in this native build")
     rng = np.random.default_rng(7)
     pts, q = 125, 0.0123
-    for K, density in [(1, 0.0), (3, 1.0), (257, 0.31), (1000, 0.93)]:
-        sign = rng.random((K, pts)) < 0.5
-        present = rng.random((K, pts)) < density
-        mags = rng.integers(0, 256, (K, pts)).astype(np.uint8)[present]
+    for K, density in [(1, 0.0), (3, 1.0), (257, 0.31), (1000, 0.93), (64, 0.02)]:
+        sign = rng.random((K, pts)) < density
+        needed = _packed_needed_mask(sign)
+        mags = rng.integers(0, 256, (K, pts)).astype(np.uint8)[needed]
 
         def packbits125(bits):
             bp = np.zeros((K, 128), np.uint8)
             bp[:, :pts] = bits
             return np.packbits(bp, axis=1, bitorder="little")
 
-        bitmaps = np.concatenate([packbits125(sign), packbits125(present)], axis=1)
-        # numpy reference (the pre-round-4 decode path)
-        s = np.unpackbits(bitmaps[:, :16].copy(), axis=1, bitorder="little")[:, :pts].astype(bool)
-        p = np.unpackbits(bitmaps[:, 16:].copy(), axis=1, bitorder="little")[:, :pts].astype(bool)
+        bitmaps = packbits125(sign)
+        # reference decode straight from the definitions
         ref = np.full((K, pts), q * np.float32(255.0), np.float32)
-        ref[p] = mags.astype(np.float32) * q
-        ref = np.where(s, -ref, ref)
+        ref[needed] = mags.astype(np.float32) * q
+        ref = np.where(sign, -ref, ref)
 
         out = _decode_packed_host(bitmaps, mags, K, q)
         assert np.array_equal(ref, out)
@@ -126,3 +126,26 @@ def test_native_packed_decode_matches_numpy():
     # stream-consistency check: shipping too few magnitudes must raise
     with pytest.raises(ValueError):
         _decode_packed_host(bitmaps, mags[:-1], K, q)
+
+
+def test_packed_needed_mask_matches_window_adjacency():
+    """The numpy dilation (and thus the C++ bit dilation tested above)
+    must agree with the ENCODER's clipped 3^3 window-adjacency matmul for
+    every corner, including faces/edges of the lattice."""
+    from msd_tpu.mesh import _packed_needed_mask
+
+    rng = np.random.default_rng(11)
+    sign = rng.random((500, 125)) < rng.uniform(0.05, 0.95, (500, 1))
+    # independent oracle: the encoder's Chebyshev<=1 clipped adjacency
+    # (mesh.py _window_adj) built from first principles
+    coords = np.stack(
+        np.meshgrid(np.arange(5), np.arange(5), np.arange(5), indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)
+    adj = (
+        np.abs(coords[:, None, :] - coords[None, :, :]).max(axis=-1) <= 1
+    ).astype(np.float32)
+    wsize = adj.sum(axis=0)
+    s = sign.astype(np.float32) @ adj
+    ref = (s > 0.5) & (s < wsize - 0.5)
+    np.testing.assert_array_equal(_packed_needed_mask(sign), ref)
