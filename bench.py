@@ -470,6 +470,14 @@ def main():
                 "msd_backend": p["msd_tpu"].get("stack"),
                 "dataset_sha256_16": p.get("dataset_sha256_16"),
             }
+            if "msd_flagship" in p:  # VERDICT r4 #7: flagship-scale row
+                f = p["msd_flagship"]
+                chamfer_parity["msd_flagship"] = {
+                    "chamfer_mean": f.get("chamfer_mean"),
+                    "config": f.get("config", {}),
+                    "train_seconds": f.get("train_seconds"),
+                    "dataset_sha256_16": f.get("dataset_sha256_16"),
+                }
     # EikonalNumPoints speed/parity A/B (benchmarks/eikonal_subsample_ab.py)
     eik_ab = None
     eik_ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -231,8 +231,26 @@ def main():
         "chamfer": chamfer,
         "backend": jax.default_backend(),
     }
+    # merge: the top-level fields track the evidenced default setting
+    # (E=4096); every run also lands in a per-E "sweep" map so the
+    # downward sweep (VERDICT r4 #2 follow-up) accumulates in one file
+    result = {}
+    if os.path.isfile(args.out):
+        with open(args.out) as f:
+            result = json.load(f)
+    sweep = result.get("sweep", {})
+    sweep[str(args.eik_points)] = {
+        "step_ms": out["step_ms"], "speedup": out["speedup"],
+        "final_sdf_l1": final_sdf,
+        "eikonal_residual_full_points": residuals,
+        "chamfer_sub": chamfer.get("sub"),
+        "epochs": args.epochs,
+    }
+    if args.eik_points == 4096 or not result:
+        result.update(out)
+    result["sweep"] = sweep
     with open(args.out, "w") as f:
-        json.dump(out, f, indent=2)
+        json.dump(result, f, indent=2)
     print(json.dumps(out))
 
 
