@@ -470,6 +470,12 @@ def main():
                 "msd_backend": p["msd_tpu"].get("stack"),
                 "dataset_sha256_16": p.get("dataset_sha256_16"),
             }
+            if "time_to_parity" in p:  # epochs-to-equal-Chamfer multiple
+                t = p["time_to_parity"]
+                chamfer_parity["time_to_parity"] = {
+                    "msd_epochs_to_torch_final": t.get("msd_epochs_to_torch_final"),
+                    "epoch_multiple_vs_torch_300": t.get("epoch_multiple_vs_torch_300"),
+                }
             if "msd_flagship" in p:  # VERDICT r4 #7: flagship-scale row
                 f = p["msd_flagship"]
                 chamfer_parity["msd_flagship"] = {

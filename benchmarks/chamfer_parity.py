@@ -438,6 +438,90 @@ def run_msd_flagship(scenes, gt_points):
     }
 
 
+def run_msd_time_to_parity(scenes, gt_points, torch_final):
+    """Epochs-to-equal-Chamfer (BASELINE.md "time-to-quality" axis): train
+    the msd side of the toy matched config, evaluating held-out Chamfer at
+    checkpoints, and report the first epoch whose mean Chamfer is <= the
+    torch stack's FINAL (300-epoch) Chamfer. The epoch multiple composes
+    with the per-step throughput ratio measured in bench.py."""
+    from msd_tpu.data.sdf_samples import SdfDataset, _pad_stack
+    from msd_tpu.models.deepsdf import decode_sdf
+    from msd_tpu.train.reconstruct import reconstruct_batch
+    from msd_tpu.train.stage1 import Stage1Trainer
+
+    specs = {
+        "Description": "time to parity",
+        "DataSource": "<mem>", "TrainSplit": "<mem>", "TestSplit": "<mem>",
+        "NetworkArch": "deep_sdf_decoder",
+        "NetworkSpecs": {
+            "dims": DIMS, "dropout": [], "dropout_prob": 0.0, "norm_layers": [],
+            "latent_in": LATENT_IN, "xyz_in_all": False, "use_tanh": False,
+            "latent_dropout": False, "weight_norm": True,
+        },
+        "CodeLength": LATENT,
+        "NumEpochs": EPOCHS,
+        "SnapshotFrequency": 10000,
+        "AdditionalSnapshots": [],
+        "LearningRateSchedule": [
+            {"Type": "Step", "Initial": LR_NET, "Interval": 500, "Factor": 0.5},
+            {"Type": "Step", "Initial": LR_LAT, "Interval": 500, "Factor": 0.5},
+        ],
+        "SamplesPerScene": SAMPLES_PER_SCENE,
+        "ScenesPerBatch": SCENES_TRAIN,
+        "ClampingDistance": CLAMP,
+        "CodeRegularization": True,
+        "CodeRegularizationLambda": CODE_REG_LAMBDA,
+        "CodeBound": CODE_BOUND,
+        "GradientClipNorm": GRAD_CLIP,
+        "Seed": SEED,
+    }
+    pos, pc = _pad_stack([p for p, _ in scenes[:SCENES_TRAIN]])
+    neg, nc = _pad_stack([n for _, n in scenes[:SCENES_TRAIN]])
+    ds = SdfDataset(
+        npyfiles=[f"s{i}.npz" for i in range(SCENES_TRAIN)],
+        instance_ids=[f"s{i}" for i in range(SCENES_TRAIN)],
+        pos=pos, pos_counts=pc, neg=neg, neg_counts=nc,
+        subsample=SAMPLES_PER_SCENE,
+    )
+    trainer = Stage1Trainer("/tmp/msd_parity_ttp", specs=specs, dataset=ds)
+    gpts = grid_points()
+    checkpoints = [25, 50, 75, 100, 150, 200, 250, 300]
+    curve = {}
+    prev = 1
+    for ck in checkpoints:
+        for e in range(prev, ck + 1):
+            trainer.train_epoch(e)
+        prev = ck + 1
+        _, latents = reconstruct_batch(
+            trainer.decoder, trainer.state["net"], RECON_ITERS, LATENT,
+            [scenes[SCENES_TRAIN + ti] for ti in range(SCENES_TEST)],
+            0.01, CLAMP, num_samples=RECON_SAMPLES, lr=RECON_LR, l2reg=True,
+        )
+        cds = []
+        for ti in range(SCENES_TEST):
+            sdf = np.concatenate([
+                np.asarray(decode_sdf(trainer.decoder, trainer.state["net"],
+                                      latents[ti], c))
+                for c in np.array_split(gpts, 16)
+            ])
+            try:
+                cds.append(chamfer_vs_gt(gt_points[SCENES_TRAIN + ti],
+                                         mesh_from_grid(sdf)))
+            except ValueError:
+                cds.append(float("inf"))  # no surface yet at this epoch
+        curve[ck] = float(np.mean(cds))
+    hit = next((ck for ck in checkpoints if curve[ck] <= torch_final), None)
+    return {
+        "torch_final_chamfer": torch_final,
+        "chamfer_curve_by_epoch": curve,
+        "msd_epochs_to_torch_final": hit,
+        "epoch_multiple_vs_torch_300": (None if hit is None
+                                        else round(EPOCHS / hit, 2)),
+        "note": "eval epochs are the checkpoint grid; the true crossing lies "
+                "at or before the reported epoch",
+    }
+
+
 def load_real_dataset(data_source, train_split, test_split):
     """Real-data mode: reference-format SdfSamples `.npz` {pos,neg} named by
     split JSONs, GT eval points from SurfaceSamples `.ply` (the reference
@@ -488,7 +572,8 @@ def load_real_dataset(data_source, train_split, test_split):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--side", choices=["torch", "msd", "both", "flagship"], default="both")
+    ap.add_argument("--side", choices=["torch", "msd", "both", "flagship",
+                                       "time_to_parity"], default="both")
     ap.add_argument("--out", default=os.path.join(REPO, "chamfer_parity.json"))
     ap.add_argument("--data_source", default=None,
                     help="run on real preprocessed data (dir holding SdfSamples/ "
@@ -496,6 +581,24 @@ def main():
     ap.add_argument("--train_split", default=None, help="split JSON (real-data mode)")
     ap.add_argument("--test_split", default=None, help="split JSON (real-data mode)")
     args = ap.parse_args()
+
+    if args.side == "time_to_parity":
+        specs, scenes, gt_points, data_hash = make_dataset()
+        result = {}
+        if os.path.isfile(args.out):
+            with open(args.out) as f:
+                result = json.load(f)
+        torch_final = result.get("torch_ref", {}).get("chamfer_mean")
+        if torch_final is None:
+            ap.error("time_to_parity needs a prior --side torch run in the out file")
+        if result.get("dataset_sha256_16") != data_hash:
+            ap.error("dataset hash mismatch vs the stored torch run")
+        row = run_msd_time_to_parity(scenes, gt_points, torch_final)
+        result["time_to_parity"] = row
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print("time_to_parity:", json.dumps(row))
+        return
 
     if args.side == "flagship":
         # flagship-shaped msd row (own dataset + hash; the toy-scale
