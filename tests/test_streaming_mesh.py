@@ -252,6 +252,11 @@ def test_packed_codec_quality(trained):  # noqa: F811
     edges = np.sort(np.concatenate([qf[:, [0, 1]], qf[:, [1, 2]], qf[:, [2, 0]]]), axis=1)
     _, counts = np.unique(edges, axis=0, return_counts=True)
     assert (counts == 2).all()
+    # wire-byte accounting (bench attribution input): v2 ships 16 B sign
+    # bitmap + [0, 125] needed-magnitude bytes per crossing row
+    st = mesh_mod.LAST_STREAMING_STATS
+    K = st["crossing_blocks"]
+    assert 16 * K < st["bytes_fetched"] <= (16 + 125) * K, (st["bytes_fetched"], K)
     # magnitude-budget overflow falls back exactly
     ev2 = mesh_mod.PointEvaluator(trainer.decoder, trainer.state["net"])
     ev2.compact_cap_min_blocks = 0
