@@ -1587,7 +1587,13 @@ class PointEvaluator:
         # the exact two-phase path (~2x wall) — now just dispatches tail
         # slabs over the stored rows (stream_crossing_values), costing the
         # tail's evals instead of a full re-refine + re-eval.
-        cap4_store = min(nb4 ** 3, 2 * cap4)
+        # The store is deliberately NOT clamped to nb4**3: cap4 and the
+        # tail granule are 2048-aligned, so an aligned store keeps every
+        # tail slab's n_pad * 125 tile-aligned (a min(nb4**3, ...) clamp
+        # would make the last tail slab trip the slab program's tile
+        # assert for non-aligned lattices, e.g. nb4=25). Rows past nb4**3
+        # are plain padding — the true count can never reach them.
+        cap4_store = 2 * cap4
         latent = jnp.asarray(latent).reshape(-1)
         fuse = codec is not None and stream_knobs.fuse_slab0()
         if fuse:

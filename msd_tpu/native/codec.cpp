@@ -32,6 +32,14 @@
 #include <immintrin.h>
 #endif
 
+// Both decode paths reinterpret the little-endian wire bytes as u64/u16
+// words (memcpy); on a big-endian host that would scramble the sign bits
+// SILENTLY, so refuse to build there instead (the numpy fallback in
+// mesh.py is endian-correct via unpackbits).
+#if defined(__BYTE_ORDER__) && (__BYTE_ORDER__ != __ORDER_LITTLE_ENDIAN__)
+#error "codec.cpp assumes a little-endian host; build without it to use the numpy decode path"
+#endif
+
 namespace {
 
 // 125-bit field in a (lo, hi) u64 pair; corner index i = 25*a + 5*b + c

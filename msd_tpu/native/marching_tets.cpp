@@ -126,10 +126,14 @@ struct Builder {
 
   Builder(size_t expected_edges, int64_t n, const uint8_t* flip)
       : edges(expected_edges), N(n), flips(flip) {
-    // typical shells run ~21 verts / 41 tris per crossing block: reserve
-    // so the hot loop's push_backs never reallocate mid-stream
-    verts.reserve((expected_edges / 16) * 24 * 3);
-    faces.reserve((expected_edges / 16) * 48 * 3);
+    // typical shells run ~21 verts / 41 tris per CROSSING block, but
+    // expected_edges derives from the ACTIVE-block upper bound (crossing
+    // runs ~0.4 of active) — reserve at half the bound so the common case
+    // still avoids mid-stream reallocation without committing ~2.5x the
+    // final geometry memory per mesh; a fatter-than-usual shell costs at
+    // most one amortized vector growth
+    verts.reserve((expected_edges / 32) * 24 * 3);
+    faces.reserve((expected_edges / 32) * 48 * 3);
     // enumerate positive deltas dx*N^2 + dy*N + dz, d* in {-1,0,1}
     for (int dx = -1; dx <= 1; dx++)
       for (int dy = -1; dy <= 1; dy++)

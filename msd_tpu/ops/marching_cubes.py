@@ -309,6 +309,11 @@ def _native_blocks(block_vals, block_bases, N, level, spacing, origin):
     bases = np.ascontiguousarray(np.asarray(block_bases, np.int32))
     a = vals.shape[0]
     b = vals.shape[1] - 1
+    if b + 1 > 64:
+        # the native row masks are uint64 (b is SPARSE_BLOCK=4 in practice);
+        # larger blocks take the numpy path instead of silently meshing
+        # nothing inside add_blocks_impl's guard
+        return None
     flips = np.ascontiguousarray(_FLIP_TABLE.astype(np.uint8))
     out_verts = ctypes.POINTER(ctypes.c_float)()
     out_faces = ctypes.POINTER(ctypes.c_int32)()

@@ -149,3 +149,24 @@ def test_packed_needed_mask_matches_window_adjacency():
     s = sign.astype(np.float32) @ adj
     ref = (s > 0.5) & (s < wsize - 0.5)
     np.testing.assert_array_equal(_packed_needed_mask(sign), ref)
+
+
+def test_blocks_larger_than_rowmask_take_numpy_path():
+    """Block sizes past the native row-mask width (b+1 > 64) must produce
+    real geometry via the numpy fallback, not the silent empty mesh the
+    C++ guard would return."""
+    from msd_tpu.ops.marching_cubes import marching_tetrahedra_blocks
+
+    b = 65
+    n1 = b + 1
+    N = n1  # one block covering the whole grid
+    axis = np.linspace(-1, 1, N, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(axis, axis, axis, indexing="ij")
+    sdf = np.sqrt(gx**2 + gy**2 + gz**2) - 0.6
+    verts, faces = marching_tetrahedra_blocks(
+        sdf[None], np.zeros((1, 3), np.int64), N,
+        level=0.0, spacing=(2.0 / (N - 1),) * 3, origin=(-1.0, -1.0, -1.0),
+    )
+    assert len(verts) > 1000 and len(faces) > 1000
+    r = np.linalg.norm(verts, axis=1)
+    assert abs(r.mean() - 0.6) < 0.02
